@@ -1,13 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Q
+import graft.operators.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  /** Every implemented capability, one Q per operator (SURVEY.md §2). */
+  def allQueries: Seq[Q] = Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    allQueries.head.spark(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.spark).toMap
+
+  /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+
+Registers each testdata parquet as a DuckDB view named after the table,
+runs every oracle_sql.json entry, and compares against the Spark result
+parquet written by graft.Verify: column-name set, row count, and
+value-level equality after sorting columns by name and rows by all
+columns (floats compared to 1e-9 rel tol to be *stricter* than a hash
+of rounded values).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_key(rows):
+    return sorted([tuple(norm(v) for v in r) for r in rows],
+                  key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def approx_eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(approx_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols want={sorted(want_cols)} got={sorted(got_cols)}")
+            n_fail += 1
+            continue
+        if len(want_rows) != len(got_rows):
+            print(f"FAIL {name}: rows want={len(want_rows)} got={len(got_rows)}")
+            n_fail += 1
+            continue
+        # align column order by sorted name
+        wi = [want_cols.index(c) for c in sorted(want_cols)]
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        w = rows_key([[r[i] for i in wi] for r in want_rows])
+        g = rows_key([[r[i] for i in gi] for r in got_rows])
+        bad = next((i for i, (a, b) in enumerate(zip(w, g))
+                    if not approx_eq(tuple(a), tuple(b))), None)
+        if bad is not None:
+            print(f"FAIL {name}: first diff at sorted-row {bad}:")
+            print(f"  want {w[bad]}")
+            print(f"  got  {g[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
