@@ -1,0 +1,119 @@
+package graft.sds
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** End-to-end SDS pipeline wiring (SURVEY.md §3).
+  *
+  * The reference's poll loop (`src/subscriber.rs:58-106`) maps to a
+  * Structured Streaming query: source → decode → foreachBatch (the W1
+  * per-block transaction analog). The pipeline is generic over any
+  * `Dataset[String]` of JSON EventList batches:
+  *  - tests: `MemoryStream[String]` (or `applyBatch` directly)
+  *  - files: `fromFiles` (replay / backfill)
+  *  - production: a ZMQ DSv2 `MicroBatchStream` connector (see ZmqSource)
+  *
+  * Crash-stop consistency (`src/subscriber.rs:91`): any batch error fails
+  * the query; restart resumes from the checkpoint and the idempotent
+  * merge re-applies the in-flight batch as a no-op.
+  */
+object Pipeline {
+
+  /** One micro-batch through decode → fork-rewind → SCD2 merges → blocks
+    * append (reference `handle_events`, `src/event_handler.rs:28-60`).
+    *
+    * @param strict raise on namespace addresses with unknown entity infix
+    *               (AnotherFamily error, `src/event_handler.rs:196-200`)
+    */
+  def applyBatch(store: Scd2Store, raw: DataFrame, strict: Boolean = true): Unit = {
+    val withBlock = Decode.withBlock(Decode.parseEnvelope(raw))
+    // Per-batch reuse: decode once, feed 11 table extractions + blocks.
+    withBlock.persist()
+    try {
+      val incoming = Decode.blocks(withBlock)
+        // D4 last()-wins also across duplicate block_nums inside one batch
+        .groupBy("block_num").agg(last("block_id").as("block_id"))
+      // Small per batch (reference: exactly one block per EventList).
+      val incomingBlocks = incoming.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      if (incomingBlocks.isEmpty) return // D2: heartbeat-only batch
+
+      val sc = Decode.stateChanges(withBlock)
+      sc.persist()
+      try {
+        if (strict && !Decode.unknownAddresses(sc).isEmpty)
+          throw new IllegalArgumentException(
+            "state change address matches no entity type in the certificate_registry namespace")
+
+        // W4: a stored block_num with a different block_id ⇒ fork; rewind
+        // everything from the lowest colliding block before merging.
+        val stored = store.table("blocks").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        val fork = incomingBlocks.collect {
+          case (num, id) if stored.get(num).exists(_ != id) => num
+        }.headOption
+
+        val tables = Schemas.tables.keys.toSeq.sorted
+        val deletes = Decode.assertionDeletes(sc)
+
+        tables.foreach { t =>
+          val base0 = store.table(t)
+          val base = fork.fold(base0)(b => Scd2.rewind(base0, b))
+          val updates = Decode.extractors(t)(sc)
+          val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
+          val finalDf = if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address") else merged
+          store.write(t, finalDf)
+        }
+
+        // W5: blocks append (rewound past the fork point, last-id-wins).
+        val blocks0 = store.table("blocks")
+        val blocksBase = fork.fold(blocks0)(b => blocks0.filter(col("block_num") < b))
+        val merged = blocksBase
+          .join(incoming.select(col("block_num").as("_bn")), col("block_num") === col("_bn"), "left_anti")
+          .select("block_num", "block_id")
+          .unionByName(incoming)
+        store.write("blocks", merged)
+      } finally sc.unpersist()
+    } finally withBlock.unpersist()
+  }
+
+  /** Start the streaming pipeline over a Dataset[String] of JSON batches. */
+  def start(batches: Dataset[String], store: Scd2Store, checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    batches.toDF("value").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) => applyBatch(store, df) }
+      .start()
+
+  /** File-source replay: a directory of JSON-lines EventList batch files. */
+  def fromFiles(spark: SparkSession, inputDir: String, store: Scd2Store,
+                checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    start(spark.readStream.text(inputDir).as[String].coalesce(1), store, checkpointDir)
+  }
+}
+
+/** S1/S2/S4 production source contract (stub — no validator/ZMQ in the
+  * sandbox; reference `src/subscriber.rs`).
+  *
+  * The real connector is a DataSource V2 `MicroBatchStream`:
+  *  - `initialOffset`: handshake with `ClientEventsSubscribeRequest`
+  *    carrying the last ≤10 known block ids from `Scd2Store
+  *    .lastKnownBlockIds` (S3; genesis fallback NULL_BLOCK_ID), shifting
+  *    the window by 10 on UNKNOWN_BLOCK until a common ancestor is found
+  *    (S4 fork negotiation, `src/subscriber.rs:97-100`).
+  *  - `latestOffset`/`planInputPartitions`: drain the ZMQ socket into the
+  *    block-ordered batch of EventList payloads (poll timeout 1 s,
+  *    `src/subscriber.rs:88`); one input partition — the validator is a
+  *    single ordered stream, parallelism begins at the decode stage.
+  *  - server-side filter: subscription carries `REGEX_ANY ^namespace` on
+  *    `address` (S2) so deltas are pre-filtered before the wire.
+  */
+object ZmqSource {
+  val NullBlockId = "0000000000000000"
+  val KnownCount = 10
+  def connect(endpoint: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"ZMQ validator connector not available in this environment (endpoint=$endpoint); " +
+        "use Pipeline.fromFiles or a MemoryStream")
+}
