@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Text-analysis operators over the `documents` table (driver mandate,
+  * SURVEY.md §2.6): token counting, quality scoring, language ID,
+  * document fingerprinting, full-text search (the Q5 capability of the
+  * reference's reporting DB, `diesel_full_text_search` dep).
+  *
+  * All expressions are built-in / higher-order functions — no UDFs — so
+  * the whole module stays inside whole-stage codegen and scales as a
+  * single scan + project over a 100 TB corpus. Hashes are md5 (identical
+  * across engines) to keep every query DuckDB-oracle-checkable.
+  */
+object Text {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** lower + collapse whitespace + trim: the normalization every
+    * text op shares. */
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Portable occurrence count of a literal substring (replace trick —
+    * identical semantics in Spark and DuckDB). */
+  private def occurrences(c: Column, kw: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(kw), ""))) / kw.length)
+      .cast("long")
+  private def occurrencesSql(expr: String, kw: String): String =
+    s"CAST((length($expr)-length(replace($expr,'$kw','')))/${kw.length} AS BIGINT)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val defs: Seq[Q] = Seq(
+    // ---- q23: token counting (whitespace + BPE-ish regex) --------------
+    Q("q23_token_count",
+      """SELECT doc_id,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q24: quality scoring (length/punct/stopword ratios) -----------
+    Q("q24_quality_score",
+      s"""SELECT doc_id,
+        |  round(CAST(len(list_filter(string_split($normSql, ' '),
+        |      x -> list_contains($stopwordsSqlList, x))) AS DOUBLE)
+        |    / len(string_split($normSql, ' ')), 4) AS stopword_ratio,
+        |  round(CAST(length(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+        |    / length(text), 4) AS punct_ratio,
+        |  round(CAST(length($normSql) AS DOUBLE)
+        |    / len(string_split($normSql, ' ')), 4) AS avg_token_len,
+        |  CAST(length(text) BETWEEN 100 AND 5000 AS BIGINT) AS length_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = split(norm(col("text")), " ")
+      docs(s, dir).select(
+        col("doc_id"),
+        round(size(filter(words, w => w.isin(stopwords: _*))).cast("double") /
+          size(words), 4).as("stopword_ratio"),
+        round(size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9\\s]"), lit(0))).cast("double") / length(col("text")), 4)
+          .as("punct_ratio"),
+        round(length(norm(col("text"))).cast("double") / size(words), 4)
+          .as("avg_token_len"),
+        length(col("text")).between(100, 5000).cast("long").as("length_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q25: language ID (keyword-profile heuristic) ------------------
+    // Argmax over per-language marker-word occurrence counts; the
+    // padded-text trick counts word-boundary matches. Ties resolve by
+    // the fixed en > es > de chain — deterministic on both engines.
+    Q("q25_lang_id", {
+      val padded = s"(' ' || $normSql || ' ')"
+      val en = Seq(" the ", " a ", " of ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      val es = Seq(" el ", " la ", " los ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      val de = Seq(" der ", " und ", " das ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      s"""SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN $en >= $es AND $en >= $de THEN 'en'
+        |       WHEN $es >= $de THEN 'es' ELSE 'de' END AS detected_lang,
+        |  $en AS score_en, $es AS score_es, $de AS score_de
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val padded = concat(lit(" "), norm(col("text")), lit(" "))
+      def score(kws: Seq[String]): Column =
+        kws.map(k => occurrences(padded, k)).reduce(_ + _)
+      val en = score(Seq(" the ", " a ", " of "))
+      val es = score(Seq(" el ", " la ", " los "))
+      val de = score(Seq(" der ", " und ", " das "))
+      docs(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+          .as("detected_lang"),
+        en.as("score_en"), es.as("score_es"), de.as("score_de"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q26: document fingerprinting ----------------------------------
+    // Whole-document fingerprint (md5 of normalized text) + winnowing-
+    // style extrema of word-3-gram shingle hashes.
+    Q("q26_fingerprint",
+      s"""SELECT doc_id,
+        |  md5($normSql) AS fp_doc,
+        |  CASE WHEN len(string_split($normSql, ' ')) >= 3 THEN
+        |    list_min(list_transform(range(1, len(string_split($normSql, ' ')) - 1),
+        |      i -> md5(array_to_string(list_slice(string_split($normSql, ' '), i, i+2), ' '))))
+        |  END AS fp_shingle_min,
+        |  CASE WHEN len(string_split($normSql, ' ')) >= 3 THEN
+        |    list_max(list_transform(range(1, len(string_split($normSql, ' ')) - 1),
+        |      i -> md5(array_to_string(list_slice(string_split($normSql, ' '), i, i+2), ' '))))
+        |  END AS fp_shingle_max
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = split(norm(col("text")), " ")
+      val shingleHashes = transform(
+        sequence(lit(1), size(words) - 2),
+        i => md5(array_join(slice(words, i, lit(3)), " ")))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(norm(col("text"))).as("fp_doc"),
+        when(size(words) >= 3, array_min(shingleHashes)).as("fp_shingle_min"),
+        when(size(words) >= 3, array_max(shingleHashes)).as("fp_shingle_max"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q27: full-text search (Q5) -------------------------------------
+    Q("q27_fulltext_search", {
+      val rel = occurrencesSql(s"(' ' || $normSql || ' ')", " join ")
+      s"""SELECT doc_id, source, $rel AS relevance
+        |FROM documents
+        |WHERE $rel > 0 AND lower(text) LIKE '%merge%'
+        |ORDER BY relevance DESC, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val padded = concat(lit(" "), norm(col("text")), lit(" "))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          occurrences(padded, " join ").as("relevance"),
+          lower(col("text")).as("_lower"))
+        .filter(col("relevance") > 0 && col("_lower").like("%merge%"))
+        .drop("_lower")
+        .orderBy(col("relevance").desc, col("doc_id"))
+    }
+  )
+}
