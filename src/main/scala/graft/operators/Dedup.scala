@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Deduplication operators over `documents` / `embeddings` (driver
+  * mandate, SURVEY.md §2.6): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale posture (the 100 TB story):
+  *  - exact dedup = hash-groupBy — one shuffle on the fingerprint.
+  *  - MinHash/LSH is THE scale path for near-dup: signatures are a
+  *    per-row map-side computation; candidate generation joins on
+  *    (band, bucket) keys only — never all-pairs.
+  *  - the all-pairs Jaccard/cosine forms are the *verifier* stage, run on
+  *    LSH candidates in production; here they also run standalone at
+  *    oracle scale as ground truth.
+  *  - SimHash is per-row (no shuffle at all until the bucket join).
+  *
+  * Hashing is md5 (bit-identical in DuckDB) so every operator is
+  * hash-checkable by the oracle; `('0x'||hex)::BIGINT` on the DuckDB side
+  * matches Spark's `conv(hex,16,10)` for numeric bits.
+  */
+object Dedup {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val words = split(norm(col("text")), " ")
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(words) - 2),
+          i => array_join(slice(words, i, lit(3)), " ")))).as("s"))
+  }
+
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, len(string_split($normSql,' ')) - 1),
+      |    i -> array_to_string(list_slice(string_split($normSql,' '), i, i+2),' '))) AS s
+      |FROM documents""".stripMargin
+
+  private val MinhashK = 8
+
+  val defs: Seq[Q] = Seq(
+    // ---- q28: exact dedup (hash-groupBy) --------------------------------
+    Q("q28_dedup_exact",
+      s"""SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  (doc_id <> min(doc_id) OVER (PARTITION BY fp)) AS is_dup
+        |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("fp"))
+      docs(s, dir)
+        .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q29: n-gram Jaccard near-dup pairs (ground-truth verifier) -----
+    Q("q29_dedup_ngram_jaccard",
+      s"""WITH sh AS ($shinglesSql),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter,
+        |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id"), col("n").as("n1")), col("doc1") === col("doc_id")).drop("doc_id")
+        .join(sz.select(col("doc_id"), col("n").as("n2")), col("doc2") === col("doc_id")).drop("doc_id")
+        .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    },
+
+    // ---- q30: MinHash signatures + LSH banding --------------------------
+    // k=8 seeded min-hashes (min over md5("<seed>:<shingle>")), banded
+    // 2-per-band into 4 buckets; candidate pairs share ≥1 bucket and are
+    // scored by signature agreement. Candidate generation touches only
+    // (band, bucket) groups — the join that still works at 100 TB.
+    Q("q30_dedup_minhash_lsh", {
+      val mhSelect = (0 until MinhashK)
+        .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+      val bands = (0 until MinhashK / 2)
+        .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bandMatch = (0 until MinhashK / 2)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+      s"""WITH sh AS ($shinglesSql),
+        |sig AS (SELECT doc_id, $mhSelect FROM sh GROUP BY doc_id),
+        |sigb AS (SELECT *, ${bands.mkString(", ")} FROM sig)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST($eqSum AS BIGINT) AS n_equal,
+        |  CAST($eqSum AS DOUBLE) / $MinhashK AS est_jaccard
+        |FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)
+        |WHERE CAST($eqSum AS DOUBLE) / $MinhashK >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin
+    }) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val mhAggs = (0 until MinhashK).map(i =>
+        min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
+        df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      }
+      // candidate generation: explode to (band_idx, bucket) and self-join
+      // on the bucket key — never an all-pairs product.
+      val buckets = sigb.select(col("doc_id") +:
+        (0 until MinhashK / 2).map(b => col(s"band$b")): _*)
+        .select(col("doc_id"), posexplode(array(
+          (0 until MinhashK / 2).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bucket")))
+      val cand = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+      val nEqual = (0 until MinhashK)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("a"), col("doc1") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc2") === col("b.doc_id"))
+        .select(col("doc1"), col("doc2"),
+          nEqual.cast("long").as("n_equal"),
+          (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc1", "doc2")
+    },
+
+    // ---- q31: SimHash (16-bit, per-row — zero-shuffle signatures) -------
+    Q("q31_dedup_simhash", {
+      val hsSql = s"list_transform(string_split($normSql,' '), w -> ('0x'||substr(md5(w),1,4))::BIGINT)"
+      val bitsSql = (0 until 16).map(b =>
+        s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, $hsSql AS hs FROM documents),
+        |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)
+        |SELECT doc_id, simhash,
+        |  count(*) OVER (PARTITION BY simhash) AS bucket_size
+        |FROM sh ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hs = transform(split(norm(col("text")), " "),
+        w => conv(substring(md5(w), 1, 4), 16, 10).cast("long"))
+      val simhash = (0 until 16).map { b =>
+        when(size(filter(col("hs"), h => shiftright(h, b) % 2 === 1)) * 2 > size(col("hs")),
+          lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      docs(s, dir)
+        .withColumn("hs", hs)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+        .orderBy("doc_id")
+    },
+
+    // ---- q32: embedding-cosine near-dup pairs ---------------------------
+    // Brute-force all-pairs — correct ground truth at oracle scale; the
+    // LSH-bucketed ANN variant (q34) is the 100 TB path.
+    Q("q32_dedup_embedding_cosine",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val e = emb(s, dir).select(col("vec_id"), v.as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", dot / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("v1", "v2")
+    }
+  )
+}
