@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path (SURVEY.md §2.6).
+  *
+  * Scale posture: brute force is O(queries × corpus) — fine for a bounded
+  * query set against a broadcast query side, wrong for corpus × corpus.
+  * The LSH variant hashes each vector once (per-row, map-side) into a
+  * bucket; the candidate join is bucket-equality, so the shuffle carries
+  * (bucket) groups instead of the cross product, and recall is tuned by
+  * bits/tables. Hyperplanes are derived from md5 so the oracle can
+  * reproduce them bit-for-bit; a production deployment would swap in a
+  * broadcast matrix of real gaussian planes with the same plan shape.
+  */
+object Similarity {
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Queries = every 100th vector: a small probe set (broadcastable). */
+  private val QueryFilter = "vec_id % 100 = 0"
+  private val TopK = 5
+  private val LshBits = 4
+
+  private def asDouble: Column = transform(col("embedding"), x => x.cast("double"))
+  private def l2(v: Column): Column = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane j, dimension d ↦ ((int(md5("j:d")[0:15], 16) % 1000) / 500) - 1.
+    * Same arithmetic on the DuckDB side. */
+  private def hp(j: Int, d: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), d.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000 / lit(500.0) - 1
+
+  private def hpSql(j: Int, d: String): String =
+    s"(('0x'||substr(md5('$j:' || CAST($d AS VARCHAR)),1,15))::BIGINT % 1000) / 500.0 - 1"
+
+  /** LSH bucket id: sign bits of the vector's dot product with
+    * `LshBits` hyperplanes. Pure per-row expression — no shuffle. */
+  private def bucket(v: Column): Column =
+    (0 until LshBits).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(0), size(v) - 1), d => v.getItem(d) * hp(j, d)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private val bucketSql: String = (0 until LshBits).map { j =>
+    s"""CASE WHEN list_sum(list_transform(range(0, len(v)),
+       |  d -> v[d + 1] * (${hpSql(j, "d")}))) > 0 THEN ${1L << j} ELSE 0 END"""
+      .stripMargin.replace("\n", " ")
+  }.mkString("(", " + ", ")")
+
+  val defs: Seq[Q] = Seq(
+    // ---- q33: brute-force cosine top-k (exact baseline) -----------------
+    Q("q33_cosine_topk",
+      s"""WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.$QueryFilter)
+        |SELECT query_id, rk, neighbor_id, neighbor_label, round(cos_sim, 6) AS cos_sim
+        |FROM scored WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), col("label"), asDouble.as("v"))
+        .withColumn("nrm", l2(col("v")))
+      val q = n.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      broadcast(q)
+        .join(n, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rk")
+    },
+
+    // ---- q34: LSH-bucketed ANN (the scale path) -------------------------
+    Q("q34_ann_lsh",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |             $bucketSql AS bucket FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+        |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.$QueryFilter)
+        |SELECT query_id, bucket, rk, neighbor_id, round(cos_sim, 6) AS cos_sim
+        |FROM scored WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+        .withColumn("nrm", l2(col("v")))
+        .withColumn("bucket", bucket(col("v")))
+      val q = n.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("bucket"), col("rk"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rk")
+    }
+  )
+}
