@@ -28,8 +28,10 @@ object Tables {
     */
   private def normalizeEvents(df: DataFrame): DataFrame = {
     if (df.schema("ts").dataType == LongType) {
+      // integer DIV, not `/`: ns-since-epoch (~1.8e18) exceeds double's
+      // 2^53 mantissa, so float division would round the microsecond.
       df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     } else df
   }
 

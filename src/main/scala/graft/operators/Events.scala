@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import graft.streaming.Windows
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.6):
+  * JSON extraction, tumbling/sliding event-time windows, sessionization,
+  * funnel, cube, and HLL approximate distinct. The window/session
+  * transforms are the SAME functions Structured Streaming runs
+  * (graft.streaming.Windows) — applied here to the bounded table so the
+  * DuckDB oracle can check their event-time semantics.
+  */
+object Events {
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val defs: Seq[Q] = Seq(
+    // ---- q35: JSON payload extraction ------------------------------------
+    Q("q35_json_extract",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Windows.withK(ev(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), round(avg(col("k")), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // ---- q36: tumbling window -------------------------------------------
+    Q("q36_tumbling_window",
+      """SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Windows.tumbling(ev(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- q37: sliding window (1 h window / 30 min slide) -----------------
+    // Oracle: each event lands in the two 30-min-grid windows that cover
+    // it — exactly Spark's window(ts, w, s) expansion.
+    Q("q37_sliding_window",
+      """SELECT window_start, event_type, count(*) AS n FROM (
+        |  SELECT make_timestamp((epoch_us(ts)//1800000000)*1800000000
+        |           - o * 1800000000) AS window_start, event_type
+        |  FROM events, unnest([0, 1]) AS t(o))
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Windows.sliding(ev(s, dir), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- q38: sessionization (10-minute inactivity gap) ------------------
+    Q("q38_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      Windows.sessionizeBatch(ev(s, dir), gapSec = 600)
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- q39: conversion funnel (signup → purchase) ----------------------
+    Q("q39_event_funnel",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  count(first_signup) AS n_signed_up,
+        |  CAST(sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(sum(n_purchases) AS BIGINT) AS total_purchases
+        |FROM u""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("first_signup")).as("n_signed_up"),
+          sum(when(col("first_purchase") > col("first_signup"), 1).otherwise(0))
+            .cast("long").as("n_converted"),
+          sum(col("n_purchases")).cast("long").as("total_purchases"))
+    },
+
+    // ---- q40: cube over (event_type, day) with ALL labels ----------------
+    Q("q40_cube_daily",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |  coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY CUBE(event_type, date_trunc('day', ts))
+        |ORDER BY etype, day""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .cube(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("_day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("_day"), lit("ALL")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "day")
+    },
+
+    // ---- q41: HLL approximate distinct (sketch — no SQL oracle; the
+    // ScalaTest spec bounds its error against the exact count) -----------
+    Q.noOracle("q41_approx_distinct") { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+}
