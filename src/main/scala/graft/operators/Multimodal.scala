@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+import graft.multimodal.Media
+
+/** Driver-contract surface for the multimodal plumbing (SURVEY.md §2.6).
+  * The media table is derived deterministically from `documents`
+  * (payload = UTF-8 bytes), so the typed mapPartitions decode/feature
+  * pipeline is end-to-end oracle-checkable: DuckDB recomputes the same
+  * features straight from the text. */
+object Multimodal {
+
+  val defs: Seq[Q] = Seq(
+    Q("q42_multimodal_features",
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |  sha256(text) AS sha,
+        |  round(list_avg(list_transform(range(1, length(text)+1),
+        |    i -> ascii(substr(text, i, 1)))) / 255, 9) AS mean_intensity,
+        |  CAST((octet_length(encode(text)) + 1023) // 1024 AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Media.fromDocuments(Tables.load(s, dir, "documents"))
+      Media.extractFeatures(media).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 9))
+        .orderBy("media_id")
+    }
+  )
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import Media.{MediaRow, StubCodec}
+
+/** Multimodal plumbing: typed schema, partition-local decode/resize/
+  * frame-sample stages, and the no-shuffle property of the feature
+  * pipeline. */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(id: Long, bytes: Array[Byte], kind: String = "image"): MediaRow =
+    MediaRow(id, kind, bytes, "application/octet-stream", 64, 64,
+      duration_ms = bytes.length * 10L)
+
+  test("feature extraction: deterministic features from payload bytes") {
+    val payload = Array[Byte](0, 51, 102, (255 & 0xff).toByte) // 0, .2, .4, 1.0
+    val feats = Media.extractFeatures(Seq(row(7L, payload)).toDS()).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.media_id === 7L)
+    assert(f.size_bytes === 4L)
+    assert(f.sha === StubCodec.sha256(payload))
+    assert(math.abs(f.mean_intensity - (0.0 + 0.2 + 0.4 + 1.0) / 4) < 1e-9)
+    assert(f.n_frames === 1)
+  }
+
+  test("frame sampling: one frame per stride block") {
+    val content = Array.fill[Byte](3000)(1)
+    assert(StubCodec.sampleFrames(content, 1024).length === 3)
+    assert(StubCodec.sampleFrames(Array.emptyByteArray, 1024).length === 0)
+  }
+
+  test("resize: payload truncated/padded to target dims, metadata updated") {
+    val resized = Media.resizeAll(Seq(row(1L, Array.fill[Byte](100)(9))).toDS(), 8, 4)
+      .collect().head
+    assert(resized.content.length === 32)
+    assert(resized.content.forall(_ == 9))
+    assert((resized.width, resized.height) === (8, 4))
+    val padded = Media.resizeAll(Seq(row(2L, Array[Byte](5))).toDS(), 4, 4)
+      .collect().head
+    assert(padded.content.length === 16)
+    assert(padded.content(0) === 5 && padded.content(15) === 0)
+  }
+
+  test("feature pipeline introduces no shuffle (mapPartitions plan)") {
+    val media = Media.fromDocuments(graft.core.Tables.load(spark, sf0001, "documents"))
+    val plan = Media.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("media from documents round-trips through parquet (binary column)") {
+    val dir = tempDir("media-parquet")
+    val media = Media.fromDocuments(graft.core.Tables.load(spark, sf0001, "documents"))
+    media.write.mode("overwrite").parquet(s"$dir/media")
+    val back = spark.read.parquet(s"$dir/media")
+    assert(back.schema("content").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val orig = Media.extractFeatures(media).select("media_id", "sha")
+    val rt = Media.extractFeatures(back.as[MediaRow]).select("media_id", "sha")
+    assert(orig.except(rt).isEmpty && rt.except(orig).isEmpty)
+  }
+}
