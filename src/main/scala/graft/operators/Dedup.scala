@@ -34,13 +34,20 @@ object Dedup {
     trim(regexp_replace(lower(c), "\\s+", " "))
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, s).
+    *
+    * The word array is materialized into a column FIRST: an expression
+    * referenced inside a higher-order-function lambda is re-evaluated per
+    * array element, so inlining split(norm(text)) there would re-run the
+    * whole normalize+split chain once per shingle position (~80× per
+    * doc). As an attribute it is computed once per row. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val words = split(norm(col("text")), " ")
+    val w = col("_w")
     docs(s, dir)
+      .withColumn("_w", split(norm(col("text")), " "))
       .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(words) - 2),
-          i => array_join(slice(words, i, lit(3)), " ")))).as("s"))
+        transform(sequence(lit(1), size(w) - 2),
+          i => array_join(slice(w, i, lit(3)), " ")))).as("s"))
   }
 
   private val shinglesSql =
@@ -82,15 +89,25 @@ object Dedup {
         |FROM pairs JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir)
+      val sh = shingles(s, dir).persist()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      // Pair generation via per-shingle doc lists instead of a self-join:
+      // one shuffle groups docs per shingle, then combinations explode
+      // map-side — hot shingles cost k² pairs either way, but the 250k-row
+      // sort-merge self-join disappears.
+      val pairs = sh.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+        .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(sz.select(col("doc_id"), col("n").as("n1")), col("doc1") === col("doc_id")).drop("doc_id")
-        .join(sz.select(col("doc_id"), col("n").as("n2")), col("doc2") === col("doc_id")).drop("doc_id")
+        .join(broadcast(sz.select(col("doc_id"), col("n").as("n1"))),
+          col("doc1") === col("doc_id")).drop("doc_id")
+        .join(broadcast(sz.select(col("doc_id"), col("n").as("n2"))),
+          col("doc2") === col("doc_id")).drop("doc_id")
         .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "jaccard")
@@ -124,33 +141,36 @@ object Dedup {
       val sh = shingles(s, dir)
       val mhAggs = (0 until MinhashK).map(i =>
         min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-      val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      // Signatures are tiny (1 row/doc) but their subtree (shingle
+      // explosion + 8 min-aggs) is expensive — persist so the band join
+      // evaluates it once, not once per side.
+      val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
       val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
         df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
       }
       // candidate generation: explode to (band_idx, bucket) and self-join
-      // on the bucket key — never an all-pairs product.
-      val buckets = sigb.select(col("doc_id") +:
-        (0 until MinhashK / 2).map(b => col(s"band$b")): _*)
-        .select(col("doc_id"), posexplode(array(
-          (0 until MinhashK / 2).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bucket")))
-      val cand = buckets.as("x")
+      // on the bucket key — never an all-pairs product. Signatures ride
+      // along so no re-join with `sig` is needed afterwards; duplicate
+      // pairs from multi-band matches collapse in the final groupBy.
+      val buckets = sigb.select(
+        col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
+          posexplode(array((0 until MinhashK / 2).map(b => col(s"band$b")): _*))
+            .as(Seq("band_idx", "bucket")): _*)
+      val nEqual = (0 until MinhashK)
+        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      buckets.as("x")
         .join(buckets.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-        .distinct()
-      val nEqual = (0 until MinhashK)
-        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sig.as("a"), col("doc1") === col("a.doc_id"))
-        .join(sig.as("b"), col("doc2") === col("b.doc_id"))
-        .select(col("doc1"), col("doc2"),
-          nEqual.cast("long").as("n_equal"),
-          (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+          nEqual.cast("long").as("n_equal"))
+        .groupBy("doc1", "doc2")
+        .agg(first(col("n_equal")).as("n_equal"))
+        .withColumn("est_jaccard", col("n_equal").cast("double") / MinhashK)
         .filter(col("est_jaccard") >= 0.5)
+        .select("doc1", "doc2", "n_equal", "est_jaccard")
         .orderBy("doc1", "doc2")
     },
 
@@ -180,8 +200,12 @@ object Dedup {
     },
 
     // ---- q32: embedding-cosine near-dup pairs ---------------------------
-    // Brute-force all-pairs — correct ground truth at oracle scale; the
-    // LSH-bucketed ANN variant (q34) is the 100 TB path.
+    // Brute-force all-pairs ground truth, executed as a broadcast
+    // numeric kernel: the corpus (bounded: it must fit one executor to be
+    // brute-forceable at all) is broadcast once, and each partition
+    // scans its vectors against it in a tight JVM loop — no 2M-row join
+    // of interpreted array expressions. At corpus sizes past broadcast
+    // range the LSH paths (q30/q34) take over.
     Q("q32_dedup_embedding_cosine",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
@@ -191,16 +215,35 @@ object Dedup {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val e = emb(s, dir).select(col("vec_id"), v.as("v"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
-      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", dot / (col("a.nrm") * col("b.nrm")))
-        .filter(col("cos") >= 0.4)
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(col("cos"), 6).as("cos_sim"))
+      import s.implicits._
+      def l2(v: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        math.sqrt(acc)
+      }
+      val e = emb(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .as[(Long, Array[Double])]
+      val corpus = e.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(
+        (corpus.map(_._1), corpus.map(_._2), corpus.map(r => l2(r._2))))
+      e.mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        it.flatMap { case (id, v) =>
+          val n1 = l2(v)
+          // ids are sorted: scan only vec_ids greater than ours
+          var lo = java.util.Arrays.binarySearch(ids, id) + 1
+          if (lo <= 0) lo = -lo
+          (lo until ids.length).iterator.flatMap { j =>
+            val w = vecs(j)
+            var dot = 0.0; var k = 0
+            while (k < v.length) { dot += v(k) * w(k); k += 1 }
+            val cos = dot / (n1 * norms(j))
+            if (cos >= 0.4) Some((id, ids(j), cos)) else None
+          }
+        }
+      }.toDF("v1", "v2", "cos")
+        .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("v1", "v2")
     }
   )

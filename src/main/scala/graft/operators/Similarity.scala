@@ -35,20 +35,26 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane j, dimension d ↦ ((int(md5("j:d")[0:15], 16) % 1000) / 500) - 1.
-    * Same arithmetic on the DuckDB side. */
-  private def hp(j: Int, d: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), d.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000 / lit(500.0) - 1
+    * Same arithmetic on the DuckDB side; the Spark side bakes the values
+    * into literal arrays at plan-build time (a broadcast plane matrix at
+    * production scale) so no per-row md5 work happens. */
+  private def hpVal(j: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000 / 500.0 - 1
+  }
+
+  private val Dims = 64
 
   private def hpSql(j: Int, d: String): String =
     s"(('0x'||substr(md5('$j:' || CAST($d AS VARCHAR)),1,15))::BIGINT % 1000) / 500.0 - 1"
 
   /** LSH bucket id: sign bits of the vector's dot product with
-    * `LshBits` hyperplanes. Pure per-row expression — no shuffle. */
+    * `LshBits` literal hyperplanes. Pure per-row expression — no shuffle. */
   private def bucket(v: Column): Column =
     (0 until LshBits).map { j =>
-      val proj = aggregate(
-        transform(sequence(lit(0), size(v) - 1), d => v.getItem(d) * hp(j, d)),
+      val plane = typedLit(Array.tabulate(Dims)(d => hpVal(j, d)))
+      val proj = aggregate(zip_with(v, plane, (x, p) => x * p),
         lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)

@@ -26,9 +26,10 @@ object Text {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** Portable occurrence count of a literal substring (replace trick —
-    * identical semantics in Spark and DuckDB). */
+    * identical semantics in Spark and DuckDB). Literal `replace`, not a
+    * regex: ~10× cheaper per row and codegen-friendly. */
   private def occurrences(c: Column, kw: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(kw), ""))) / kw.length)
+    ((length(c) - length(call_function("replace", c, lit(kw), lit("")))) / kw.length)
       .cast("long")
   private def occurrencesSql(expr: String, kw: String): String =
     s"CAST((length($expr)-length(replace($expr,'$kw','')))/${kw.length} AS BIGINT)"
@@ -67,17 +68,21 @@ object Text {
         |  CAST(length(text) BETWEEN 100 AND 5000 AS BIGINT) AS length_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val words = split(norm(col("text")), " ")
-      docs(s, dir).select(
-        col("doc_id"),
-        round(size(filter(words, w => w.isin(stopwords: _*))).cast("double") /
-          size(words), 4).as("stopword_ratio"),
-        round(size(regexp_extract_all(lower(col("text")),
-          lit("[^a-z0-9\\s]"), lit(0))).cast("double") / length(col("text")), 4)
-          .as("punct_ratio"),
-        round(length(norm(col("text"))).cast("double") / size(words), 4)
-          .as("avg_token_len"),
-        length(col("text")).between(100, 5000).cast("long").as("length_ok"))
+      // _n/_w staged so the normalize/split chains evaluate once per row
+      // instead of once per use site (see q25 note).
+      docs(s, dir)
+        .withColumn("_n", norm(col("text")))
+        .withColumn("_w", split(col("_n"), " "))
+        .select(
+          col("doc_id"),
+          round(size(filter(col("_w"), w => w.isin(stopwords: _*))).cast("double") /
+            size(col("_w")), 4).as("stopword_ratio"),
+          round(size(regexp_extract_all(lower(col("text")),
+            lit("[^a-z0-9\\s]"), lit(0))).cast("double") / length(col("text")), 4)
+            .as("punct_ratio"),
+          round(length(col("_n")).cast("double") / size(col("_w")), 4)
+            .as("avg_token_len"),
+          length(col("text")).between(100, 5000).cast("long").as("length_ok"))
         .orderBy("doc_id")
     },
 
@@ -97,17 +102,25 @@ object Text {
         |FROM documents
         |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val padded = concat(lit(" "), norm(col("text")), lit(" "))
+      // Staged projections: _p (the normalized text) is referenced nine
+      // times and each score three times — materializing them as columns
+      // keeps CollapseProject from inlining the expensive subtrees into
+      // every use site (conditional branches defeat subexpression
+      // elimination).
       def score(kws: Seq[String]): Column =
-        kws.map(k => occurrences(padded, k)).reduce(_ + _)
-      val en = score(Seq(" the ", " a ", " of "))
-      val es = score(Seq(" el ", " la ", " los "))
-      val de = score(Seq(" der ", " und ", " das "))
-      docs(s, dir).select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
-          .as("detected_lang"),
-        en.as("score_en"), es.as("score_es"), de.as("score_de"))
+        kws.map(k => occurrences(col("_p"), k)).reduce(_ + _)
+      docs(s, dir)
+        .withColumn("_p", concat(lit(" "), norm(col("text")), lit(" ")))
+        .withColumn("_en", score(Seq(" the ", " a ", " of ")))
+        .withColumn("_es", score(Seq(" el ", " la ", " los ")))
+        .withColumn("_de", score(Seq(" der ", " und ", " das ")))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("_en") >= col("_es") && col("_en") >= col("_de"), "en")
+            .when(col("_es") >= col("_de"), "es").otherwise("de")
+            .as("detected_lang"),
+          col("_en").as("score_en"), col("_es").as("score_es"),
+          col("_de").as("score_de"))
         .orderBy("doc_id")
     },
 
@@ -127,15 +140,19 @@ object Text {
         |  END AS fp_shingle_max
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val words = split(norm(col("text")), " ")
-      val shingleHashes = transform(
-        sequence(lit(1), size(words) - 2),
-        i => md5(array_join(slice(words, i, lit(3)), " ")))
-      docs(s, dir).select(
-        col("doc_id"),
-        md5(norm(col("text"))).as("fp_doc"),
-        when(size(words) >= 3, array_min(shingleHashes)).as("fp_shingle_min"),
-        when(size(words) >= 3, array_max(shingleHashes)).as("fp_shingle_max"))
+      // _w/_h are materialized columns: referencing the split/transform
+      // chains inside the HOF lambdas would re-evaluate them per element.
+      val w = col("_w")
+      docs(s, dir)
+        .withColumn("_w", split(norm(col("text")), " "))
+        .withColumn("_h", transform(
+          sequence(lit(1), size(w) - 2),
+          i => md5(array_join(slice(w, i, lit(3)), " "))))
+        .select(
+          col("doc_id"),
+          md5(norm(col("text"))).as("fp_doc"),
+          when(size(w) >= 3, array_min(col("_h"))).as("fp_shingle_min"),
+          when(size(w) >= 3, array_max(col("_h"))).as("fp_shingle_max"))
         .orderBy("doc_id")
     },
 
