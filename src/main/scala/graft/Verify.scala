@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (see graft.core.Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark cannot
       // represent; read it as LongType (ns since epoch) and convert
       // explicitly (see Tables.events).

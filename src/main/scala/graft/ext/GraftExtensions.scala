@@ -1,0 +1,19 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.CosineSim
+
+/** Engine extension point, installed with
+  * `spark.sql.extensions=graft.ext.GraftExtensions` (SURVEY.md §7.3):
+  * registers the native function surface so SQL and DataFrame code can
+  * call the codegen'd expressions by name. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      CosineSim.info,
+      children => CosineSim(children.head, children(1))))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native cosine-similarity expression over two double arrays.
+  *
+  * Why a Catalyst Expression and not a UDF or higher-order functions
+  * (SURVEY.md §7.3, prompt preference order): `doGenCode` emits a single
+  * fused primitive loop inside whole-stage codegen — no lambda-variable
+  * boxing per element, no UDF serialization boundary, and the expression
+  * participates in null-safety analysis like any built-in. The similarity
+  * operators call it per candidate pair, so it is the hottest scalar in
+  * the engine.
+  *
+  * Registered as SQL function `cosine_sim` by [[graft.ext.GraftExtensions]].
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, "cosine_sim",
+    "_FUNC_(a, b) - cosine similarity of two double arrays", "")
+}

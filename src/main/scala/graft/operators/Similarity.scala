@@ -29,9 +29,6 @@ object Similarity {
   private val LshBits = 4
 
   private def asDouble: Column = transform(col("embedding"), x => x.cast("double"))
-  private def l2(v: Column): Column = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane j, dimension d ↦ ((int(md5("j:d")[0:15], 16) % 1000) / 500) - 1.
@@ -82,14 +79,13 @@ object Similarity {
         |FROM scored WHERE rk <= $TopK
         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select(col("vec_id"), col("label"), asDouble.as("v"))
-        .withColumn("nrm", l2(col("v")))
       val q = n.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
       broadcast(q)
         .join(n, col("vec_id") =!= col("query_id"))
-        .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
@@ -114,18 +110,15 @@ object Similarity {
         |FROM scored WHERE rk <= $TopK
         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
-        .withColumn("nrm", l2(col("v")))
         .withColumn("bucket", bucket(col("v")))
       val q = n.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      val c = n.select(col("vec_id").as("neighbor_id"), col("v"),
-        col("nrm"), col("bucket"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
       q.join(c, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("bucket"), col("rk"), col("neighbor_id"),
