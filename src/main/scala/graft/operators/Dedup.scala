@@ -58,6 +58,28 @@ object Dedup {
 
   private val MinhashK = 8
 
+  /** 16-bit token-majority SimHash per doc (per-row, zero shuffle). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val hs = transform(split(norm(col("text")), " "),
+      w => conv(substring(md5(w), 1, 4), 16, 10).cast("long"))
+    val sim = (0 until 16).map { b =>
+      when(size(filter(col("hs"), h => shiftright(h, b) % 2 === 1)) * 2 > size(col("hs")),
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    docs(s, dir)
+      .withColumn("hs", hs)
+      .select(col("doc_id"), sim.cast("long").as("simhash"))
+  }
+
+  private val simhashSqlCte: String = {
+    val hsSql = s"list_transform(string_split($normSql,' '), w -> ('0x'||substr(md5(w),1,4))::BIGINT)"
+    val bitsSql = (0 until 16).map(b =>
+      s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""h AS (SELECT doc_id, $hsSql AS hs FROM documents),
+      |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- q28: exact dedup (hash-groupBy) --------------------------------
     Q("q28_dedup_exact",
@@ -175,26 +197,12 @@ object Dedup {
     },
 
     // ---- q31: SimHash (16-bit, per-row — zero-shuffle signatures) -------
-    Q("q31_dedup_simhash", {
-      val hsSql = s"list_transform(string_split($normSql,' '), w -> ('0x'||substr(md5(w),1,4))::BIGINT)"
-      val bitsSql = (0 until 16).map(b =>
-        s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH h AS (SELECT doc_id, $hsSql AS hs FROM documents),
-        |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)
+    Q("q31_dedup_simhash",
+      s"""WITH $simhashSqlCte
         |SELECT doc_id, simhash,
         |  count(*) OVER (PARTITION BY simhash) AS bucket_size
-        |FROM sh ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      val hs = transform(split(norm(col("text")), " "),
-        w => conv(substring(md5(w), 1, 4), 16, 10).cast("long"))
-      val simhash = (0 until 16).map { b =>
-        when(size(filter(col("hs"), h => shiftright(h, b) % 2 === 1)) * 2 > size(col("hs")),
-          lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-      docs(s, dir)
-        .withColumn("hs", hs)
-        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      simhashDf(s, dir)
         .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash"))))
         .orderBy("doc_id")
     },
@@ -245,6 +253,38 @@ object Dedup {
       }.toDF("v1", "v2", "cos")
         .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("v1", "v2")
+    },
+
+    // ---- q44: SimHash hamming-distance pairs (pigeonhole buckets) -------
+    // Pairs with hamming(simhash) <= 2. The oracle brute-forces all
+    // pairs; the Spark side splits the 16 bits into 3 chunks — with at
+    // most 2 differing bits at least one chunk is identical (pigeonhole)
+    // — and joins on chunk equality, so the shuffle carries chunk-bucket
+    // groups, never the cross product. Same result set, scalable plan.
+    Q("q44_simhash_hamming_pairs",
+      s"""WITH $simhashSqlCte
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      val sh = simhashDf(s, dir)
+        .withColumn("c0", col("simhash") % 64)                  // bits 0-5
+        .withColumn("c1", shiftright(col("simhash"), 6) % 32)   // bits 6-10
+        .withColumn("c2", shiftright(col("simhash"), 11) % 32)  // bits 11-15
+        .persist()
+      val chunks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(col("c0"), col("c1"), col("c2"))).as(Seq("ci", "ck")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .groupBy("doc1", "doc2")
+        .agg(first(col("hamming")).as("hamming"))
+        .orderBy("doc1", "doc2")
     }
   )
 }

@@ -134,6 +134,36 @@ object Events {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // ---- q43: time-range self join (bucketed band join) -----------------
+    // Pairs of events from the same user within 60 s. The oracle states
+    // the plain non-equi join; the Spark side buckets time into
+    // 60 s grains and joins on (user, bucket) with the follower probing
+    // its own and the next bucket — the shuffle carries bucket groups,
+    // not the per-user cross product (the classic scalable range join).
+    Q("q43_range_join",
+      """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts) > epoch_us(a.ts)
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+        |ORDER BY a.user_id, e1, e2""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+        .withColumn("bucket", expr("us DIV 60000000"))
+      // leader probes its own bucket and the next one
+      val probe = e.select(col("user_id"), col("event_id").as("e1"),
+        col("us").as("us1"),
+        explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+      val build = e.select(col("user_id"), col("event_id").as("e2"),
+        col("us").as("us2"), col("bucket"))
+      probe.join(build, Seq("user_id", "bucket"))
+        .filter(col("us2") > col("us1") && col("us2") - col("us1") <= 60000000L)
+        .select(col("user_id"), col("e1"), col("e2"),
+          (col("us2") - col("us1")).as("dt_us"))
+        .orderBy("user_id", "e1", "e2")
     }
   )
 }
