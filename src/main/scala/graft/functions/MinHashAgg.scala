@@ -1,0 +1,60 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom MinHash sketch aggregator (SURVEY.md §7.3: "MinHash/HLL-style
+  * sketches beyond approx_count_distinct → custom Aggregator").
+  *
+  * One pass over a document's shingles produces the k-element signature
+  * `sig[i] = min over shingles of md5("{i}:{shingle}")`. Because it is a
+  * real Aggregator, Spark runs it with map-side partial aggregation:
+  * each partition combines its shingles into one k-string buffer before
+  * the shuffle, so the exchange carries one signature per (doc ×
+  * partition) instead of every shingle row — the property that keeps
+  * signature computation viable at 100 TB. The md5-derived hash family
+  * keeps signatures bit-identical to the DuckDB oracle's SQL formulation.
+  */
+class MinHashAgg(k: Int) extends Aggregator[String, Array[String], Array[String]] {
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  override def zero: Array[String] = Array.fill(k)(null)
+
+  override def reduce(buf: Array[String], shingle: String): Array[String] = {
+    var i = 0
+    while (i < k) {
+      val h = md5Hex(s"$i:$shingle")
+      if (buf(i) == null || h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+    var i = 0
+    while (i < k) {
+      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[String]): Array[String] = buf
+  override def bufferEncoder: Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  override def outputEncoder: Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+}
+
+object MinHashAgg {
+  /** Column form: `minhash(shingleCol)` → array<string> signature. */
+  def minhash(k: Int)(shingle: Column): Column = udaf(new MinHashAgg(k)).apply(shingle)
+}
