@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, Temporal, Text}
+import graft.operators.{Dedup, Events, Extras, Multimodal, Relational, Similarity, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every implemented capability, one Q per operator (SURVEY.md §2). */
   def allQueries: Seq[Q] =
     Relational.defs ++ Temporal.defs ++ Text.defs ++ Dedup.defs ++
-      Similarity.defs ++ Events.defs ++ Multimodal.defs
+      Similarity.defs ++ Events.defs ++ Multimodal.defs ++ Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

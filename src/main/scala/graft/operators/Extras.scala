@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Breadth of the scalar/relational surface beyond the core set
+  * (SURVEY.md §2.6): pivot, array functions, math/datetime functions,
+  * grouping sets, correlated subqueries (SQL entry point), range window
+  * frames. */
+object Extras {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+    // ---- q45: pivot (explicit value list → single pass) -----------------
+    Q("q45_pivot_status_by_year",
+      """SELECT year(o_orderdate) AS y,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders
+        |GROUP BY y
+        |ORDER BY y""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("y")
+    },
+
+    // ---- q46: array function surface over embeddings --------------------
+    Q("q46_array_funcs",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS v_sum,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+        |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first
+        |FROM embeddings
+        |WHERE vec_id % 50 = 0
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .withColumn("_d", transform(col("embedding"), x => x.cast("double")))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(array_min(col("embedding")).cast("double"), 6).as("v_min"),
+          round(array_max(col("embedding")).cast("double"), 6).as("v_max"),
+          round(aggregate(col("_d"), lit(0.0d), (a, x) => a + x), 6).as("v_sum"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          round(col("embedding").getItem(0).cast("double"), 6).as("first_v"),
+          round(array_sort(col("embedding")).getItem(0).cast("double"), 6).as("sorted_first"))
+        .orderBy("vec_id")
+    },
+
+    // ---- q47: math + datetime function surface ---------------------------
+    Q("q47_math_datetime_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,  -- DuckDB 0=Sun, Spark 1=Sun
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |  round(ln(o_totalprice), 6) AS ln_price,
+        |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+        |  round(abs(o_totalprice - 100000), 2) AS abs_dev
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+          round(log(col("o_totalprice")), 6).as("ln_price"),
+          ceil(col("o_totalprice") / 1000).cast("long").as("price_k_ceil"),
+          (col("o_orderkey") % 7).as("mod7"),
+          round(abs(col("o_totalprice") - 100000), 2).as("abs_dev"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q48: explicit GROUPING SETS (SQL entry point) -------------------
+    Q("q48_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // ---- q49: correlated scalar subquery (SQL entry point) ---------------
+    Q("q49_correlated_subquery",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---- q50: RANGE window frame ----------------------------------------
+    Q("q50_range_frame",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-5000, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_similar_cheaper"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+  )
+}
