@@ -110,19 +110,39 @@ final class Scd2Store(spark: SparkSession, root: String) {
       Some(Files.readString(pointer(name)).trim.toInt)
     else None
 
-  def table(name: String): DataFrame =
+  private def empty(name: String): DataFrame = {
+    val schema = if (name == "blocks") Schemas.blocksTable else Schemas.tables(name)._1
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def read(name: String): DataFrame =
     currentVersion(name) match {
-      case Some(v) => spark.read.parquet(dir(name).resolve(s"v$v").toString)
-      case None =>
-        val schema = if (name == "blocks") Schemas.blocksTable else Schemas.tables(name)._1
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(v) =>
+        val p = dir(name).resolve(s"v$v")
+        // a partitioned write of an empty table leaves no data files at
+        // all — schema inference would fail, so detect and short-circuit
+        val hasData = Files.walk(p).iterator.asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        if (hasData) spark.read.parquet(p.toString) else empty(name)
+      case None => empty(name)
     }
 
+  def table(name: String): DataFrame = {
+    val df = read(name)
+    if (df.columns.contains("_live")) df.drop("_live") else df
+  }
+
+  /** Entity tables are partitioned live vs history (SURVEY.md §4): the
+    * live partition holds exactly one row per entity, so current-state
+    * queries scan it alone via partition pruning no matter how deep the
+    * history grows. */
   def write(name: String, df: DataFrame): Unit = {
     val prev = currentVersion(name)
     val next = prev.getOrElse(-1) + 1
     val target = dir(name).resolve(s"v$next")
-    df.write.mode("overwrite").parquet(target.toString)
+    if (name == "blocks") df.write.mode("overwrite").parquet(target.toString)
+    else df.withColumn("_live", col("end_block_num") === Schemas.MaxBlockNum)
+      .write.mode("overwrite").partitionBy("_live").parquet(target.toString)
     Files.createDirectories(dir(name))
     Files.writeString(pointer(name), next.toString)
     prev.foreach { v =>
@@ -132,10 +152,14 @@ final class Scd2Store(spark: SparkSession, root: String) {
     }
   }
 
-  /** Live-state view (Q1): one row per entity, selectable with a single
-    * equality predicate — same trick the reference DB uses. */
-  def live(name: String): DataFrame =
-    table(name).filter(col("end_block_num") === MaxBlockNum)
+  /** Live-state view (Q1): one row per entity, served from the live
+    * partition only (partition-pruned scan). */
+  def live(name: String): DataFrame = {
+    val df = read(name)
+    if (df.columns.contains("_live"))
+      df.filter(col("_live").cast("string") === "true").drop("_live")
+    else df.filter(col("end_block_num") === MaxBlockNum)
+  }
 
   /** Point-in-time view (Q2): state as of block b. */
   def asOf(name: String, block: Long): DataFrame =
