@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions.udaf
   * sketches beyond approx_count_distinct → custom Aggregator").
   *
   * One pass over a document's shingles produces the k-element signature
-  * `sig[i] = min over shingles of md5("{i}:{shingle}")`. Because it is a
-  * real Aggregator, Spark runs it with map-side partial aggregation:
-  * each partition combines its shingles into one k-string buffer before
-  * the shuffle, so the exchange carries one signature per (doc ×
-  * partition) instead of every shingle row — the property that keeps
-  * signature computation viable at 100 TB. The md5-derived hash family
-  * keeps signatures bit-identical to the DuckDB oracle's SQL formulation.
+  * `sig[i] = min over shingles of md5("{i}:{shingle}")`, with map-side
+  * partial aggregation (one k-string buffer per doc × partition crosses
+  * the shuffle). The md5-derived hash family keeps signatures
+  * bit-identical to the DuckDB oracle's SQL formulation.
+  *
+  * Measured honestly: for THIS hash family, k parallel `min(md5(...))`
+  * column aggregates are ~10× faster (codegen'd, no encoder conversion
+  * per input row), so the hot query (q30) uses those; this Aggregator is
+  * the extension template for sketches that built-in aggregates cannot
+  * express at all (e.g. weighted reservoir samples, KMV, HLL++ variants
+  * with custom merge), where the single-buffer single-pass shape is the
+  * only option.
   */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[String], Array[String]] {
 

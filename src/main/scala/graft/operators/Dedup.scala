@@ -161,17 +161,16 @@ object Dedup {
         |ORDER BY doc1, doc2""".stripMargin
     }) { (s, dir) =>
       val sh = shingles(s, dir)
-      // One custom-Aggregator pass builds the whole k-signature with
-      // map-side combine (see graft.functions.MinHashAgg); identical
-      // values to the oracle's per-seed min(md5(...)) formulation.
-      // Signatures are tiny (1 row/doc) but their subtree (shingle
-      // explosion + sketch agg) is expensive — persist so the band join
-      // evaluates it once, not once per side.
-      val sig = sh.groupBy("doc_id")
-        .agg(graft.functions.MinHashAgg.minhash(MinhashK)(col("s")).as("sig"))
-        .select(col("doc_id") +:
-          (0 until MinhashK).map(i => col("sig").getItem(i).as(s"mh$i")): _*)
-        .persist()
+      // k parallel min(md5) aggregates: codegen'd, hash-aggregated, and
+      // map-side combined — measured ~10× faster than the typed
+      // MinHashAgg Aggregator form (graft.functions.MinHashAgg), which
+      // pays encoder conversion per input row. Signatures are tiny
+      // (1 row/doc) but their subtree (shingle explosion + aggs) is
+      // expensive — persist so the band join evaluates it once, not once
+      // per side.
+      val mhAggs = (0 until MinhashK).map(i =>
+        min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
       val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
         df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
       }
