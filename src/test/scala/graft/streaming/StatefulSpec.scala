@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import Stateful.UserEvent
+
+/** Custom streaming state: cross-batch accumulators and watermarked
+  * stream dedup. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState: totals accumulate across micro-batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val query = Stateful.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 2.0),
+        UserEvent(1, ts("2024-01-01 00:01:00"), 3.0),
+        UserEvent(2, ts("2024-01-01 00:00:30"), 10.0))
+      query.processAllAvailable()
+      mem.addData(UserEvent(1, ts("2024-01-01 01:00:00"), 5.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("running_totals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch 1 emissions: user1 (2 events, 5.0), user2 (1, 10.0)
+    // batch 2 emission: user1 cumulative (3 events, 10.0); user2 silent
+    assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Ev]
+    val query = Stateful.dedupStream(mem.toDS().toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+        Ev(2, ts("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      mem.addData( // duplicate id 1 within horizon + a fresh id
+        Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),
+        Ev(3, ts("2024-01-01 00:20:00"), 1, "click", 1.0, "{}"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+}
