@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guards: the optimizations the engine depends on
+  * must be visible in the physical plan (prompt: "explain the plan and
+  * iterate until it's the plan you'd want"). These assertions catch
+  * silent regressions — a dropped pushdown or broadcast won't fail
+  * correctness, only scale. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters pushed into the parquet scan, schema pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(2000))
+    // pruning: untouched columns must not appear anywhere in the plan
+    assert(!p.contains("l_shipdate") && !p.contains("l_tax"), "unpruned scan")
+  }
+
+  test("q03: dimension joins broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast join")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k operator")
+  }
+
+  test("q04/q07: semi and anti joins use the dedicated join types") {
+    assert(plan("q04_priority_semi").contains("LeftSemi"))
+    assert(plan("q07_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("q01: whole-stage codegen covers the agg pipeline") {
+    // AQE only shows final stages after execution
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+    df.collect()
+    // codegen'd stages carry the "*(n)" prefix in the simple plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("q30: LSH candidate join is an equi-join, not a cartesian product") {
+    val p = plan("q30_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "all-pairs join leaked in")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi join leaked in")
+  }
+
+  test("q43: bucketed range join avoids nested-loop execution") {
+    val p = plan("q43_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q33: query side is broadcast against the corpus") {
+    assert(plan("q33_cosine_topk").contains("BroadcastHashJoin") ||
+      plan("q33_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  }
+}
