@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,6 +14,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/classloading + first parquet touch,
+    // so the first timed query doesn't carry ~5 s of one-time cost
+    try SparkEntry.queries("q06_forecast_revenue")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     // noop sink, not count(): count() lets Catalyst prune every projection
     // and eliminate sorts, timing an empty plan; the noop writer
     // materializes all output columns like a real consumer.

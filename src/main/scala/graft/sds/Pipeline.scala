@@ -54,14 +54,22 @@ object Pipeline {
 
         val tables = Schemas.tables.keys.toSeq.sorted
         val deletes = Decode.assertionDeletes(sc)
+        val hasDeletes = !deletes.isEmpty
 
         tables.foreach { t =>
-          val base0 = store.table(t)
-          val base = fork.fold(base0)(b => Scd2.rewind(base0, b))
           val updates = Decode.extractors(t)(sc)
-          val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
-          val finalDf = if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address") else merged
-          store.write(t, finalDf)
+          // skip tables this batch doesn't touch (cheap: sc is cached) —
+          // a block rarely writes every entity type, and an untouched
+          // table needs no rewrite unless a fork rewinds it
+          val touched = !updates.isEmpty ||
+            (t == "assertions" && hasDeletes) || fork.isDefined
+          if (touched) {
+            val base0 = store.table(t)
+            val base = fork.fold(base0)(b => Scd2.rewind(base0, b))
+            val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
+            val finalDf = if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address") else merged
+            store.write(t, finalDf)
+          }
         }
 
         // W5: blocks append (rewound past the fork point, last-id-wins).
