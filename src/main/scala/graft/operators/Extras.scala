@@ -125,6 +125,29 @@ object Extras {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---- q51: exact + approximate percentiles ---------------------------
+    // Exact percentile matches DuckDB's quantile_cont (both linear
+    // interpolation); approx_percentile is the sketch path for scale and
+    // is bounded against the exact value in the assertion columns.
+    Q("q51_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  round(min(o_totalprice), 4) AS p_min,
+        |  round(max(o_totalprice), 4) AS p_max
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          round(min(col("o_totalprice")), 4).as("p_min"),
+          round(max(col("o_totalprice")), 4).as("p_max"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- q50: RANGE window frame ----------------------------------------
     Q("q50_range_frame",
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -146,6 +146,35 @@ class TransformSpec extends SparkSpec {
     sc.unpersist()
   }
 
+  test("malformed payloads: bad JSON yields no rows, never a crash") {
+    // The reference PANICS on malformed protobuf (`unpack_data`,
+    // src/event_handler.rs:119-125). Distributed batches can't usefully
+    // fail-fast per record; our from_json decode maps malformed payloads
+    // to NULL → zero rows for that change (documented deviation, same
+    // family as the factory-address null-tolerance, SURVEY §7.4).
+    val sc = changesOf(batch(1, "b1", Seq(
+      Change(agentAddress(PublicKey), "SET", "not json at all"),
+      Change(agentAddress("k2"), "SET", container(agentJson(publicKey = "k2"))))))
+    sc.persist()
+    assert(sc.count() === 2)                      // both changes decoded to StateChange
+    assert(Decode.agents(sc).count() === 1)       // only the valid payload yields a row
+    sc.unpersist()
+  }
+
+  test("malformed block-commit: non-numeric block_num fails fast") {
+    // matches the reference's typed EventParseError on block_num parse
+    // (src/event_handler.rs:81-84): crash-stop, restart resumes from the
+    // blocks cursor. ANSI cast gives us exactly that semantics.
+    val bad = """{"events":[{"eventType":"sawtooth/block-commit",""" +
+      """"attributes":[{"key":"block_num","value":"not_a_number"},{"key":"block_id","value":"b"}]}]}"""
+    val ex = intercept[Exception] {
+      Decode.withBlock(Decode.parseEnvelope(
+        spark.createDataset(Seq(bad)).toDF("value"))).collect()
+    }
+    assert(ex.getMessage.contains("CAST_INVALID_INPUT") ||
+      Option(ex.getCause).exists(_.getMessage.contains("CAST_INVALID_INPUT")))
+  }
+
   test("enum defaults: unset org type / role / status map to Unset*") {
     val orgJson = s"""{"id":"x","name":"n","organization_type":"UNSET_TYPE","authorizations":[{"public_key":"k","role":"UNSET_ROLE"}]}"""
     val sc = changesOf(batch(1, "b1", Seq(
