@@ -125,8 +125,10 @@ object Text {
     },
 
     // ---- q26: document fingerprinting ----------------------------------
-    // Whole-document fingerprint (md5 of normalized text) + winnowing-
-    // style extrema of word-3-gram shingle hashes.
+    // Whole-document fingerprint (md5 of normalized text), winnowing-
+    // style extrema of word-3-gram shingle hashes, and a Rabin-Karp
+    // polynomial rolling hash over the character stream
+    // (h ← (h·131 + code) mod (2³¹−1); same integer fold on both engines).
     Q("q26_fingerprint",
       s"""SELECT doc_id,
         |  md5($normSql) AS fp_doc,
@@ -137,22 +139,31 @@ object Text {
         |  CASE WHEN len(string_split($normSql, ' ')) >= 3 THEN
         |    list_max(list_transform(range(1, len(string_split($normSql, ' ')) - 1),
         |      i -> md5(array_to_string(list_slice(string_split($normSql, ' '), i, i+2), ' '))))
-        |  END AS fp_shingle_max
+        |  END AS fp_shingle_max,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length($normSql) + 1),
+        |      i -> ascii(substr($normSql, i, 1)))),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS BIGINT) AS fp_rolling
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // _w/_h are materialized columns: referencing the split/transform
+      // _n/_w/_h are materialized columns: referencing the normalize/split
       // chains inside the HOF lambdas would re-evaluate them per element.
       val w = col("_w")
       docs(s, dir)
-        .withColumn("_w", split(norm(col("text")), " "))
+        .withColumn("_n", norm(col("text")))
+        .withColumn("_w", split(col("_n"), " "))
         .withColumn("_h", transform(
           sequence(lit(1), size(w) - 2),
           i => md5(array_join(slice(w, i, lit(3)), " "))))
         .select(
           col("doc_id"),
-          md5(norm(col("text"))).as("fp_doc"),
+          md5(col("_n")).as("fp_doc"),
           when(size(w) >= 3, array_min(col("_h"))).as("fp_shingle_min"),
-          when(size(w) >= 3, array_max(col("_h"))).as("fp_shingle_max"))
+          when(size(w) >= 3, array_max(col("_h"))).as("fp_shingle_max"),
+          aggregate(
+            transform(split(col("_n"), ""), c => ascii(c).cast("long")),
+            lit(0L), (h, c) => (h * 131 + c) % 2147483647L)
+            .as("fp_rolling"))
         .orderBy("doc_id")
     },
 
