@@ -148,6 +148,50 @@ object Extras {
         .orderBy("o_orderpriority")
     },
 
+    // ---- q52: window navigation functions --------------------------------
+    Q("q52_window_navigation",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+        |FROM orders
+        |WHERE o_custkey % 200 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 200 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          round(col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), col("o_totalprice")), 2).as("delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- q53: multiset set operations (ALL variants) ---------------------
+    Q("q53_set_ops_all",
+      """SELECT l_partkey, 'inter' AS op FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |UNION ALL
+        |SELECT l_partkey, 'exc' AS op FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |ORDER BY op, l_partkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+      val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+      r.intersectAll(a).withColumn("op", lit("inter"))
+        .unionAll(r.exceptAll(a).withColumn("op", lit("exc")))
+        .orderBy("op", "l_partkey")
+    },
+
     // ---- q50: RANGE window frame ----------------------------------------
     Q("q50_range_frame",
       """SELECT o_orderkey, o_custkey, o_totalprice,
