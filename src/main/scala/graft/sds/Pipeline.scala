@@ -55,6 +55,7 @@ object Pipeline {
         val tables = Schemas.tables.keys.toSeq.sorted
         val deletes = Decode.assertionDeletes(sc)
         val hasDeletes = !deletes.isEmpty
+        val batchTag = incomingBlocks.map(_._1).max
 
         tables.foreach { t =>
           val updates = Decode.extractors(t)(sc)
@@ -63,12 +64,25 @@ object Pipeline {
           // table needs no rewrite unless a fork rewinds it
           val touched = !updates.isEmpty ||
             (t == "assertions" && hasDeletes) || fork.isDefined
-          if (touched) {
-            val base0 = store.table(t)
-            val base = fork.fold(base0)(b => Scd2.rewind(base0, b))
-            val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
-            val finalDf = if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address") else merged
-            store.write(t, finalDf)
+          if (touched) fork match {
+            case Some(b) =>
+              // W4: rare full pass — rewind live ∪ history, re-merge,
+              // compact the store
+              val base = Scd2.rewind(store.table(t), b)
+              val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
+              val finalDf =
+                if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address")
+                else merged
+              store.compactTo(t, finalDf, batchTag)
+            case None =>
+              // incremental path: merge against the LIVE set only —
+              // history is immutable, so per-batch cost is O(live+batch),
+              // independent of history depth
+              val merged = Scd2.merge(store.live(t), updates, Schemas.tables(t)._2)
+              val finalDf =
+                if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address")
+                else merged
+              store.applyMerged(t, finalDf, batchTag)
           }
         }
 

@@ -88,26 +88,42 @@ object Scd2 {
           .otherwise(col("end_block_num")))
 }
 
-/** Parquet-backed store for the SDS reporting tables.
+/** Parquet-backed store for the SDS reporting tables — incremental
+  * live/history layout (SURVEY.md §4 partitioning, taken further):
   *
-  * Layout: `<root>/<table>/v<N>/` + pointer file `<root>/<table>/LATEST`.
-  * A merge writes the next version directory, flips the pointer, then
-  * removes the previous one — readers never observe a half-written table
-  * and a crash between write and flip just re-applies an idempotent
-  * batch (W1's per-block transaction analog). Production swap-in: Delta
-  * MERGE with partition `live = end_block_num = MAX` for partition-pruned
-  * live-state reads.
+  * ```
+  * <root>/<table>/live/v<N>/     one row per live entity; rewritten per
+  *                               batch, LIVE pointer flips atomically
+  * <root>/<table>/history/b<T>/  rows CLOSED by batch T; append-only
+  * <root>/blocks/v<N>/           commit log (small, versioned rewrite)
+  * ```
+  *
+  * Why: SCD2 history is immutable except at a fork — only the live set
+  * changes per batch. Appending the newly-closed rows and rewriting just
+  * the (bounded) live set makes per-batch write cost O(live + batch),
+  * INDEPENDENT of history depth — the property that keeps ingest flat at
+  * 100 TB of accumulated history. Current-state queries read `live/`
+  * alone; as-of/history queries union both.
+  *
+  * Exactly-once: a history directory is named by its batch's max block
+  * and never rewritten once committed (`_SUCCESS`); replaying the last
+  * batch (the streaming-checkpoint recovery contract — at most one
+  * uncommitted batch re-runs) skips the committed append and recomputes
+  * the identical live set. A fork rewind compacts history (rare, W4).
+  * Production swap-in: Delta/Iceberg MERGE keeps this exact layout idea
+  * as partition `live = end_block_num = MAX`.
   */
 final class Scd2Store(spark: SparkSession, root: String) {
   import java.nio.file.{Files, Paths, Path}
   import scala.jdk.CollectionConverters._
 
   private def dir(name: String): Path = Paths.get(root, name)
-  private def pointer(name: String): Path = dir(name).resolve("LATEST")
+  private def livePointer(name: String): Path = dir(name).resolve("LIVE")
+  private def historyDir(name: String): Path = dir(name).resolve("history")
 
   private def currentVersion(name: String): Option[Int] =
-    if (Files.exists(pointer(name)))
-      Some(Files.readString(pointer(name)).trim.toInt)
+    if (Files.exists(livePointer(name)))
+      Some(Files.readString(livePointer(name)).trim.toInt)
     else None
 
   private def empty(name: String): DataFrame = {
@@ -115,50 +131,92 @@ final class Scd2Store(spark: SparkSession, root: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  private def read(name: String): DataFrame =
+  private def hasParquet(p: Path): Boolean =
+    Files.exists(p) && Files.walk(p).iterator.asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+
+  /** Committed history batch directories. */
+  private def historyPaths(name: String): Seq[String] =
+    if (!Files.isDirectory(historyDir(name))) Seq.empty
+    else Files.list(historyDir(name)).iterator.asScala
+      .filter(p => !p.getFileName.toString.endsWith("-staging") &&
+        Files.exists(p.resolve("_SUCCESS")) && hasParquet(p))
+      .map(_.toString).toSeq.sorted
+
+  /** Live-state view (Q1): one row per entity, read from the live set
+    * alone — cost independent of history depth. */
+  def live(name: String): DataFrame =
     currentVersion(name) match {
       case Some(v) =>
-        val p = dir(name).resolve(s"v$v")
-        // a partitioned write of an empty table leaves no data files at
-        // all — schema inference would fail, so detect and short-circuit
-        val hasData = Files.walk(p).iterator.asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
-        if (hasData) spark.read.parquet(p.toString) else empty(name)
+        val p = dir(name).resolve(s"live/v$v")
+        if (hasParquet(p)) spark.read.parquet(p.toString) else empty(name)
       case None => empty(name)
     }
 
   def table(name: String): DataFrame = {
-    val df = read(name)
-    if (df.columns.contains("_live")) df.drop("_live") else df
+    if (name == "blocks") return live(name)
+    val hist = historyPaths(name)
+    if (hist.isEmpty) live(name)
+    else live(name).unionByName(spark.read.parquet(hist: _*))
   }
 
-  /** Entity tables are partitioned live vs history (SURVEY.md §4): the
-    * live partition holds exactly one row per entity, so current-state
-    * queries scan it alone via partition pruning no matter how deep the
-    * history grows. */
-  def write(name: String, df: DataFrame): Unit = {
+  private def writeLive(name: String, df: DataFrame): Unit = {
     val prev = currentVersion(name)
     val next = prev.getOrElse(-1) + 1
-    val target = dir(name).resolve(s"v$next")
-    if (name == "blocks") df.write.mode("overwrite").parquet(target.toString)
-    else df.withColumn("_live", col("end_block_num") === Schemas.MaxBlockNum)
-      .write.mode("overwrite").partitionBy("_live").parquet(target.toString)
+    val target = dir(name).resolve(s"live/v$next")
+    df.write.mode("overwrite").parquet(target.toString)
     Files.createDirectories(dir(name))
-    Files.writeString(pointer(name), next.toString)
+    Files.writeString(livePointer(name), next.toString)
     prev.foreach { v =>
-      val old = dir(name).resolve(s"v$v")
+      val old = dir(name).resolve(s"live/v$v")
       if (Files.exists(old))
         Files.walk(old).iterator.asScala.toSeq.reverse.foreach(Files.delete)
     }
   }
 
-  /** Live-state view (Q1): one row per entity, served from the live
-    * partition only (partition-pruned scan). */
-  def live(name: String): DataFrame = {
-    val df = read(name)
-    if (df.columns.contains("_live"))
-      df.filter(col("_live").cast("string") === "true").drop("_live")
-    else df.filter(col("end_block_num") === MaxBlockNum)
+  /** Blocks-table rewrite (it is the small commit log). */
+  def write(name: String, df: DataFrame): Unit = writeLive(name, df)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+
+  /** Apply a merged batch result: newly-closed rows append to history
+    * (idempotent: skipped when batch `tag` already committed), the live
+    * remainder rewrites the live set. */
+  def applyMerged(name: String, merged: DataFrame, tag: Long): Unit = {
+    merged.persist()
+    try {
+      val target = historyDir(name).resolve(s"b$tag")
+      val committed = Files.exists(target.resolve("_SUCCESS"))
+      if (!committed) {
+        deleteRecursively(target) // partial write from a crash
+        val closed = merged.filter(col("end_block_num") =!= MaxBlockNum)
+        if (!closed.isEmpty)
+          closed.write.mode("overwrite").parquet(target.toString)
+      }
+      writeLive(name, merged.filter(col("end_block_num") === MaxBlockNum))
+    } finally merged.unpersist()
+  }
+
+  /** Fork path (W4): the rewound table replaces everything — history is
+    * compacted into one directory and the live set rewritten. A crash in
+    * the middle of the (rare) compaction can require replaying from one
+    * batch earlier; the transactional production store (Delta/Iceberg)
+    * closes that window. */
+  def compactTo(name: String, full: DataFrame, tag: Long): Unit = {
+    full.persist()
+    try {
+      val closed = full.filter(col("end_block_num") =!= MaxBlockNum)
+      val staging = historyDir(name).resolve(s"compact$tag-staging")
+      deleteRecursively(staging)
+      val hasClosed = !closed.isEmpty
+      if (hasClosed) closed.write.mode("overwrite").parquet(staging.toString)
+      writeLive(name, full.filter(col("end_block_num") === MaxBlockNum))
+      historyPaths(name).foreach(p => deleteRecursively(Paths.get(p)))
+      if (hasClosed)
+        Files.move(staging, historyDir(name).resolve(s"b$tag"))
+    } finally full.unpersist()
   }
 
   /** Point-in-time view (Q2): state as of block b. */
