@@ -124,6 +124,61 @@ object Similarity {
         .select(col("query_id"), col("bucket"), col("rk"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("query_id", "rk")
+    },
+
+    // ---- q54: IVF-style ANN (coarse quantizer + cluster probe) ----------
+    // Inverted-file layout: a deterministic coarse codebook (every 64th
+    // vector — production would train k-means, same plan shape), every
+    // vector assigned to its nearest centroid (one broadcast pass), and a
+    // query probes ONLY its own cluster's inverted list. The search join
+    // is centroid-equality — the other classic ANN layout next to
+    // hyperplane LSH (q34).
+    Q("q54_ann_ivf",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.c_id AS cluster, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+        |  FROM assign q JOIN assign c ON c.c_id = q.c_id AND c.vec_id <> q.vec_id
+        |  WHERE q.$QueryFilter)
+        |SELECT query_id, cluster, rk, neighbor_id, round(cos_sim, 6) AS cos_sim
+        |FROM scored WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val crk = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_csim").desc, col("c_id"))
+      val assign = n.join(broadcast(cent))
+        .withColumn("_csim", expr("cosine_sim(v, cv)"))
+        .withColumn("_crk", row_number().over(crk))
+        .filter(col("_crk") === 1)
+        .select(col("vec_id"), col("v"), col("c_id"))
+      val q = assign.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("c_id").as("cluster"))
+      val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("c_id").as("cluster"))
+      val rk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q.join(c, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rk")
     }
   )
 }
