@@ -26,7 +26,11 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries may persist() intermediates; don't let caches accumulate
+      // across the suite and skew later timings
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -45,6 +45,10 @@ object Dedup {
     val w = col("_w")
     docs(s, dir)
       .withColumn("_w", split(norm(col("text")), " "))
+      // <3 words ⇒ no shingles (same as the oracle's empty range);
+      // without the guard sequence(1, size-2) would count DOWN through 0
+      // and slice(_, 0, _) throws
+      .filter(size(w) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(w) - 2),
           i => array_join(slice(w, i, lit(3)), " ")))).as("s"))

@@ -152,9 +152,11 @@ object Text {
       docs(s, dir)
         .withColumn("_n", norm(col("text")))
         .withColumn("_w", split(col("_n"), " "))
-        .withColumn("_h", transform(
+        // the when-guard must wrap the transform itself: for <3 words
+        // sequence(1, size-2) counts DOWN through 0 and slice throws
+        .withColumn("_h", when(size(w) >= 3, transform(
           sequence(lit(1), size(w) - 2),
-          i => md5(array_join(slice(w, i, lit(3)), " "))))
+          i => md5(array_join(slice(w, i, lit(3)), " ")))))
         .select(
           col("doc_id"),
           md5(col("_n")).as("fp_doc"),

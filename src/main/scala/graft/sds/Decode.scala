@@ -33,33 +33,39 @@ object Decode {
   private def lastCommitAttr(events: Column, key: String): Column = {
     // D3+D4: filter to block-commit events, take the LAST one (highest
     // block wins, reference `.last()` at :88), then its first attribute
-    // with the given key (reference takes `[0]`, :81).
+    // with the given key (reference takes `[0]`, :81). `get` (0-based)
+    // instead of `element_at`: ANSI mode makes element_at THROW on an
+    // empty array, while get yields NULL so a commit-less batch surfaces
+    // as a null block for Pipeline's strict check.
     val commits = filter(events, e => e.getField("eventType") === "sawtooth/block-commit")
-    val last = element_at(commits, -1)
-    element_at(filter(last.getField("attributes"), a => a.getField("key") === key), 1)
+    val last = get(commits, size(commits) - 1)
+    get(filter(last.getField("attributes"), a => a.getField("key") === key), lit(0))
       .getField("value")
   }
 
   /** Envelope → one row per non-heartbeat batch: (block_num, block_id,
-    * events). Heartbeats (empty event list, D2) are dropped here. */
+    * events, _seq). Heartbeats (empty event list, D2) are dropped here;
+    * batches with events but no parseable block-commit keep a NULL block
+    * and are rejected by Pipeline.applyBatch (reference errors at
+    * :89-93). `_seq` preserves arrival order for last-wins tie-breaks. */
   def withBlock(envelope: DataFrame): DataFrame =
     envelope
       .filter(size(col("events")) > 0)
+      .withColumn("_seq", monotonically_increasing_id())
       .withColumn("block_num", lastCommitAttr(col("events"), "block_num").cast("long"))
       .withColumn("block_id", lastCommitAttr(col("events"), "block_id"))
-      // reference errors on a batch with events but no block-commit
-      // (:89-93); we surface it the same way as a null block which the
-      // pipeline rejects in Pipeline.applyBatch.
-      .filter(col("block_num").isNotNull && col("block_id").isNotNull)
 
-  /** Blocks table rows for the batch (W5 input). */
+  /** Blocks table rows for the batch (W5 input), with arrival order. */
   def blocks(withBlockDf: DataFrame): DataFrame =
-    withBlockDf.select(col("block_num"), col("block_id"))
+    withBlockDf.select(col("block_num"), col("block_id"), col("_seq"))
 
   /** D5→D6→D7: state-delta events → flattened namespace-filtered
-    * StateChange rows: (block_num, address, change_type, value). */
+    * StateChange rows: (block_num, address, change_type, value). Rows
+    * from commit-less batches (null block) are excluded — the pipeline's
+    * strict check rejects such batches before getting here. */
   def stateChanges(withBlockDf: DataFrame): DataFrame =
     withBlockDf
+      .filter(col("block_num").isNotNull && col("block_id").isNotNull)
       .select(col("block_num"),
         explode(filter(col("events"),
           e => e.getField("eventType") === "sawtooth/state-delta")).as("ev"))
@@ -130,8 +136,8 @@ object Decode {
         col("a.standard_id").as("standard_id"),
         col("a.standard_version").as("standard_version"),
         col("a.accreditor_id").as("accreditor_id"),
-        col("a.valid_from").as("valid_from"),
-        col("a.valid_to").as("valid_to")) ++ stamp: _*)
+        coalesce(col("a.valid_from"), lit(0L)).as("valid_from"),
+        coalesce(col("a.valid_to"), lit(0L)).as("valid_to")) ++ stamp: _*)
 
   /** Address only for FACTORY orgs (:289-318). The reference `.unwrap()`s
     * (panics) on a factory without an address (:315); we null-tolerate by
@@ -248,6 +254,18 @@ object Decode {
     sc.filter(Addressing.infixCol(col("address")) === Infix.Assertion &&
         col("change_type") === "DELETE")
       .select(col("block_num"), col("address"))
+
+  /** Version markers for child tables (see Scd2.merge versionEvents):
+    * every organization / standard update in the batch, whether or not
+    * it carries child rows — an update with an EMPTY child set must
+    * still close the previous children. */
+  def orgVersionEvents(sc: DataFrame): DataFrame =
+    orgEntries(sc).select(col("e.id").as("organization_id"),
+      col("block_num").as("start_block_num")).distinct()
+
+  def standardVersionEvents(sc: DataFrame): DataFrame =
+    standardEntries(sc).select(col("e.id").as("standard_id"),
+      col("block_num").as("start_block_num")).distinct()
 
   /** All SCD2 table extractors keyed by table name. */
   val extractors: Map[String, DataFrame => DataFrame] = Map(

@@ -31,9 +31,16 @@ object Pipeline {
     // Per-batch reuse: decode once, feed 11 table extractions + blocks.
     withBlock.persist()
     try {
+      // reference errors on a batch with events but no parseable
+      // block-commit (`src/event_handler.rs:89-93`)
+      if (strict && !withBlock.filter(col("block_num").isNull || col("block_id").isNull).isEmpty)
+        throw new IllegalArgumentException(
+          "event batch with events but no parseable block-commit")
       val incoming = Decode.blocks(withBlock)
-        // D4 last()-wins also across duplicate block_nums inside one batch
-        .groupBy("block_num").agg(last("block_id").as("block_id"))
+        .filter(col("block_num").isNotNull && col("block_id").isNotNull)
+        // D4 last()-wins also across duplicate block_nums inside one
+        // batch — deterministically, by arrival order (_seq)
+        .groupBy("block_num").agg(max_by(col("block_id"), col("_seq")).as("block_id"))
       // Small per batch (reference: exactly one block per EventList).
       val incomingBlocks = incoming.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       if (incomingBlocks.isEmpty) return // D2: heartbeat-only batch
@@ -57,32 +64,45 @@ object Pipeline {
         val hasDeletes = !deletes.isEmpty
         val batchTag = incomingBlocks.map(_._1).max
 
+        // Parent version markers: child tables version under their
+        // parent's update even when the new child set is empty.
+        val orgEvents = Decode.orgVersionEvents(sc)
+        val stdEvents = Decode.standardVersionEvents(sc)
+        val hasOrgEvents = !orgEvents.isEmpty
+        val hasStdEvents = !stdEvents.isEmpty
+        val childMarkers: Map[String, (DataFrame, Boolean)] = Map(
+          "accreditations" -> (orgEvents, hasOrgEvents),
+          "addresses" -> (orgEvents, hasOrgEvents),
+          "authorizations" -> (orgEvents, hasOrgEvents),
+          "contacts" -> (orgEvents, hasOrgEvents),
+          "standard_versions" -> (stdEvents, hasStdEvents))
+
         tables.foreach { t =>
           val updates = Decode.extractors(t)(sc)
+          val markers = childMarkers.get(t)
           // skip tables this batch doesn't touch (cheap: sc is cached) —
           // a block rarely writes every entity type, and an untouched
-          // table needs no rewrite unless a fork rewinds it
-          val touched = !updates.isEmpty ||
+          // table needs no rewrite unless its parent versioned (markers)
+          // or a fork rewinds it
+          val touched = !updates.isEmpty || markers.exists(_._2) ||
             (t == "assertions" && hasDeletes) || fork.isDefined
-          if (touched) fork match {
-            case Some(b) =>
-              // W4: rare full pass — rewind live ∪ history, re-merge,
-              // compact the store
-              val base = Scd2.rewind(store.table(t), b)
-              val merged = Scd2.merge(base, updates, Schemas.tables(t)._2)
-              val finalDf =
-                if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address")
-                else merged
-              store.compactTo(t, finalDf, batchTag)
-            case None =>
-              // incremental path: merge against the LIVE set only —
-              // history is immutable, so per-batch cost is O(live+batch),
-              // independent of history depth
-              val merged = Scd2.merge(store.live(t), updates, Schemas.tables(t)._2)
-              val finalDf =
-                if (t == "assertions") Scd2.applyDeletes(merged, deletes, "address")
-                else merged
-              store.applyMerged(t, finalDf, batchTag)
+          if (touched) {
+            val events = markers.map(_._1)
+            def mergedOver(base: DataFrame): DataFrame = {
+              val m = Scd2.merge(base, updates, Schemas.tables(t)._2, events)
+              if (t == "assertions") Scd2.applyDeletes(m, deletes, "address") else m
+            }
+            fork match {
+              case Some(b) =>
+                // W4: rare full pass — rewind live ∪ history, re-merge,
+                // compact the store
+                store.compactTo(t, mergedOver(Scd2.rewind(store.table(t), b)), batchTag)
+              case None =>
+                // incremental path: merge against the LIVE set only —
+                // history is immutable, so per-batch cost is
+                // O(live+batch), independent of history depth
+                store.applyMerged(t, mergedOver(store.live(t)), batchTag)
+            }
           }
         }
 

@@ -31,49 +31,72 @@ object Scd2 {
     * @param updates   new rows stamped (start_block_num=b, end_block_num=MAX)
     * @param entityKey columns identifying the entity whose version chain
     *                  advances (e.g. organization_id for contacts)
+    * @param versionEvents optional extra (entityKey..., start_block_num)
+    *                  version markers: a parent entity updated at block b
+    *                  versions its child-row set even when the new set is
+    *                  EMPTY — without the marker, removed children would
+    *                  never close (no update row ⇒ no chain event)
     */
-  def merge(existing: DataFrame, updates: DataFrame, entityKey: Seq[String]): DataFrame = {
+  def merge(existing: DataFrame, updates: DataFrame, entityKey: Seq[String],
+            versionEvents: Option[DataFrame] = None): DataFrame = {
     val cols = existing.columns.toSeq
     val keyCols = entityKey.map(col)
+    val versionCols = entityKey :+ "start_block_num"
 
-    // A version event (entityKey, start) in `updates` replaces any stored
-    // rows of the same entity version wholesale → idempotent replay.
-    val newVersions = updates.select(entityKey.map(col) :+ col("start_block_num"): _*).distinct()
-    val kept = existing.join(newVersions,
-      entityKey :+ "start_block_num", "left_anti")
+    // Version events of this batch: every (entityKey, start) that has new
+    // rows, plus the explicit markers.
+    val newVersions = versionEvents.fold(
+      updates.select(versionCols.map(col): _*))(ev =>
+        updates.select(versionCols.map(col): _*)
+          .unionByName(ev.select(versionCols.map(col): _*)))
+      .distinct()
+
+    // A version event replaces any stored rows of the same entity version
+    // wholesale → idempotent replay.
+    val kept = existing.join(newVersions, versionCols, "left_anti")
 
     val combined = kept.select(cols.map(col): _*)
       .unionByName(updates.select(cols.map(col): _*))
 
     // Close-out (W2): each version ends where the entity's next version
-    // starts; rows already closed earlier (assertion DELETE, W3) keep
-    // their earlier end.
+    // event occurs; rows already closed earlier (assertion DELETE, W3)
+    // keep their earlier end. Markers participate as chain events so an
+    // empty replacement set still closes the previous rows.
     val w = Window.partitionBy(keyCols: _*).orderBy(col("start_block_num"))
     val versions = combined
-      .select(entityKey.map(col) :+ col("start_block_num"): _*).distinct()
+      .select(versionCols.map(col): _*).distinct()
+      .unionByName(newVersions)
+      .distinct()
       .withColumn("_next_start", lead(col("start_block_num"), 1).over(w))
 
     combined
-      .join(versions, entityKey :+ "start_block_num")
+      .join(versions, versionCols)
       .withColumn("end_block_num",
         least(col("end_block_num"), coalesce(col("_next_start"), lit(MaxBlockNum))))
       .select(cols.map(col): _*)
   }
 
-  /** W3: close live rows matched by `keyCol` at the delete's block_num —
-    * no replacement row. `deletes` = (block_num, <keyCol>); tiny per
-    * batch → broadcast. */
+  /** W3: close rows matched by `keyCol` at the earliest delete falling
+    * inside their validity interval — no replacement row. Handles
+    * multiple deletes (and delete/re-create chains) within one batch:
+    * each row is clamped by its own earliest applicable delete, not a
+    * batch-global minimum. Requires (keyCol, start_block_num) to
+    * identify rows (true for assertions). `deletes` = (block_num,
+    * <keyCol>); tiny per batch → broadcast. */
   def applyDeletes(table: DataFrame, deletes: DataFrame, keyCol: String): DataFrame = {
     val cols = table.columns.toSeq
-    val d = broadcast(deletes.groupBy(col(keyCol).as("_del_key"))
-      .agg(min("block_num").as("_del_block")))
+    val d = broadcast(deletes.select(col(keyCol).as("_del_key"),
+      col("block_num").as("_del_block")))
+    val clamps = table.select(col(keyCol), col("start_block_num"), col("end_block_num"))
+      .join(d, col(keyCol) === col("_del_key") &&
+        col("start_block_num") <= col("_del_block") &&
+        col("end_block_num") > col("_del_block"))
+      .groupBy(col(keyCol), col("start_block_num"))
+      .agg(min(col("_del_block")).as("_clamp"))
     table
-      .join(d, col(keyCol) === col("_del_key"), "left")
+      .join(broadcast(clamps), Seq(keyCol, "start_block_num"), "left")
       .withColumn("end_block_num",
-        when(col("_del_block").isNotNull &&
-            col("start_block_num") <= col("_del_block") &&
-            col("end_block_num") > col("_del_block"),
-          col("_del_block"))
+        when(col("_clamp").isNotNull, least(col("end_block_num"), col("_clamp")))
           .otherwise(col("end_block_num")))
       .select(cols.map(col): _*)
   }
@@ -131,17 +154,21 @@ final class Scd2Store(spark: SparkSession, root: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** NIO streams hold a directory fd until closed — always scope them. */
+  private def withStream[A](s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(s.iterator.asScala) finally s.close()
+
   private def hasParquet(p: Path): Boolean =
-    Files.exists(p) && Files.walk(p).iterator.asScala
-      .exists(_.getFileName.toString.endsWith(".parquet"))
+    Files.exists(p) && withStream(Files.walk(p))(
+      _.exists(_.getFileName.toString.endsWith(".parquet")))
 
   /** Committed history batch directories. */
   private def historyPaths(name: String): Seq[String] =
     if (!Files.isDirectory(historyDir(name))) Seq.empty
-    else Files.list(historyDir(name)).iterator.asScala
-      .filter(p => !p.getFileName.toString.endsWith("-staging") &&
+    else withStream(Files.list(historyDir(name)))(
+      _.filter(p => !p.getFileName.toString.endsWith("-staging") &&
         Files.exists(p.resolve("_SUCCESS")) && hasParquet(p))
-      .map(_.toString).toSeq.sorted
+        .map(_.toString).toSeq.sorted)
 
   /** Live-state view (Q1): one row per entity, read from the live set
     * alone — cost independent of history depth. */
@@ -167,11 +194,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(target.toString)
     Files.createDirectories(dir(name))
     Files.writeString(livePointer(name), next.toString)
-    prev.foreach { v =>
-      val old = dir(name).resolve(s"live/v$v")
-      if (Files.exists(old))
-        Files.walk(old).iterator.asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    prev.foreach(v => deleteRecursively(dir(name).resolve(s"live/v$v")))
   }
 
   /** Blocks-table rewrite (it is the small commit log). */
@@ -179,7 +202,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      withStream(Files.walk(p))(_.toSeq.reverse.foreach(Files.delete))
 
   /** Apply a merged batch result: newly-closed rows append to history
     * (idempotent: skipped when batch `tag` already committed), the live

@@ -193,19 +193,25 @@ object Schemas {
     StructField("block_num", LongType, nullable = false),
     StructField("block_id", StringType)))
 
-  /** table name → (schema, SCD2 logical key for version chaining).
-    * Keys per SURVEY.md §1.2 PKs; child tables version as whole rows
-    * under their parent entity rewrite (see Scd2.merge scaladoc). */
+  /** table name → (schema, SCD2 version-chain scope for Scd2.merge).
+    *
+    * The scope is the PARENT entity's key, not the child row's PK: a new
+    * version of an organization replaces its whole child-row set
+    * (contacts/authorizations/accreditations/address), so a child row
+    * absent from the new version must close at the new version's block.
+    * Scd2.merge's wholesale replacement + close-out both operate per
+    * scope — keying a child by its full PK would leave removed children
+    * live forever. */
   val tables: Map[String, (StructType, Seq[String])] = Map(
     "organizations" -> (organizationsTable, Seq("organization_id")),
-    "accreditations" -> (accreditationsTable, Seq("organization_id", "standard_id", "standard_version")),
+    "accreditations" -> (accreditationsTable, Seq("organization_id")),
     "addresses" -> (addressesTable, Seq("organization_id")),
-    "authorizations" -> (authorizationsTable, Seq("organization_id", "public_key")),
-    "contacts" -> (contactsTable, Seq("organization_id", "name")),
+    "authorizations" -> (authorizationsTable, Seq("organization_id")),
+    "contacts" -> (contactsTable, Seq("organization_id")),
     "agents" -> (agentsTable, Seq("public_key")),
     "certificates" -> (certificatesTable, Seq("certificate_id")),
     "requests" -> (requestsTable, Seq("request_id")),
     "standards" -> (standardsTable, Seq("standard_id")),
-    "standard_versions" -> (standardVersionsTable, Seq("standard_id", "version")),
+    "standard_versions" -> (standardVersionsTable, Seq("standard_id")),
     "assertions" -> (assertionsTable, Seq("assertion_id")))
 }

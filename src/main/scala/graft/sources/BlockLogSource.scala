@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.readStream.format(classOf[BlockLogSource].getName)
   * .option("path", dir).load()` → one `value: STRING` row per batch file.
+  *
+  * Producer contract: files must be complete when they appear (write to
+  * a temp name, then rename) and must sort lexicographically AFTER every
+  * already-present file (e.g. zero-padded sequence names like
+  * `batch-00042.json`) — the offset is a count over the sorted listing,
+  * so an out-of-order name would shift the consumed prefix.
   */
 class BlockLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -109,11 +115,14 @@ private[sources] object BlockLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[BlockLogPartition].file
     new PartitionReader[InternalRow] {
+      // contract: next() advances; get() is stable until the next next()
       private val lines = Files.readAllLines(Paths.get(file)).asScala.iterator
         .filter(_.trim.nonEmpty)
-      override def next(): Boolean = lines.hasNext
+      private var current: String = _
+      override def next(): Boolean =
+        if (lines.hasNext) { current = lines.next(); true } else false
       override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(lines.next()))
+        InternalRow(UTF8String.fromString(current))
       override def close(): Unit = ()
     }
   }

@@ -115,6 +115,40 @@ class PipelineSpec extends SparkSpec {
     assert(blocks === Set((1L, "b1"), (2L, "b2'")))
   }
 
+  test("child rows absent from a new parent version close at that version") {
+    val store = newStore()
+    // block 1: certifying body with 1 contact, 1 auth, 1 accreditation
+    apply1(store, batch(1, "b1",
+      Seq(Change(orgAddress(CertOrgId), "SET", container(certifyingBodyJson())))))
+    // block 5: same org re-written with NO contacts/auths/accreditations
+    val bare = s"""{"id":"$CertOrgId","name":"renamed","organization_type":"CERTIFYING_BODY"}"""
+    apply1(store, batch(5, "b5", Seq(Change(orgAddress(CertOrgId), "SET", container(bare)))))
+
+    assert(store.live("contacts").isEmpty)
+    assert(store.live("authorizations").isEmpty)
+    assert(store.live("accreditations").isEmpty)
+    // the removed children are still visible as-of block 2
+    assert(store.asOf("contacts", 2).count() === 1)
+    assert(store.asOf("accreditations", 2).count() === 1)
+    val contactEnd = store.table("contacts").select("end_block_num").as[Long].collect()
+    assert(contactEnd.toSeq === Seq(5L))
+    assert(store.live("organizations").select("name").as[String].collect().toSeq === Seq("renamed"))
+  }
+
+  test("delete → recreate → delete within one batch closes at the last delete") {
+    val store = newStore()
+    val addr = assertionStateAddress(AssertionId)
+    apply1(store,
+      batch(1, "b1", Seq(Change(addr, "SET", container(assertionJson(address = addr))))),
+      batch(2, "b2", Seq(Change(addr, "DELETE", ""))),
+      batch(3, "b3", Seq(Change(addr, "SET", container(assertionJson(address = addr))))),
+      batch(4, "b4", Seq(Change(addr, "DELETE", ""))))
+    val spans = store.table("assertions").select("start_block_num", "end_block_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(spans === Seq((1L, 2L), (3L, 4L)))
+    assert(store.live("assertions").isEmpty)
+  }
+
   test("strict mode rejects unknown entity infix (AnotherFamily)") {
     val store = newStore()
     val weird = Addressing.Namespace + "ff" + "0" * 62
