@@ -10,7 +10,13 @@ import graft.multimodal.Media
   * The media table is derived deterministically from `documents`
   * (payload = UTF-8 bytes), so the typed mapPartitions decode/feature
   * pipeline is end-to-end oracle-checkable: DuckDB recomputes the same
-  * features straight from the text. */
+  * features straight from the text.
+  *
+  * Oracle parity contract: the corpus is ASCII and non-empty (true for
+  * the fixtures) — the oracle's per-code-point `ascii()` equals the
+  * stub's per-byte intensity only for single-byte characters, and
+  * DuckDB's `list_avg` of an empty list is NULL where the stub emits
+  * 0.0. A real codec replaces the whole comparison anyway. */
 object Multimodal {
 
   val defs: Seq[Q] = Seq(
