@@ -83,8 +83,11 @@ object Pipeline {
           // skip tables this batch doesn't touch (cheap: sc is cached) —
           // a block rarely writes every entity type, and an untouched
           // table needs no rewrite unless its parent versioned (markers)
-          // or a fork rewinds it
-          val touched = !updates.isEmpty || markers.exists(_._2) ||
+          // or a fork rewinds it. Markers without updates only matter
+          // when live child rows exist to close (lazy ||: the live-set
+          // probe is tiny and runs only on that branch).
+          val touched = !updates.isEmpty ||
+            (markers.exists(_._2) && !store.live(t).isEmpty) ||
             (t == "assertions" && hasDeletes) || fork.isDefined
           if (touched) {
             val events = markers.map(_._1)
