@@ -73,8 +73,9 @@ object Events {
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
@@ -126,13 +127,24 @@ object Events {
         .orderBy("etype", "day")
     },
 
-    // ---- q41: HLL approximate distinct (sketch — no SQL oracle; the
-    // ScalaTest spec bounds its error against the exact count) -----------
-    Q.noOracle("q41_approx_distinct") { (s, dir) =>
+    // ---- q41: HLL approximate distinct -----------------------------------
+    // A sketch can't hash-match another engine's sketch, but the contract
+    // can: emit the exact distinct (oracle-checkable) plus a boolean that
+    // the HLL estimate lands within its 5% error budget; DuckDB's side
+    // asserts the literal `true`. ScalaTest additionally bounds the error.
+    Q("q41_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n, true AS hll_within_5pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
       ev(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"),
+          (abs(approx_count_distinct(col("user_id"), 0.02) -
+            countDistinct(col("user_id"))) <=
+            countDistinct(col("user_id")) * lit(0.05)).as("hll_within_5pct"))
         .orderBy("event_type")
     },
 

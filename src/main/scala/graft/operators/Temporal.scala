@@ -91,8 +91,14 @@ object Temporal {
 
   val defs: Seq[Q] = Seq(
     // ---- q18: SCD2 interval build (Q1 live-row convention) -------------
+    // Oracle casts: DuckDB keeps parquet's TIMESTAMP_MS unit on the raw
+    // o_orderdate passthrough while the coalesce with a TIMESTAMP literal
+    // promotes valid_to to µs; Spark writes both as µs. CAST both so the
+    // driver's hash sees one canonical unit.
     Q("q18_scd2_intervals",
-      s"""SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to,
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(valid_to AS TIMESTAMP) AS valid_to,
         |  (valid_to = TIMESTAMP '9999-12-31 00:00:00') AS is_live
         |FROM ($orderIntervalsSql)
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, dir) =>
