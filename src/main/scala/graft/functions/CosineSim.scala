@@ -31,6 +31,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Null beyond the inputs: a null ELEMENT in either array, or a
+  // zero-norm vector (0/0 would otherwise surface as NaN), yields null.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,6 +44,7 @@ case class CosineSim(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -47,7 +52,8 @@ case class CosineSim(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,17 +65,26 @@ case class CosineSim(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("badElem")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
          |  $dot += $xi * $yi;
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |if ($bad || $denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 

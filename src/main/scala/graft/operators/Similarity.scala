@@ -157,13 +157,18 @@ object Similarity {
       val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
       val cent = n.filter(col("vec_id") % 64 === 0)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val crk = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_csim").desc, col("c_id"))
+      // Nearest-centroid argmax as a max_by aggregation (partial-agg /
+      // map-side combinable — no corpus×centroid sort) with the oracle's
+      // tie-break (highest cos_sim, then smallest c_id, via -c_id in the
+      // ordering struct). Persisted: both the query and inverted-list
+      // sides read it, so without this the whole quantization pass — the
+      // expensive subtree — would execute twice.
       val assign = n.join(broadcast(cent))
         .withColumn("_csim", expr("cosine_sim(v, cv)"))
-        .withColumn("_crk", row_number().over(crk))
-        .filter(col("_crk") === 1)
-        .select(col("vec_id"), col("v"), col("c_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+          first(col("v")).as("v"))
+        .persist()
       val q = assign.filter(expr(QueryFilter))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("c_id").as("cluster"))

@@ -30,6 +30,22 @@ class CosineSimSpec extends SparkSpec {
     assert(df.select(expr("cosine_sim(a, b)")).head().isNullAt(0))
   }
 
+  test("zero-norm vector → null, not NaN (both eval paths)") {
+    val df = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect().forall(_.isNullAt(0)))
+    // interpreted path (no codegen through sql() on literals-in-driver eval)
+    assert(spark.sql("SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 1.0d))")
+      .head().isNullAt(0))
+  }
+
+  test("null array element → null output") {
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).head().isNullAt(0))
+  }
+
   test("registered in SQL via extensions") {
     val got = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))")
       .head().getDouble(0)
