@@ -22,7 +22,11 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projection
     // and eliminate sorts, timing an empty plan; the noop writer
     // materializes all output columns like a real consumer.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SDS e2e queries (q5x_sds_*) are correctness fixtures with bounded
+    // inputs — ingest THROUGHPUT is measured by graft.IngestBench, so
+    // timing a fixed 100-block ingest here would only add noise.
+    val results = SparkEntry.queries.toSeq.filterNot(_._1.contains("_sds_"))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }

@@ -25,6 +25,11 @@ import graft.core.{Q, Tables}
   * matches Spark's `conv(hex,16,10)` for numeric bits.
   */
 object Dedup {
+  /** q32's hard input bound: all-pairs cosine is quadratic and its
+    * broadcast kernel must fit one executor; past this, the candidate
+    * paths (q30 LSH banding, q34 hyperplane LSH, q54 IVF) are the design. */
+  val MaxBruteForceVectors: Long = 500_000L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -268,6 +273,13 @@ object Dedup {
       val e = emb(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .as[(Long, Array[Double])]
+      // Enforce the design bound instead of OOMing past it: brute-force
+      // all-pairs only makes sense while the corpus fits one executor.
+      val n = e.count()
+      require(n <= Dedup.MaxBruteForceVectors,
+        s"q32 is the bounded all-pairs verifier ($n vectors > " +
+          s"${Dedup.MaxBruteForceVectors}); use the LSH (q34) or IVF (q54) " +
+          "candidate paths at this scale")
       val corpus = e.collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(
         (corpus.map(_._1), corpus.map(_._2), corpus.map(r => l2(r._2))))

@@ -185,6 +185,60 @@ object Text {
         .filter(col("relevance") > 0 && col("_lower").like("%merge%"))
         .drop("_lower")
         .orderBy(col("relevance").desc, col("doc_id"))
+    },
+
+    // ---- q55: inverted-index search with tf-idf rank --------------------
+    // The real analog of the reporting DB's tsvector/tsquery capability
+    // (reference dep `diesel_full_text_search`, Cargo.lock): tokenize →
+    // postings (doc_id, term, tf) → term-AND search ranked by tf-idf.
+    // Unlike q27's substring LIKE, matching is exact-token and the search
+    // itself never rescans text: postings for the query terms are
+    // selected by an `IN` filter that rides the tokenize scan, then one
+    // groupBy(doc_id) — the only wide exchange — ANDs the terms. df and
+    // n_docs are tiny aggregates joined by broadcast. At 100 TB the
+    // postings build is the standard one-shuffle index job and the
+    // per-query cost is proportional to the matched postings, not the
+    // corpus.
+    Q("q55_inverted_index",
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term IN ('merge', 'join') GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT p.doc_id,
+        |       CAST(sum(p.tf) AS BIGINT) AS tf_total,
+        |       round(sum(p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 4) AS relevance
+        |FROM p JOIN d USING (term) CROSS JOIN n
+        |GROUP BY p.doc_id
+        |HAVING count(*) = 2
+        |ORDER BY relevance DESC, doc_id""".stripMargin) { (s, dir) =>
+      val queryTerms = Seq("merge", "join")
+      // postings restricted to the query terms before the shuffle: the
+      // IN-filter runs inside the tokenize projection, so only matching
+      // postings reach the exchange
+      val postings = docs(s, dir)
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // df per query term (postings are unique by (doc_id, term)) and the
+      // corpus size — both tiny, both broadcast
+      val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      postings
+        .join(broadcast(dfs), "term")
+        .crossJoin(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("_matched"),
+          sum("tf").cast("long").as("tf_total"),
+          round(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))), 4)
+            .as("relevance"))
+        .filter(col("_matched") === queryTerms.length) // AND semantics
+        .select("doc_id", "tf_total", "relevance")
+        .orderBy(col("relevance").desc, col("doc_id"))
     }
   )
 }

@@ -54,10 +54,16 @@ object Pipeline {
 
         // W4: a stored block_num with a different block_id ⇒ fork; rewind
         // everything from the lowest colliding block before merging.
-        val stored = store.table("blocks").collect().map(r => (r.getLong(0), r.getString(1))).toMap
-        val fork = incomingBlocks.collect {
-          case (num, id) if stored.get(num).exists(_ != id) => num
-        }.headOption
+        // Distributed: broadcast the (batch-bounded) incoming set against
+        // the stored log and bring back only the min colliding block_num —
+        // driver cost stays O(1) however long the chain grows, vs the old
+        // full-table collect that scaled with chain length.
+        val collision = store.table("blocks")
+          .join(broadcast(incoming.select(col("block_num").as("_bn"),
+            col("block_id").as("_in_id"))), col("block_num") === col("_bn"))
+          .filter(col("block_id") =!= col("_in_id"))
+          .agg(min(col("block_num"))).head()
+        val fork = if (collision.isNullAt(0)) None else Some(collision.getLong(0))
 
         val tables = Schemas.tables.keys.toSeq.sorted
         val deletes = Decode.assertionDeletes(sc)
@@ -109,14 +115,18 @@ object Pipeline {
           }
         }
 
-        // W5: blocks append (rewound past the fork point, last-id-wins).
-        val blocks0 = store.table("blocks")
-        val blocksBase = fork.fold(blocks0)(b => blocks0.filter(col("block_num") < b))
-        val merged = blocksBase
-          .join(incoming.select(col("block_num").as("_bn")), col("block_num") === col("_bn"), "left_anti")
-          .select("block_num", "block_id")
-          .unionByName(incoming)
-        store.write("blocks", merged)
+        // W5: blocks append — one O(batch) segment; the log reconciles
+        // last-id-wins at read. A fork folds the rewound log instead
+        // (rare), dropping orphaned blocks past the fork point.
+        fork match {
+          case Some(b) =>
+            val base = store.table("blocks").filter(col("block_num") < b)
+              .join(incoming.select(col("block_num").as("_bn")),
+                col("block_num") === col("_bn"), "left_anti")
+              .select("block_num", "block_id")
+            store.compactBlocks(base.unionByName(incoming), batchTag)
+          case None => store.appendBlocks(incoming, batchTag)
+        }
       } finally sc.unpersist()
     } finally withBlock.unpersist()
   }
@@ -146,7 +156,11 @@ object Pipeline {
   *    carrying the last ≤10 known block ids from `Scd2Store
   *    .lastKnownBlockIds` (S3; genesis fallback NULL_BLOCK_ID), shifting
   *    the window by 10 on UNKNOWN_BLOCK until a common ancestor is found
-  *    (S4 fork negotiation, `src/subscriber.rs:97-100`).
+  *    (S4 fork negotiation, `src/subscriber.rs:97-100`). The handshake
+  *    logic itself is implemented transport-agnostically in
+  *    `graft.sources.Negotiate` (a ZMQ connector plugs its send/recv in
+  *    as the `respond` function) and is wired into the block-log
+  *    connector's `initialOffset` via the `knownBlockIds` option.
   *  - `latestOffset`/`planInputPartitions`: drain the ZMQ socket into the
   *    block-ordered batch of EventList payloads (poll timeout 1 s,
   *    `src/subscriber.rs:88`); one input partition — the validator is a

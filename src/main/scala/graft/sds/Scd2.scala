@@ -181,7 +181,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
     }
 
   def table(name: String): DataFrame = {
-    if (name == "blocks") return live(name)
+    if (name == "blocks") return blocks()
     val hist = historyPaths(name)
     if (hist.isEmpty) live(name)
     else live(name).unionByName(spark.read.parquet(hist: _*))
@@ -197,8 +197,59 @@ final class Scd2Store(spark: SparkSession, root: String) {
     prev.foreach(v => deleteRecursively(dir(name).resolve(s"live/v$v")))
   }
 
-  /** Blocks-table rewrite (it is the small commit log). */
-  def write(name: String, df: DataFrame): Unit = writeLive(name, df)
+  // ---- blocks commit log: append-only segment layout -------------------
+  //
+  // <root>/blocks/segs/s<T>/  one segment per batch (tag T = batch max
+  // block), never rewritten once committed; reads reconcile last-id-wins
+  // by segment tag. Why: the old versioned-rewrite layout re-wrote the
+  // whole chain every batch — O(chain) write amplification that grows
+  // forever; appending a segment is O(batch), and a rare fold (fork, or
+  // segment count past BlockCompactThreshold) keeps read fan-in bounded.
+
+  private def blockSegRoot: Path = dir("blocks").resolve("segs")
+
+  private def blockSegPaths: Seq[Path] =
+    if (!Files.isDirectory(blockSegRoot)) Seq.empty
+    else withStream(Files.list(blockSegRoot))(
+      _.filter(p => !p.getFileName.toString.endsWith("-staging") &&
+        Files.exists(p.resolve("_SUCCESS")) && hasParquet(p))
+        .toSeq.sortBy(_.getFileName.toString))
+
+  /** Reconciled commit log: last block_id per block_num wins, by segment
+    * tag (D4 across batches). Distributed — nothing driver-side. */
+  def blocks(): DataFrame = {
+    val segs = blockSegPaths
+    if (segs.isEmpty) empty("blocks")
+    else spark.read.parquet(segs.map(_.toString): _*)
+      .groupBy("block_num")
+      .agg(max_by(col("block_id"), col("_seg")).as("block_id"))
+  }
+
+  /** W5 append: one O(batch) segment, idempotent by committed tag (replay
+    * of the last checkpointed batch skips the write). */
+  def appendBlocks(batch: DataFrame, tag: Long): Unit = {
+    val target = blockSegRoot.resolve(s"s$tag")
+    if (!Files.exists(target.resolve("_SUCCESS"))) {
+      deleteRecursively(target) // partial write from a crash
+      batch.withColumn("_seg", lit(tag))
+        .write.mode("overwrite").parquet(target.toString)
+    }
+    if (blockSegPaths.size > Scd2Store.BlockCompactThreshold)
+      compactBlocks(blocks(), tag)
+  }
+
+  /** Fold the log into one segment — fork rewind (W4) or periodic
+    * compaction. Staging write executes the read of the old segments
+    * before they are deleted; same (rare) crash window as compactTo. */
+  def compactBlocks(full: DataFrame, tag: Long): Unit = {
+    val staging = blockSegRoot.resolve(s"c$tag-staging")
+    deleteRecursively(staging)
+    full.withColumn("_seg", lit(tag))
+      .write.mode("overwrite").parquet(staging.toString)
+    blockSegPaths.foreach(deleteRecursively)
+    deleteRecursively(blockSegRoot.resolve(s"c$tag"))
+    Files.move(staging, blockSegRoot.resolve(s"c$tag"))
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
@@ -259,4 +310,11 @@ final class Scd2Store(spark: SparkSession, root: String) {
       .select("block_id").limit(count).collect().map(_.getString(0)).toSeq
     if (ids.isEmpty) Seq("0000000000000000") else ids
   }
+}
+
+object Scd2Store {
+  /** Segment count that triggers a blocks-log fold: high enough that the
+    * amortized rewrite cost stays O(1) per batch, low enough that the
+    * read fan-in (one parquet listing per segment) stays trivial. */
+  val BlockCompactThreshold = 64
 }

@@ -15,6 +15,17 @@ import org.apache.spark.sql.types._
   * Entity message shapes follow the protobuf definitions referenced at
   * `src/event_handler.rs:6` (fields as used in the transforms,
   * `src/event_handler.rs:205-437`).
+  *
+  * Real protobuf wire decode was attempted and is environment-blocked
+  * (round-2 item): `from_protobuf` lives in the `spark-protobuf` module,
+  * which is not in `/opt/spark/jars` (only netty/orc *shaded* protobuf),
+  * there is no standalone `protobuf-java` on the classpath, no `protoc`
+  * binary to compile descriptors, and dependency resolution is offline.
+  * On a cluster with the connector jar, the swap is mechanical: each
+  * nested `from_json(col, schema)` layer here becomes
+  * `from_protobuf(col, messageName, descriptorFile)` with the same
+  * downstream column structure — `Decode` never looks at the wire format
+  * past this module.
   */
 object Schemas {
 

@@ -56,6 +56,16 @@ object BlockLogSource {
       .filter(Files.isRegularFile(_))
       .map(_.toString).toSeq.sorted
   }
+
+  private val BlockIdRe =
+    """"key"\s*:\s*"block_id"\s*,\s*"value"\s*:\s*"([^"]+)"""".r
+
+  /** Block-commit ids in a batch file, in order — a startup-only scan
+    * used by the S4 handshake (full decode happens in `graft.sds.Decode`;
+    * the handshake only needs the commit ids). */
+  def fileBlockIds(file: String): Seq[String] =
+    BlockIdRe.findAllMatchIn(Files.readString(Paths.get(file)))
+      .map(_.group(1)).toSeq
 }
 
 private[sources] class BlockLogTable(path: String) extends Table with SupportsRead {
@@ -70,7 +80,9 @@ private[sources] class BlockLogTable(path: String) extends Table with SupportsRe
       override def readSchema(): StructType = BlockLogSource.schema
       override def toBatch: Batch = new BlockLogBatch(path)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new BlockLogMicroBatchStream(path)
+        new BlockLogMicroBatchStream(path,
+          Option(options.get("knownBlockIds")).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     }
 }
 
@@ -80,8 +92,43 @@ private[sources] case class FileCountOffset(count: Int) extends Offset {
   override def json(): String = count.toString
 }
 
-private[sources] class BlockLogMicroBatchStream(path: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = FileCountOffset(0)
+/** @param knownIds newest-first block ids this consumer already holds
+  *                  (`Scd2Store.lastKnownBlockIds`), passed as the
+  *                  `knownBlockIds` option. Drives the S4 handshake when
+  *                  a query starts without a Spark checkpoint — store
+  *                  bootstrap, or recovery after the checkpoint was lost:
+  *                  resume just past the newest known id still in the
+  *                  log, falling back window-by-window (and ultimately to
+  *                  a genesis full replay) when the log has forked away
+  *                  from what we knew. With a live checkpoint Spark never
+  *                  calls initialOffset, exactly like the reference only
+  *                  negotiating at (re)subscribe time.
+  */
+private[sources] class BlockLogMicroBatchStream(path: String, knownIds: Seq[String])
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    if (knownIds.isEmpty) FileCountOffset(0)
+    else {
+      val files = BlockLogSource.listFiles(path)
+      // (file index, block id) in consumption order
+      val flat = files.zipWithIndex.flatMap { case (f, i) =>
+        BlockLogSource.fileBlockIds(f).map(i -> _)
+      }
+      Negotiate.resumeIndex(knownIds, flat.map(_._2)) match {
+        case Left(err) =>
+          throw new IllegalStateException(s"S4 handshake failed: $err")
+        case Right(0) => FileCountOffset(0) // genesis: full replay
+        case Right(n) =>
+          // Resume AT the anchor's file unless the anchor closes it: a
+          // mid-file anchor must not skip the blocks after it in the same
+          // file, and replaying the earlier part is a no-op (idempotent
+          // SCD2 merge).
+          val anchorFile = flat(n - 1)._1
+          val anchorClosesFile = n == flat.length || flat(n)._1 != anchorFile
+          FileCountOffset(if (anchorClosesFile) anchorFile + 1 else anchorFile)
+      }
+    }
   override def latestOffset(): Offset =
     FileCountOffset(BlockLogSource.listFiles(path).size)
   override def deserializeOffset(json: String): Offset =

@@ -53,4 +53,11 @@ class PlanSpec extends SparkSpec {
     assert(plan("q33_cosine_topk").contains("BroadcastHashJoin") ||
       plan("q33_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q55: inverted-index search joins stats by broadcast, no LIKE rescan") {
+    val p = plan("q55_inverted_index")
+    assert(p.contains("BroadcastHashJoin"), "df/n_docs should broadcast")
+    assert(!p.toLowerCase.contains("like"), "search must not rescan text")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }

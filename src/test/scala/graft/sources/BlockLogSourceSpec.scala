@@ -70,4 +70,45 @@ class BlockLogSourceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
     assert(versions === Seq(("v1", 1L), ("v2", 2L)))
   }
+
+  test("S4: knownBlockIds resumes past the newest known id (no checkpoint)") {
+    val dir = tempDir("blocklog")
+    val store = new Scd2Store(spark, tempDir("blocklog-store"))
+    import spark.implicits._
+    writeBatch(dir, 1, batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = "v1"))))))
+    writeBatch(dir, 2, batch(2, "b2", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = "v2"))))))
+
+    // store already holds b1 (newest-first known list) but has NO Spark
+    // checkpoint — the handshake must skip file 1 and consume only file 2
+    val q = Pipeline.start(
+      spark.readStream.format(fmt).option("path", dir)
+        .option("knownBlockIds", "b1").load().as[String],
+      store, tempDir("blocklog-ckpt2"))
+    try q.processAllAvailable() finally q.stop()
+
+    val versions = store.table("agents")
+      .select("name", "start_block_num").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+    // only v2 ingested: v1's file was before the negotiated resume point
+    assert(versions === Seq(("v2", 2L)))
+    assert(store.maxBlock() === Some(2L))
+  }
+
+  test("S4: fully unknown ids fall back to genesis and replay the log") {
+    val dir = tempDir("blocklog")
+    val store = new Scd2Store(spark, tempDir("blocklog-store"))
+    import spark.implicits._
+    writeBatch(dir, 1, batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = "v1"))))))
+
+    val q = Pipeline.start(
+      spark.readStream.format(fmt).option("path", dir)
+        .option("knownBlockIds", "orphan1,orphan2").load().as[String],
+      store, tempDir("blocklog-ckpt3"))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(store.live("agents").select("name").as[String].collect().toSeq === Seq("v1"))
+  }
 }
