@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.operators.{Dedup, Events, Extras, Multimodal, Relational, Similarity, Temporal, Text}
+import graft.operators.{Corpus, Dedup, Events, Extras, Multimodal, Relational, Similarity, Temporal, Text}
 import graft.sds.E2eQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +12,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.defs ++ Temporal.defs ++ Text.defs ++ Dedup.defs ++
       Similarity.defs ++ Events.defs ++ Multimodal.defs ++ Extras.defs ++
-      E2eQueries.defs
+      E2eQueries.defs ++ Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

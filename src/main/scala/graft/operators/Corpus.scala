@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Corpus-preparation operators for training-data pipelines (driver
+  * mandate, SURVEY.md §2.6): stratified sampling for data mixing, PII
+  * redaction, and token-budget context packing.
+  *
+  * Scale posture: every operator here is per-row or one-window-per-shard —
+  * no joins, no driver-side state. Sampling is deterministic (hash-based,
+  * no RNG) so a 100 TB re-run reproduces the same corpus split, and the
+  * oracle can recompute it bit-identically; that determinism is the whole
+  * point for training-data lineage.
+  */
+object Corpus {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Per-language keep rates for q60 (downsample the dominant language,
+    * near-keep the rest — the classic data-mixing move). */
+  private val SampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.35, "zh" -> 0.90, "es" -> 0.90, "de" -> 0.90, "fr" -> 0.90)
+
+  /** q63's packing budget (tokens per context window) and shard count. */
+  private val PackBudget = 256
+  private val PackShards = 8
+
+  val defs: Seq[Q] = Seq(
+    // ---- q60: stratified deterministic hash sampling --------------------
+    // Training-data mixing: keep each doc iff a uniform [0,1) draw derived
+    // from md5 of its id falls under its language's rate. Hash-based, not
+    // RNG-based: the sample is reproducible across runs/cluster sizes,
+    // joinable against lineage, and the oracle recomputes it exactly
+    // (md5 is bit-identical in DuckDB). Per-row map-side work — the only
+    // exchange is the final presentation sort.
+    Q("q60_stratified_sample", {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH u AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x'||substr(md5('s60:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      / 4294967296.0 AS draw,
+        |    CASE lang $rateCase ELSE 1.0 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM u
+        |WHERE draw < rate ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val draw = conv(substring(md5(concat(lit("s60:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0)
+      val rate = SampleRates.foldRight(lit(1.0)) { case ((l, r), acc) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      docs(s, dir)
+        .filter(draw < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- q61: PII redaction ---------------------------------------------
+    // Regex masking of emails/phones with per-doc match counts. The
+    // fixture text is synthetic, so PII is injected deterministically
+    // (same expression on both sides) before redaction — the operator
+    // under test is the redact/count pipeline, which is pure per-row
+    // regexp work (codegen'd, zero shuffle until the presentation sort).
+    // Patterns stay in the Java∩RE2 common subset so Spark and DuckDB
+    // agree; DuckDB needs the 'g' flag to match Spark's replace-all.
+    Q("q61_pii_redaction", {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+        |    '$phone', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .withColumn("t", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q63: token-budget context packing ------------------------------
+    // Concat-and-chunk packing (the GPT-style pretraining layout): docs in
+    // id order are laid head-to-tail per shard and cut into fixed
+    // token-budget windows; a doc's window is floor(tokens-before /
+    // budget), its offset the remainder. One cumulative-sum window per
+    // shard — shards are independent, so at 100 TB this is
+    // embarrassingly parallel across shards and the per-shard window is
+    // a single sort+scan (no iterative bin-packing, which would be
+    // sequential by construction). Integer arithmetic end-to-end =
+    // exact oracle parity; DuckDB's HUGEINT window sum is cast back.
+    Q("q63_token_packing",
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % $PackShards AS shard,
+        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(cum_before / $PackBudget.0) AS BIGINT) AS window_id,
+        |  cum_before % $PackBudget AS offset_in_window
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+          size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(col("cum_before") / PackBudget).as("window_id"),
+          (col("cum_before") % PackBudget).as("offset_in_window"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -94,6 +94,116 @@ object Dedup {
       |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)""".stripMargin
   }
 
+  /** Label-propagation round cap for q59. Near-dup components are
+    * quasi-cliques (diameter 2-3); the cap only guards adversarial
+    * chains, where the large/small-star variant would be the real fix. */
+  private val MaxCcRounds = 20
+
+  // ---- shared MinHash-LSH candidate generation (q30, q59) ---------------
+
+  /** DuckDB CTE chain ending in `cand(doc1, doc2, n_equal, est_jaccard)`:
+    * pairs sharing ≥1 LSH band bucket, scored by signature agreement,
+    * kept at est_jaccard ≥ 0.5. Verbatim-shared by q30 and q59 so the
+    * two oracles can never drift apart. */
+  private val lshCandSqlCtes: String = {
+    val mhSelect = (0 until MinhashK)
+      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    val bands = (0 until MinhashK / 2)
+      .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b")
+    val eqSum = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bandMatch = (0 until MinhashK / 2)
+      .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    s"""sh AS ($shinglesSql),
+      |sig AS (SELECT doc_id, $mhSelect FROM sh GROUP BY doc_id),
+      |sigb AS (SELECT *, ${bands.mkString(", ")} FROM sig),
+      |cand AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    CAST($eqSum AS BIGINT) AS n_equal,
+      |    CAST($eqSum AS DOUBLE) / $MinhashK AS est_jaccard
+      |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)
+      |  WHERE CAST($eqSum AS DOUBLE) / $MinhashK >= 0.5)""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs (doc1 < doc2, est_jaccard ≥ 0.5) — the
+    * Spark twin of `lshCandSqlCtes`, shared by q30 and q59.
+    *
+    * k parallel min(md5) aggregates: codegen'd, hash-aggregated, and
+    * map-side combined — measured ~10× faster than the typed MinHashAgg
+    * Aggregator form (graft.functions.MinHashAgg), which pays encoder
+    * conversion per input row. Signatures are tiny (1 row/doc) but their
+    * subtree (shingle explosion + aggs) is expensive — persist so the
+    * band join evaluates it once, not once per side. Candidate
+    * generation explodes to (band_idx, bucket) and self-joins on the
+    * bucket key — never an all-pairs product; signatures ride along so
+    * no re-join with `sig` is needed afterwards, and duplicate pairs
+    * from multi-band matches collapse in the final groupBy. */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mhAggs = (0 until MinhashK).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
+    val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+    }
+    val buckets = sigb.select(
+      col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
+        posexplode(array((0 until MinhashK / 2).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "bucket")): _*)
+    val nEqual = (0 until MinhashK)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        nEqual.cast("long").as("n_equal"))
+      .groupBy("doc1", "doc2")
+      .agg(first(col("n_equal")).as("n_equal"))
+      .withColumn("est_jaccard", col("n_equal").cast("double") / MinhashK)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc1", "doc2", "n_equal", "est_jaccard")
+  }
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected pair list (columns `doc1`, `doc2`). Returns one row per
+    * node: (doc_id, canonical_id = component min, group_size). Each round
+    * every node takes the min of its own and its neighbours' labels —
+    * one equi-join + one aggregation per round, rounds = component
+    * diameter; the convergence probe is a driver-side emptiness check,
+    * not a data collect. See q59's scaladoc for the large/small-star
+    * switch point at adversarial diameters. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("doc1", "doc2")
+    val und = edges.union(edges.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst").persist()
+    var labels = und.select(col("src").as("node"))
+      .distinct().withColumn("lbl", col("node")).persist()
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxCcRounds) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("node")).agg(min("nlbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+        .persist()
+      converged = next.filter(col("nl") < col("lbl")).isEmpty
+      val prev = labels
+      labels = next.select(col("node"), col("nl").as("lbl"))
+      prev.unpersist()
+      round += 1
+    }
+    val groups = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
+    labels.join(broadcast(groups), "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
+        col("group_size"))
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- q28: exact dedup (hash-groupBy) --------------------------------
     Q("q28_dedup_exact",
@@ -178,63 +288,44 @@ object Dedup {
     // 2-per-band into 4 buckets; candidate pairs share ≥1 bucket and are
     // scored by signature agreement. Candidate generation touches only
     // (band, bucket) groups — the join that still works at 100 TB.
-    Q("q30_dedup_minhash_lsh", {
-      val mhSelect = (0 until MinhashK)
-        .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
-      val bands = (0 until MinhashK / 2)
-        .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b")
-      val eqSum = (0 until MinhashK)
-        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-      val bandMatch = (0 until MinhashK / 2)
-        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
-      s"""WITH sh AS ($shinglesSql),
-        |sig AS (SELECT doc_id, $mhSelect FROM sh GROUP BY doc_id),
-        |sigb AS (SELECT *, ${bands.mkString(", ")} FROM sig)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  CAST($eqSum AS BIGINT) AS n_equal,
-        |  CAST($eqSum AS DOUBLE) / $MinhashK AS est_jaccard
-        |FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)
-        |WHERE CAST($eqSum AS DOUBLE) / $MinhashK >= 0.5
-        |ORDER BY doc1, doc2""".stripMargin
-    }) { (s, dir) =>
-      val sh = shingles(s, dir)
-      // k parallel min(md5) aggregates: codegen'd, hash-aggregated, and
-      // map-side combined — measured ~10× faster than the typed
-      // MinHashAgg Aggregator form (graft.functions.MinHashAgg), which
-      // pays encoder conversion per input row. Signatures are tiny
-      // (1 row/doc) but their subtree (shingle explosion + aggs) is
-      // expensive — persist so the band join evaluates it once, not once
-      // per side.
-      val mhAggs = (0 until MinhashK).map(i =>
-        min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-      val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
-      val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
-        df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
-      }
-      // candidate generation: explode to (band_idx, bucket) and self-join
-      // on the bucket key — never an all-pairs product. Signatures ride
-      // along so no re-join with `sig` is needed afterwards; duplicate
-      // pairs from multi-band matches collapse in the final groupBy.
-      val buckets = sigb.select(
-        col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
-          posexplode(array((0 until MinhashK / 2).map(b => col(s"band$b")): _*))
-            .as(Seq("band_idx", "bucket")): _*)
-      val nEqual = (0 until MinhashK)
-        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      buckets.as("x")
-        .join(buckets.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-          nEqual.cast("long").as("n_equal"))
-        .groupBy("doc1", "doc2")
-        .agg(first(col("n_equal")).as("n_equal"))
-        .withColumn("est_jaccard", col("n_equal").cast("double") / MinhashK)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("doc1", "doc2", "n_equal", "est_jaccard")
-        .orderBy("doc1", "doc2")
+    Q("q30_dedup_minhash_lsh",
+      s"""WITH $lshCandSqlCtes
+        |SELECT doc1, doc2, n_equal, est_jaccard FROM cand
+        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      lshCandidatePairs(s, dir).orderBy("doc1", "doc2")
+    },
+
+    // ---- q59: duplicate-group resolution (connected components) ---------
+    // The step real training pipelines need AFTER candidate pairs: near-dup
+    // pairs are edges, the keep/drop decision needs the connected
+    // components — every doc labeled with its component's min doc_id (the
+    // canonical copy). Spark side: iterative min-label propagation — each
+    // round every node takes the min of its own and its neighbours'
+    // labels; one shuffle per round, rounds = component diameter, which
+    // for near-dup clusters is 2-3 (they are quasi-cliques). The
+    // convergence probe is a driver-side emptiness check, not a data
+    // collect. On adversarial long-chain graphs the alternating
+    // large-star/small-star variant (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond") forces O(log n) rounds with
+    // the same per-round join shape — MaxCcRounds documents that switch
+    // point. Oracle: DuckDB recursive CTE (min reachable node).
+    Q("q59_dedup_groups_cc",
+      s"""WITH RECURSIVE $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lbl AS (
+        |  SELECT node, least(node, min(r)) AS canonical_id
+        |  FROM reach GROUP BY node)
+        |SELECT node AS doc_id, canonical_id,
+        |  CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS group_size
+        |FROM lbl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      connectedComponents(lshCandidatePairs(s, dir).select("doc1", "doc2"))
+        .orderBy("doc_id")
     },
 
     // ---- q31: SimHash (16-bit, per-row — zero-shuffle signatures) -------

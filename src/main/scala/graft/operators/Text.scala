@@ -239,6 +239,65 @@ object Text {
         .filter(col("_matched") === queryTerms.length) // AND semantics
         .select("doc_id", "tf_total", "relevance")
         .orderBy(col("relevance").desc, col("doc_id"))
+    },
+
+    // ---- q62: BM25 ranking (OR semantics, length-normalized) ------------
+    // Okapi BM25 over the q55 postings shape: idf(t)·tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)) summed over matched query terms — the
+    // ranking function real retrieval/dataset-curation stacks use where
+    // q55's tf-idf is the teaching form. OR semantics (any term matches)
+    // vs q55's AND. Same scale shape as q55: postings filtered to query
+    // terms before the one exchange; df/N/avgdl are tiny broadcast
+    // aggregates. avgdl is derived as exact-long sum ÷ exact-long count
+    // (not avg()) so Spark and DuckDB hit identical IEEE operations.
+    Q("q62_bm25_rank", {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |p AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term IN ('sort', 'hash', 'scan') GROUP BY doc_id, term),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
+        |SELECT p.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    (tf * ${k1 + 1}) /
+        |    (tf + $k1 * (1 - $b + $b * dl.dl /
+        |      (CAST(tot AS DOUBLE) / n_docs)))), 4) AS bm25
+        |FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY p.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      val (k1, b) = (1.2, 0.75)
+      val queryTerms = Seq("sort", "hash", "scan")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      val postings = toks
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val score = idf * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / avgdl))
+      postings
+        .join(broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          round(sum(score), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

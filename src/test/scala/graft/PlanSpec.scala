@@ -60,4 +60,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("like"), "search must not rescan text")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q59: component labeling never leaves equi-join land") {
+    val p = plan("q59_dedup_groups_cc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "label propagation must join on node keys only")
+  }
+
+  test("q62: BM25 stats join by broadcast, postings filtered before exchange") {
+    val p = plan("q62_bm25_rank")
+    assert(p.contains("BroadcastHashJoin"), "df stats should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 should be TakeOrdered")
+  }
+
+  test("q60/q61/q63: corpus prep ops are join-free (per-row / per-shard)") {
+    for (q <- Seq("q60_stratified_sample", "q61_pii_redaction", "q63_token_packing")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should have no join: ${p.take(800)}")
+    }
+  }
 }

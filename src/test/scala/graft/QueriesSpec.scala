@@ -12,7 +12,7 @@ class QueriesSpec extends SparkSpec {
     // legitimately empty at tiny scale: near-dup thresholds may not fire
     Set("q29_dedup_ngram_jaccard", "q30_dedup_minhash_lsh",
       "q32_dedup_embedding_cosine", "q43_range_join",
-      "q07_customers_without_orders")
+      "q07_customers_without_orders", "q59_dedup_groups_cc")
 
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} runs and has a sane shape") {
