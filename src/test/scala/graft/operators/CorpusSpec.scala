@@ -8,16 +8,22 @@ import graft.SparkSpec
   * oracle hash-compare can't express directly. */
 class CorpusSpec extends SparkSpec {
 
-  test("connectedComponents labels a 4-chain and an isolated pair") {
+  test("connectedComponents labels a 4-chain and an isolated pair (both paths)") {
     import spark.implicits._
     // 1-2-3-4 chain (diameter 3 forces multiple propagation rounds) + 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc1", "doc2")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got === Set(
+    val want = Set(
       (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
-      (10L, 10L, 2L), (11L, 10L, 2L)))
+      (10L, 10L, 2L), (11L, 10L, 2L))
+    // small-graph union-find path
+    val uf = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uf === want)
+    // distributed label-propagation path (threshold forced to 0)
+    val lp = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lp === want)
   }
 
   test("q59 groups are consistent with q30 pairs (every pair co-labeled)") {
