@@ -46,9 +46,15 @@ object Dedup {
     * array element, so inlining split(norm(text)) there would re-run the
     * whole normalize+split chain once per shingle position (~80× per
     * doc). As an attribute it is computed once per row. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(docs(s, dir))
+
+  /** Distinct word-3-gram shingles (doc_id, s) for any (doc_id, text)
+    * frame — the generic form behind the fixture-table `shingles`, also
+    * fed by the streaming incremental dedup. */
+  private[graft] def shinglesOf(docsDf: DataFrame): DataFrame = {
     val w = col("_w")
-    docs(s, dir)
+    docsDf
       .withColumn("_w", split(norm(col("text")), " "))
       // <3 words ⇒ no shingles (same as the oracle's empty range);
       // without the guard sequence(1, size-2) would count DOWN through 0
@@ -142,18 +148,38 @@ object Dedup {
     * bucket key — never an all-pairs product; signatures ride along so
     * no re-join with `sig` is needed afterwards, and duplicate pairs
     * from multi-band matches collapse in the final groupBy. */
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** Banded MinHash signatures for any (doc_id, text) frame: one row per
+    * doc with mh0..mh{k-1} plus band0..band{k/2-1} bucket hashes. Pure
+    * map-side after the one shingle→signature shuffle. */
+  private[graft] def minhashBandedSignatures(docsDf: DataFrame): DataFrame = {
     val mhAggs = (0 until MinhashK).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
-    val sigb = (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
+    val sig = shinglesOf(docsDf).groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+    (0 until MinhashK / 2).foldLeft(sig) { (df, b) =>
       df.withColumn(s"band$b", md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
     }
-    val buckets = sigb.select(
-      col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
-        posexplode(array((0 until MinhashK / 2).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "bucket")): _*)
+  }
+
+  /** Explode a banded-signature frame to one row per (band_idx, bucket) —
+    * the LSH candidate-join key. All non-band columns (signatures plus
+    * any caller-attached flags) ride along. */
+  private[graft] def explodeBandBuckets(sigb: DataFrame): DataFrame = {
+    val bandCols = sigb.columns.filter(_.startsWith("band")).map(col)
+    val keep = sigb.columns.filterNot(_.startsWith("band")).map(col)
+    sigb.select(keep :+
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "bucket")): _*)
+  }
+
+  /** Signature-agreement estimate between two aliased bucket rows. */
+  private[graft] def sigAgreement(left: String, right: String): Column =
+    (0 until MinhashK)
+      .map(i => when(col(s"$left.mh$i") === col(s"$right.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashK
+
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sigb = minhashBandedSignatures(docs(s, dir)).persist()
+    val buckets = explodeBandBuckets(sigb)
     val nEqual = (0 until MinhashK)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.Dedup
+
+/** Incremental near-duplicate detection over a document STREAM — the
+  * production shape of q30/q59: new docs arrive continuously and must be
+  * checked against everything already accepted, without ever rescanning
+  * the corpus.
+  *
+  * Design (per micro-batch, inside `foreachBatch`):
+  *   1. MinHash-band signatures of the batch docs (map-side per doc —
+  *      `Dedup.minhashBandedSignatures`, identical arithmetic to q30, so
+  *      batch and backfill classify identically);
+  *   2. LSH bucket join of batch signatures against the signature STORE
+  *      plus the batch itself (earlier-id-wins within a batch). The join
+  *      touches only matching (band, bucket) groups — per-batch cost is
+  *      O(batch × bucket collision rate), independent of corpus size;
+  *   3. verdicts emitted: each new doc's best match ≥ threshold;
+  *   4. batch signatures appended to the store (blind append — no
+  *      rewrite; the store is the index and grows with the corpus, ~100
+  *      bytes/doc, partition-prunable by band bucket at scale. Appended
+  *      ONLY after verdict output so a failed batch retries cleanly —
+  *      re-detection is idempotent, re-append of a replayed batch is
+  *      filtered by an anti-join on doc_id).
+  *
+  * Store compaction: blind appends accumulate small files; the same
+  * rare-compaction policy as the SCD2 segment log applies (rewrite when
+  * file count crosses a threshold), amortized O(1) per batch.
+  */
+object IncrementalDedup {
+  /** q30's threshold: candidate pairs at ≥ half the signature agreeing. */
+  val DefaultThreshold = 0.5
+
+  private def storeSigs(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(spark.read.parquet(storeDir))
+    else None
+  }
+
+  /** Process one micro-batch of (doc_id, text): emit duplicate verdicts
+    * (doc_id, dup_of, est_jaccard) against the store and earlier batch
+    * docs, then append the batch's signatures to the store. Callable
+    * directly (batch mode) or from `stream`'s foreachBatch. */
+  def processBatch(batchDocs: DataFrame, storeDir: String,
+                   threshold: Double = DefaultThreshold): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
+
+    val store = storeSigs(spark, storeDir)
+    // candidate targets: the store (always eligible) + earlier batch ids
+    val target = store match {
+      case Some(st) => st.withColumn("is_store", lit(true))
+        .unionByName(batchSigs.withColumn("is_store", lit(false)))
+      case None => batchSigs.withColumn("is_store", lit(false))
+    }
+    val x = Dedup.explodeBandBuckets(batchSigs).as("x")
+    val y = Dedup.explodeBandBuckets(target).as("y")
+    val est = Dedup.sigAgreement("x", "y")
+    val verdicts = x
+      .join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          (col("y.is_store") || col("y.doc_id") < col("x.doc_id")))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+        est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      // best match per doc: highest agreement, ties to the lowest id
+      // (struct max is lexicographic: est_jaccard first, then -dup_of)
+      .groupBy("doc_id")
+      .agg(max(struct(col("est_jaccard"), (-col("dup_of")).as("neg"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("dup_of"),
+        col("best.est_jaccard").as("est_jaccard"))
+    // Pin the verdicts BEFORE mutating the store: the append below
+    // invalidates (by path) any cache over the store read, and a plain
+    // persist would silently recompute against the post-append store —
+    // matching every doc to its own freshly appended signature.
+    // localCheckpoint truncates the lineage eagerly, so the result is
+    // immune to the recache.
+    val out = verdicts.localCheckpoint(true)
+
+    // idempotent append: drop ids the store already has (batch replay)
+    val fresh = store match {
+      case Some(st) => batchSigs.join(st.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => batchSigs
+    }
+    fresh.write.mode(SaveMode.Append).parquet(storeDir)
+    batchSigs.unpersist()
+    out
+  }
+
+  /** Wire a streaming (doc_id, text) source through per-batch detection;
+    * verdicts are handed to `onVerdicts` (e.g. a sink write). */
+  def stream(docs: DataFrame, storeDir: String, checkpointDir: String,
+             threshold: Double = DefaultThreshold)(
+      onVerdicts: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onVerdicts(processBatch(batch, storeDir, threshold), id)
+      }
+}
