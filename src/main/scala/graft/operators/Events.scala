@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
@@ -176,6 +177,35 @@ object Events {
         .select(col("user_id"), col("e1"), col("e2"),
           (col("us2") - col("us1")).as("dt_us"))
         .orderBy("user_id", "e1", "e2")
+    },
+
+    // ---- q65: event-type transition matrix (behavioral bigrams) ---------
+    // Per-user ordered event streams → successor pairs via one lead()
+    // window → global (from, to) counts with per-source transition
+    // probability: the Markov-chain view behind funnel diagnostics and
+    // session simulators. Two shuffles total — the per-user window
+    // (partitioned by user_id, so it scales with the user count) and the
+    // tiny (|types|²-bounded) transition aggregation.
+    Q("q65_event_transitions",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead("event_type", 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(
+          col("n") / sum("n").over(W.partitionBy("from_type")).cast("double"), 6))
+        .orderBy("from_type", "to_type")
     }
   )
 }

@@ -95,6 +95,22 @@ object IncrementalDedup {
     out
   }
 
+  /** Compact the blind-append signature store into `targetFiles` files.
+    * Run rarely (every N batches / on file-count threshold) — amortized
+    * O(1) per batch; the store contents are unchanged, so detection
+    * before and after compaction is identical. The tmp-write + rename
+    * keeps a crash from losing the store (worst case: stale tmp dir). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   targetFiles: Int = 8): Unit =
+    storeSigs(spark, storeDir).foreach { st =>
+      val tmp = storeDir + ".compact"
+      st.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+
   /** Wire a streaming (doc_id, text) source through per-batch detection;
     * verdicts are handed to `onVerdicts` (e.g. a sink write). */
   def stream(docs: DataFrame, storeDir: String, checkpointDir: String,

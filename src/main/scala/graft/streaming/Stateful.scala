@@ -50,4 +50,44 @@ object Stateful {
   def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** The same running totals on the transformWithState API (Spark 4's
+    * arbitrary-state operator, successor to flatMapGroupsWithState):
+    * typed ValueState per key, explicit TimeMode/TTL surface, RocksDB
+    * state store required. Kept semantically identical to
+    * `runningUserTotals` — `StatefulSpec` asserts both implementations
+    * emit the same totals on the same stream — so migrating a pipeline
+    * between the two APIs is a mechanical swap. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      if (n == prev.n_events) Iterator.empty
+      else {
+        val now = UserTotals(user, n, s)
+        totals.update(now)
+        Iterator.single(now)
+      }
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

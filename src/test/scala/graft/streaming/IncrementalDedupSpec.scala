@@ -48,6 +48,16 @@ class IncrementalDedupSpec extends SparkSpec {
     // at full agreement, so the verdict stays stable via the store path
     assert(replay.contains(10L) && replay.contains(11L))
     assert(spark.read.parquet(store).count() === sizeBefore, "replay grew the store")
+
+    // compaction: same contents, bounded file count, detection unchanged
+    IncrementalDedup.compactStore(spark, store, targetFiles = 2)
+    assert(spark.read.parquet(store).count() === sizeBefore, "compaction changed contents")
+    val files = new java.io.File(store).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"$files files after compaction")
+    val v3 = IncrementalDedup.processBatch(docsDf(30L -> nearCopy), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v3(30L) === 1L, s"post-compaction detection: $v3")
   }
 
   test("streaming path: foreachBatch over MemoryStream produces the same verdicts") {

@@ -37,6 +37,39 @@ class StatefulSpec extends SparkSpec {
     assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
   }
 
+  test("transformWithState: same totals as flatMapGroupsWithState on the same stream") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val query = Stateful.runningUserTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("running_totals_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 2.0),
+          UserEvent(1, ts("2024-01-01 00:01:00"), 3.0),
+          UserEvent(2, ts("2024-01-01 00:00:30"), 10.0))
+        query.processAllAvailable()
+        mem.addData(UserEvent(1, ts("2024-01-01 01:00:00"), 5.0))
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val rows = spark.table("running_totals_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // identical emissions to the flatMapGroupsWithState test above
+      assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[graft.streaming.Ev]
