@@ -15,5 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       CosineSim.info,
       children => CosineSim(children.head, children(1))))
+    // whole-operator extension: partial→final per-key top-k (plans the
+    // TopKPerKeyNode logical operator; see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -208,6 +208,25 @@ object Extras {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           count(lit(1)).over(w).as("n_similar_cheaper"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- q66: per-key top-k via the custom physical operator ------------
+    // Same answer as q08's window row_number form, but planned through
+    // graft.plans.TopKPerKeyNode: partial per-partition bounded heaps →
+    // exchange carrying only partial winners → final merge. The oracle
+    // states the declarative row_number semantics; `TopKPerKeySpec`
+    // additionally asserts plan shape and window-form equivalence.
+    Q("q66_topk_custom",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.perKey(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").desc)
     }
   )
 }

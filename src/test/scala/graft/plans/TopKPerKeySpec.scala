@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The custom top-k operator must (a) agree exactly with the window
+  * row_number formulation, (b) plan as partial→exchange→final so the
+  * shuffle carries only partial winners. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def orders = Tables.load(spark, sf001, "orders")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  test("agrees with the window row_number formulation (composite tiebreak)") {
+    // deterministic order: price desc, then orderkey desc via struct
+    val got = TopK.perKey(orders, Seq("o_custkey"),
+      struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+      .select("o_custkey", "o_orderkey")
+
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val want = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_custkey", "o_orderkey")
+
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("plans as partial→exchange→final; ascending variant works") {
+    val df = TopK.perKey(orders, Seq("o_custkey"), col("o_totalprice"), 2,
+      ascending = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // the exchange sits BETWEEN the two phases: final above, partial below
+    val first = plan.indexOf("TopKPerKey ")
+    val ex = plan.indexOf("Exchange hashpartitioning")
+    val second = plan.indexOf("TopKPerKey ", first + 1)
+    assert(first >= 0 && first < ex && ex < second, plan.take(1500))
+
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+    val want = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    // ascending top-k = k smallest; compare only the retained price set
+    // per customer (ties on price may legitimately pick different rows)
+    val gotAgg = df.groupBy("o_custkey")
+      .agg(sort_array(collect_list("o_totalprice")).as("ps"))
+    val wantAgg = want.groupBy("o_custkey")
+      .agg(sort_array(collect_list("o_totalprice")).as("ps"))
+    assert(gotAgg.exceptAll(wantAgg).isEmpty && wantAgg.exceptAll(gotAgg).isEmpty)
+  }
+
+  test("groups smaller than k pass through whole") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 20L, 1.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val got = TopK.perKey(tiny, Seq("o_custkey"), col("o_totalprice"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 20L)))
+  }
+}
