@@ -407,6 +407,37 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- q67: dedup applied — the cleaned corpus ------------------------
+    // The last step of the dedup story: drop every non-canonical member
+    // of a near-dup group (q59's components) and keep the rest of the
+    // corpus untouched. One anti-join of the corpus against the (tiny)
+    // drop list — at 100 TB the drop list is a broadcast, so cleaning is
+    // a map-side filter over the full scan.
+    Q("q67_dedup_apply",
+      s"""WITH RECURSIVE $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lbl AS (
+        |  SELECT node, least(node, min(r)) AS canonical_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node <> canonical_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val drop = connectedComponents(
+        lshCandidatePairs(s, dir).select("doc1", "doc2"))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id")
+      docs(s, dir)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // ---- q31: SimHash (16-bit, per-row — zero-shuffle signatures) -------
     Q("q31_dedup_simhash",
       s"""WITH $simhashSqlCte
