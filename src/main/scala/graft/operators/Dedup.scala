@@ -100,10 +100,12 @@ object Dedup {
       |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)""".stripMargin
   }
 
-  /** Label-propagation round cap for q59. Near-dup components are
-    * quasi-cliques (diameter 2-3); the cap only guards adversarial
-    * chains, where the large/small-star variant would be the real fix. */
-  private val MaxCcRounds = 20
+  /** Label-propagation round tripwire for q59's large-graph path.
+    * Near-dup components are quasi-cliques (diameter 2-3); a diameter
+    * past this bound means an adversarial chain graph, where the
+    * alternating large/small-star formulation is the real fix — the
+    * loop FAILS LOUDLY rather than returning truncated (wrong) labels. */
+  private val MaxCcRounds = 64
 
   /** Below this many (directed) edges the q59 component graph runs as a
     * single partition — one narrow task per propagation round. */
@@ -259,7 +261,11 @@ object Dedup {
       .toDF("node", "lbl")
   }
 
-  /** Large-graph path: distributed min-label propagation to fixpoint. */
+  /** Large-graph path: distributed min-label propagation to fixpoint.
+    * Always runs to convergence (≤ diameter rounds, so termination is
+    * guaranteed); MaxCcRounds is a loud-failure tripwire, NOT a silent
+    * truncation — labels from a truncated loop would be wrong, so
+    * exceeding it throws with the large/small-star pointer instead. */
   private def propagateLabels(und: DataFrame): DataFrame = {
     var labels = und.select(col("src").as("node"))
       .distinct().withColumn("lbl", col("node")).persist()
@@ -280,6 +286,10 @@ object Dedup {
       prev.unpersist()
       round += 1
     }
+    require(converged,
+      s"component labeling did not converge within $MaxCcRounds rounds — " +
+        "graph diameter is adversarial; switch to the alternating " +
+        "large/small-star formulation (Kiveris et al.) for this input")
     labels
   }
 

@@ -25,7 +25,7 @@ object Extras {
         |GROUP BY y
         |ORDER BY y""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).as("y"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .count()
         .na.fill(0L, Seq("F", "O", "P"))

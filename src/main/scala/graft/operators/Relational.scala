@@ -178,7 +178,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")
@@ -292,7 +292,8 @@ object Relational {
         |GROUP BY y, m
         |ORDER BY y, m""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("y", "m")
     },
@@ -312,7 +313,7 @@ object Relational {
         .filter(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"),
           upper(col("c_name")).as("uname"),
-          length(col("c_name")).as("name_len"),
+          length(col("c_name")).cast("long").as("name_len"),
           substring(col("c_name"), 1, 9).as("prefix"),
           regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
           concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))

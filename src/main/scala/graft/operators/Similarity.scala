@@ -86,7 +86,7 @@ object Similarity {
       broadcast(q)
         .join(n, col("vec_id") =!= col("query_id"))
         .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
           col("label").as("neighbor_label"), round(col("cos_sim"), 6).as("cos_sim"))
@@ -98,7 +98,7 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-        |             $bucketSql AS bucket FROM e),
+        |             CAST($bucketSql AS BIGINT) AS bucket FROM e),
         |scored AS (
         |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim,
@@ -119,7 +119,7 @@ object Similarity {
       q.join(c, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("bucket"), col("rk"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))
@@ -179,7 +179,7 @@ object Similarity {
       q.join(c, Seq("cluster"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-        .withColumn("rk", row_number().over(rk))
+        .withColumn("rk", row_number().over(rk).cast("long"))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"))

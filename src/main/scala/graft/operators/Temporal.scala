@@ -134,7 +134,7 @@ object Temporal {
       val all = Window.partitionBy(col("o_custkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          row_number().over(byTime).as("version_no"),
+          row_number().over(byTime).cast("long").as("version_no"),
           count(lit(1)).over(all).as("n_versions"))
         .orderBy("o_custkey", "version_no")
     },

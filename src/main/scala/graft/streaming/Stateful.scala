@@ -90,4 +90,62 @@ object Stateful {
       .transformWithState(new RunningTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  /** Closed session per user: emitted only when the event-time TIMER
+    * fires (watermark passes last-event-time + gap) — the pattern the
+    * built-in session_window can't express when the close-out must run
+    * custom logic (final scoring, side outputs, state cleanup order). */
+  case class SessionSummary(user_id: Long, n_events: Long, sum_value: Double,
+                            session_end_ms: Long)
+
+  /** Event-time sessionization with timer-driven close-out on
+    * transformWithState: state accumulates per key; each batch re-arms
+    * one timer at last-event-time + gap; when the watermark crosses it,
+    * handleExpiredTimer emits the summary and clears state. State and
+    * timers both live in the (RocksDB) state store, partitioned by key —
+    * nothing driver-side. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, SessionSummary] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionSummary]("session",
+        org.apache.spark.sql.Encoders.product[SessionSummary],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
+      val prev = if (sess.exists()) sess.get() else SessionSummary(user, 0L, 0.0, 0L)
+      var n = prev.n_events
+      var s = prev.sum_value
+      var lastMs = prev.session_end_ms
+      rows.foreach { e => n += 1; s += e.value; lastMs = math.max(lastMs, e.ts.getTime) }
+      if (n != prev.n_events) {
+        // re-arm: one live timer per key (delete the stale one first)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(lastMs + gapMs)
+        sess.update(SessionSummary(user, n, s, lastMs))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = if (sess.exists()) Iterator.single(sess.get()) else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  def sessionTotalsWithTimers(events: Dataset[UserEvent], watermark: String,
+                              gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -70,6 +70,47 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: sessions close when the watermark passes the gap") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      // zero watermark delay: the watermark tracks max seen event time,
+      // so timer firing is deterministic per batch
+      val query = Stateful.sessionTotalsWithTimers(mem.toDS(),
+        watermark = "0 seconds", gapMs = 10 * 60 * 1000)
+        .writeStream.format("memory").queryName("session_timers")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 2.0),
+          UserEvent(1, ts("2024-01-01 00:01:00"), 3.0))
+        query.processAllAvailable()
+        assert(spark.table("session_timers").isEmpty,
+          "session must stay open while the watermark is behind the gap")
+
+        // a later event from ANOTHER user pushes the watermark past
+        // user 1's gap → user 1's timer fires, session emitted
+        mem.addData(UserEvent(2, ts("2024-01-01 01:00:00"), 7.0))
+        query.processAllAvailable()
+        mem.addData(UserEvent(2, ts("2024-01-01 01:00:01"), 1.0))
+        query.processAllAvailable()
+
+        val rows = spark.table("session_timers")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows === Set((1L, 2L, 5.0)),
+          s"user 1's session should be the only closed one: ${rows.mkString(",")}")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[graft.streaming.Ev]
