@@ -227,6 +227,37 @@ object Extras {
         t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
         Seq("o_custkey"), struct(col("o_totalprice"), col("o_orderkey")), k = 3)
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").desc)
+    },
+
+    // ---- q68: statistical aggregates (corr / covar / stddev / regr) -----
+    // The OLAP statistics surface: Pearson correlation, sample
+    // covariance/stddev/variance, and the regr_* linear-fit pair —
+    // per-group, single aggregation pass (each is a map-side-combinable
+    // moment accumulation, so the plan is the same two-stage hash agg as
+    // any sum). Rounded at 4 dp: the co-moment merges are
+    // order-sensitive at ~1e-12 relative, same determinism budget as
+    // q01's sums.
+    Q("q68_stat_funcs",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
+        .orderBy("l_returnflag")
     }
   )
 }
