@@ -111,6 +111,48 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // ---- q69: temperature-scaled mixture sampling -----------------------
+    // The multilingual-mix rule real pretraining corpora use: sampling
+    // weight per language ∝ count^α (α < 1 upsamples the tail relative
+    // to its natural share), normalized to a target corpus size, capped
+    // at keeping everything. Same md5 draw as q60 ⇒ reproducible; the
+    // per-language rates derive from corpus statistics, so the whole
+    // operator is two tiny aggregates broadcast over a per-row filter.
+    Q("q69_temperature_sample", {
+      val alpha = 0.5
+      val targetFrac = 0.6 // target corpus size = 60% of the original
+      s"""WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_l) AS BIGINT) AS n, sum(pow(n_l, $alpha)) AS z FROM stats),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1.0, (pow(n_l, $alpha) / z) * ($targetFrac * n) / n_l) AS rate
+        |  FROM stats CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate FROM documents d
+        |JOIN rates r USING (lang)
+        |WHERE ('0x'||substr(md5('s69:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      / 4294967296.0 < r.rate
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val alpha = 0.5
+      val targetFrac = 0.6
+      val stats = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val tot = stats.agg(sum("n_l").as("n"), sum(pow(col("n_l"), alpha)).as("z"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(1.0),
+            (pow(col("n_l"), alpha) / col("z")) * (lit(targetFrac) * col("n")) / col("n_l"))
+            .as("rate"))
+      val draw = conv(substring(md5(concat(lit("s69:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0)
+      docs(s, dir)
+        .join(broadcast(rates), "lang")
+        .filter(draw < col("rate"))
+        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    },
+
     // ---- q63: token-budget context packing ------------------------------
     // Concat-and-chunk packing (the GPT-style pretraining layout): docs in
     // id order are laid head-to-tail per shard and cut into fixed

@@ -258,6 +258,36 @@ object Extras {
           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- q70: ranking window functions (ntile / percent_rank / ...) -----
+    // The remaining window-rank surface: rank/dense_rank exercise
+    // SQL-standard tie semantics on the raw price; ntile needs a TOTAL
+    // order (tile assignment is positional, so ties must be broken — by
+    // orderkey here) for cross-engine determinism.
+    Q("q70_window_ranks",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER wp AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER wp, 6) AS prnk,
+        |  round(cume_dist() OVER wp, 6) AS cdist,
+        |  CAST(ntile(4) OVER wt AS BIGINT) AS quartile
+        |FROM orders
+        |WHERE o_custkey % 150 = 0
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val wp = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      val wt = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 150 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(wp).cast("long").as("rnk"),
+          dense_rank().over(wp).cast("long").as("drnk"),
+          round(percent_rank().over(wp), 6).as("prnk"),
+          round(cume_dist().over(wp), 6).as("cdist"),
+          ntile(4).over(wt).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
