@@ -44,7 +44,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // keep the SQL map in lockstep with the filter — a full map with a
+    // filtered output dir would make check_oracle FAIL every unselected
+    // query on its missing parquet
+    val json = SparkEntry.oracleSql.filter(q => selected(q._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -131,11 +131,15 @@ object Events {
     // ---- q41: HLL approximate distinct -----------------------------------
     // A sketch can't hash-match another engine's sketch, but the contract
     // can: emit the exact distinct (oracle-checkable) plus a boolean that
-    // the HLL estimate lands within its 5% error budget; DuckDB's side
-    // asserts the literal `true`. ScalaTest additionally bounds the error.
+    // the HLL estimate lands within 10% of exact; DuckDB's side asserts
+    // the literal `true`. 10% = 5 sigma of the configured rsd=0.02 — wide
+    // enough that no dataset/scale the driver picks can trip it through
+    // ordinary sketch error (a trip would mean the sketch is broken),
+    // tight enough to catch real regressions. ScalaTest bounds the error
+    // at the sharper 5% on the fixture data.
     Q("q41_approx_distinct",
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
-        |  count(*) AS n, true AS hll_within_5pct
+        |  count(*) AS n, true AS hll_ok
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
@@ -145,7 +149,7 @@ object Events {
           count(lit(1)).as("n"),
           (abs(approx_count_distinct(col("user_id"), 0.02) -
             countDistinct(col("user_id"))) <=
-            countDistinct(col("user_id")) * lit(0.05)).as("hll_within_5pct"))
+            countDistinct(col("user_id")) * lit(0.10)).as("hll_ok"))
         .orderBy("event_type")
     },
 

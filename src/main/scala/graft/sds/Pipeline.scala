@@ -169,8 +169,9 @@ object Pipeline {
   *    `address` (S2) so deltas are pre-filtered before the wire.
   */
 object ZmqSource {
-  val NullBlockId = "0000000000000000"
-  val KnownCount = 10
+  // single source of truth for the handshake constants: Negotiate
+  val NullBlockId = graft.sources.Negotiate.NullBlockId
+  val KnownCount = graft.sources.Negotiate.KnownCount
   def connect(endpoint: String): Nothing =
     throw new UnsupportedOperationException(
       s"ZMQ validator connector not available in this environment (endpoint=$endpoint); " +

@@ -239,16 +239,29 @@ final class Scd2Store(spark: SparkSession, root: String) {
   }
 
   /** Fold the log into one segment — fork rewind (W4) or periodic
-    * compaction. Staging write executes the read of the old segments
-    * before they are deleted; same (rare) crash window as compactTo. */
+    * compaction.
+    *
+    * Crash ordering: the staging write EXECUTES the read of the old
+    * segments (fold fully materialized first), the fold is PROMOTED
+    * before any old segment is deleted, and only then are the old
+    * segments removed. A crash at any point leaves a readable log:
+    * before the move → old segments intact (fold re-derivable); after
+    * the move, mid-delete → fold + leftover old segments, which
+    * `blocks()` reconciles by max `_seg` (the fold's tag is highest, so
+    * it wins for every block_num it covers). The one visible remnant —
+    * fork-orphaned block_nums absent from a rewound fold but present in
+    * a leftover segment — is healed when Structured Streaming replays
+    * the uncommitted batch and re-runs this compaction. The commit log
+    * is never empty or lost. */
   def compactBlocks(full: DataFrame, tag: Long): Unit = {
     val staging = blockSegRoot.resolve(s"c$tag-staging")
     deleteRecursively(staging)
     full.withColumn("_seg", lit(tag))
       .write.mode("overwrite").parquet(staging.toString)
-    blockSegPaths.foreach(deleteRecursively)
+    val old = blockSegPaths // captured before the fold becomes visible
     deleteRecursively(blockSegRoot.resolve(s"c$tag"))
     Files.move(staging, blockSegRoot.resolve(s"c$tag"))
+    old.foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -305,10 +318,10 @@ final class Scd2Store(spark: SparkSession, root: String) {
 
   /** S3: last `count` known block ids, newest first; genesis fallback
     * NULL_BLOCK_ID (`src/subscriber.rs:20-21,153-178`). */
-  def lastKnownBlockIds(count: Int = 10): Seq[String] = {
+  def lastKnownBlockIds(count: Int = graft.sources.Negotiate.KnownCount): Seq[String] = {
     val ids = table("blocks").orderBy(col("block_num").desc)
       .select("block_id").limit(count).collect().map(_.getString(0)).toSeq
-    if (ids.isEmpty) Seq("0000000000000000") else ids
+    if (ids.isEmpty) Seq(graft.sources.Negotiate.NullBlockId) else ids
   }
 }
 

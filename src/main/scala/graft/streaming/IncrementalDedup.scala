@@ -40,6 +40,11 @@ object IncrementalDedup {
                         storeDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal a compaction interrupted between delete and rename: the
+    // side dir is only ever a COMPLETE compacted copy (it is fully
+    // written before the live dir is touched), so promoting it is safe
+    val side = new org.apache.hadoop.fs.Path(storeDir + CompactSuffix)
+    if (!fs.exists(p) && fs.exists(side)) fs.rename(side, p)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(spark.read.parquet(storeDir))
     else None
   }
@@ -63,10 +68,16 @@ object IncrementalDedup {
     val x = Dedup.explodeBandBuckets(batchSigs).as("x")
     val y = Dedup.explodeBandBuckets(target).as("y")
     val est = Dedup.sigAgreement("x", "y")
+    // self-match guard: on batch REPLAY the store already holds this
+    // batch's signatures, so without the doc_id inequality every
+    // replayed doc would match its own store row at est=1.0 and verdicts
+    // would flip (unique docs flagged as dups) — breaking the idempotent
+    // replay contract
     val verdicts = x
       .join(y,
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
+          col("y.doc_id") =!= col("x.doc_id") &&
           (col("y.is_store") || col("y.doc_id") < col("x.doc_id")))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
         est.as("est_jaccard"))
@@ -98,18 +109,28 @@ object IncrementalDedup {
   /** Compact the blind-append signature store into `targetFiles` files.
     * Run rarely (every N batches / on file-count threshold) — amortized
     * O(1) per batch; the store contents are unchanged, so detection
-    * before and after compaction is identical. The tmp-write + rename
-    * keeps a crash from losing the store (worst case: stale tmp dir). */
+    * before and after compaction is identical.
+    *
+    * Crash safety: the compacted copy is fully written to a side dir
+    * BEFORE the live dir is deleted, and `storeSigs` self-heals the one
+    * remaining window (crash between delete and rename) by promoting the
+    * completed side dir — the store can end up stale-but-present or
+    * healed, never lost. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    targetFiles: Int = 8): Unit =
     storeSigs(spark, storeDir).foreach { st =>
-      val tmp = storeDir + ".compact"
-      st.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmp = storeDir + CompactSuffix
+      // localCheckpoint: the rewrite must not re-read storeDir lazily
+      // AFTER the delete below
+      val pinned = st.repartition(targetFiles).localCheckpoint(true)
+      pinned.write.mode(SaveMode.Overwrite).parquet(tmp)
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
     }
+
+  private val CompactSuffix = ".compact"
 
   /** Wire a streaming (doc_id, text) source through per-batch detection;
     * verdicts are handed to `onVerdicts` (e.g. a sink write). */

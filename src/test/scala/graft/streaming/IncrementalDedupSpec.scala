@@ -39,14 +39,15 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(v2(21L) === 20L, s"within-batch dup should point at earlier id: $v2")
     assert(!v2.contains(20L), "the earlier doc of a within-batch pair is not a dup")
 
-    // replaying batch 2 re-emits the same verdicts but does not grow the store
+    // replaying batch 2 re-emits IDENTICAL verdicts (self-matches against
+    // the already-appended signatures are excluded) and does not grow the
+    // store
     val sizeBefore = spark.read.parquet(store).count()
     val replay = IncrementalDedup.processBatch(
       docsDf(10L -> nearCopy, 11L -> unrelated), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // on replay doc 10/11 are already in the store — they match themselves
-    // at full agreement, so the verdict stays stable via the store path
-    assert(replay.contains(10L) && replay.contains(11L))
+    assert(replay === Map(10L -> 1L, 11L -> 2L),
+      s"replay verdicts must be stable, got $replay")
     assert(spark.read.parquet(store).count() === sizeBefore, "replay grew the store")
 
     // compaction: same contents, bounded file count, detection unchanged
@@ -58,6 +59,16 @@ class IncrementalDedupSpec extends SparkSpec {
     val v3 = IncrementalDedup.processBatch(docsDf(30L -> nearCopy), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v3(30L) === 1L, s"post-compaction detection: $v3")
+
+    // crash-window self-heal: simulate dying between compaction's delete
+    // and rename — live dir gone, completed side dir present
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new org.apache.hadoop.fs.Path(store + ".compact")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store), side))
+    val healed = IncrementalDedup.processBatch(docsDf(31L -> nearCopy), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed(31L) === 1L, s"store not recovered from side dir: $healed")
   }
 
   test("streaming path: foreachBatch over MemoryStream produces the same verdicts") {

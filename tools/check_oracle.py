@@ -29,8 +29,13 @@ def norm(v):
 
 
 def sort_key_val(v):
-    # Sort on values rounded more coarsely (1e-6) than the 1e-9 comparison
-    # tolerance so tolerance-equal rows can't sort into different positions.
+    # Coarse float keys (6 significant digits) keep tolerance-equal rows
+    # adjacent after sorting. Any quantization has boundary cases in both
+    # directions (distinct values collapsing onto one key, near-equal
+    # values straddling a boundary) — those surface as POSITIONAL
+    # mismatches, which the tolerant multiset repair pass in main()
+    # resolves, so the key only affects mismatch-set size, never the
+    # verdict.
     if isinstance(v, float):
         return f"{v:.6g}"
     if isinstance(v, tuple):
@@ -104,12 +109,27 @@ def main(sfdir, outdir):
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         w = rows_key([[r[i] for i in wi] for r in want_rows])
         g = rows_key([[r[i] for i in gi] for r in got_rows])
-        bad = next((i for i, (a, b) in enumerate(zip(w, g))
-                    if not approx_eq(tuple(a), tuple(b))), None)
-        if bad is not None:
-            print(f"FAIL {name}: first diff at sorted-row {bad}:")
-            print(f"  want {w[bad]}")
-            print(f"  got  {g[bad]}")
+        # positional compare, then repair: rows that mis-sorted (equal
+        # coarse keys in input order, or tolerance-equal values straddling
+        # a key boundary) are re-paired as a tolerant multiset — O(m^2)
+        # only over the mismatch set, which is empty on the happy path
+        mism = [i for i, (a, b) in enumerate(zip(w, g))
+                if not approx_eq(tuple(a), tuple(b))]
+        unmatched = None
+        if mism:
+            ga = [g[i] for i in mism]
+            used = [False] * len(ga)
+            for i in mism:
+                hit = next((k for k, b in enumerate(ga)
+                            if not used[k] and approx_eq(tuple(w[i]), tuple(b))), None)
+                if hit is None:
+                    unmatched = i
+                    break
+                used[hit] = True
+        if unmatched is not None:
+            print(f"FAIL {name}: unmatched sorted-row {unmatched}:")
+            print(f"  want {w[unmatched]}")
+            print(f"  got  {g[unmatched]}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(want_rows)} rows)")
