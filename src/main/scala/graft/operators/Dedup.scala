@@ -261,11 +261,17 @@ object Dedup {
       .toDF("node", "lbl")
   }
 
-  /** Large-graph path: distributed min-label propagation to fixpoint.
-    * Always runs to convergence (≤ diameter rounds, so termination is
-    * guaranteed); MaxCcRounds is a loud-failure tripwire, NOT a silent
-    * truncation — labels from a truncated loop would be wrong, so
-    * exceeding it throws with the large/small-star pointer instead. */
+  /** Large-graph path: distributed min-label propagation accelerated by
+    * POINTER JUMPING — each round a node takes (a) the min of its
+    * neighbours' labels, then (b) its label's own label
+    * (lbl ← min(lbl, lbl(lbl))). Jumping is sound because a label is
+    * always a member of the same component, and it doubles the distance
+    * information per round, so convergence is O(log diameter) instead of
+    * O(diameter) — an adversarial million-node chain converges in ~20
+    * rounds, not a million. Two equi-joins + one aggregation per round;
+    * convergence probe is a driver-side emptiness check. MaxCcRounds is
+    * a loud-failure tripwire (2^64 ≫ any graph), never a silent
+    * truncation. */
   private def propagateLabels(und: DataFrame): DataFrame = {
     var labels = und.select(col("src").as("node"))
       .distinct().withColumn("lbl", col("node")).persist()
@@ -275,12 +281,23 @@ object Dedup {
       val nbrMin = und
         .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("nlbl"))
-      val next = labels
+      val afterNbr = labels
         .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
-        .persist()
-      converged = next.filter(col("nl") < col("lbl")).isEmpty
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label one hop (lbl → lbl's label).
+      // localCheckpoint (not persist): each round references afterNbr
+      // twice, so the LOGICAL plan would double per round — exponential
+      // plan trees OOM the driver around round 8 even though the data is
+      // tiny. Checkpointing truncates the lineage to the materialized
+      // partitions.
+      val next = afterNbr
+        .join(afterNbr.select(col("node").as("lbl"), col("lbl").as("jl")),
+          Seq("lbl"), "left")
+        .select(col("node"), col("old"),
+          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("nl"))
+        .localCheckpoint(true)
+      converged = next.filter(col("nl") < col("old")).isEmpty
       val prev = labels
       labels = next.select(col("node"), col("nl").as("lbl"))
       prev.unpersist()
@@ -288,8 +305,7 @@ object Dedup {
     }
     require(converged,
       s"component labeling did not converge within $MaxCcRounds rounds — " +
-        "graph diameter is adversarial; switch to the alternating " +
-        "large/small-star formulation (Kiveris et al.) for this input")
+        "unreachable for any graph of < 2^$MaxCcRounds nodes; indicates a bug")
     labels
   }
 

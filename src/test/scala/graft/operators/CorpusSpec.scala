@@ -26,6 +26,18 @@ class CorpusSpec extends SparkSpec {
     assert(lp === want)
   }
 
+  test("distributed path converges on a 200-node chain (pointer jumping)") {
+    import spark.implicits._
+    // diameter 199 — the plain O(diameter) loop would trip the round
+    // bound; pointer jumping needs ~log2(200) rounds
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(chain, smallGraphThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 200)
+    assert(got.forall { case (_, c, g) => c == 1L && g == 200L },
+      s"all 200 nodes must label to 1: ${got.filter(_._2 != 1L).take(5).mkString(",")}")
+  }
+
   test("q59 groups are consistent with q30 pairs (every pair co-labeled)") {
     val pairs = SparkEntry_q("q30_dedup_minhash_lsh", sf001)
     val groups = SparkEntry_q("q59_dedup_groups_cc", sf001)
