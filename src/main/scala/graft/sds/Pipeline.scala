@@ -19,6 +19,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * merge re-applies the in-flight batch as a no-op.
   */
 object Pipeline {
+  /** Concurrent entity-table merges per micro-batch. Small on purpose:
+    * each merge already fans out across executors; the pool only overlaps
+    * job-scheduling gaps and per-table file IO. */
+  private val MergeParallelism = 4
+
 
   /** One micro-batch through decode → fork-rewind → SCD2 merges → blocks
     * append (reference `handle_events`, `src/event_handler.rs:28-60`).
@@ -83,7 +88,13 @@ object Pipeline {
           "contacts" -> (orgEvents, hasOrgEvents),
           "standard_versions" -> (stdEvents, hasStdEvents))
 
-        tables.foreach { t =>
+        // Entity tables are independent (separate store dirs, no
+        // cross-table reads), so their merges run CONCURRENTLY on a small
+        // pool — each merge is a short chain of small Spark jobs that
+        // underutilizes the cluster alone; overlapping them pipelines job
+        // scheduling and IO. The Spark scheduler interleaves concurrent
+        // actions safely; shared inputs (sc, orgEvents) are cached.
+        def mergeTable(t: String): Unit = {
           val updates = Decode.extractors(t)(sc)
           val markers = childMarkers.get(t)
           // skip tables this batch doesn't touch (cheap: sc is cached) —
@@ -114,6 +125,14 @@ object Pipeline {
             }
           }
         }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(MergeParallelism)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(tables.map(t => Future(mergeTable(t)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
 
         // W5: blocks append — one O(batch) segment; the log reconciles
         // last-id-wins at read. A fork folds the rewound log instead
