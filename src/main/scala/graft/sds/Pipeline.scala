@@ -53,7 +53,19 @@ object Pipeline {
       val sc = Decode.stateChanges(withBlock)
       sc.persist()
       try {
-        if (strict && !Decode.unknownAddresses(sc).isEmpty)
+        // ONE summary aggregation replaces ~14 per-table isEmpty probes
+        // (unknown-address check, delete probe, parent-marker probes, and
+        // the per-table touched tests): (infix, change_type) → count,
+        // collected as a ≤ 14-entry map. At high batch rates the probe
+        // jobs, not the merges, were the per-batch floor.
+        val touchCounts: Map[(String, String), Long] = sc
+          .groupBy(graft.sds.Addressing.infixCol(col("address")).as("_ifx"),
+            col("change_type").as("_ct"))
+          .count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        def nOf(ifx: String, ct: String): Long = touchCounts.getOrElse((ifx, ct), 0L)
+        if (strict && touchCounts.keys.exists {
+            case (ifx, _) => !graft.sds.Addressing.Infix.all.contains(ifx) })
           throw new IllegalArgumentException(
             "state change address matches no entity type in the certificate_registry namespace")
 
@@ -72,21 +84,35 @@ object Pipeline {
 
         val tables = Schemas.tables.keys.toSeq.sorted
         val deletes = Decode.assertionDeletes(sc)
-        val hasDeletes = !deletes.isEmpty
         val batchTag = incomingBlocks.map(_._1).max
 
+        import graft.sds.Addressing.Infix
+        val hasDeletes = nOf(Infix.Assertion, "DELETE") > 0
         // Parent version markers: child tables version under their
         // parent's update even when the new child set is empty.
         val orgEvents = Decode.orgVersionEvents(sc)
         val stdEvents = Decode.standardVersionEvents(sc)
-        val hasOrgEvents = !orgEvents.isEmpty
-        val hasStdEvents = !stdEvents.isEmpty
+        val hasOrgEvents = nOf(Infix.Organization, "SET") > 0
+        val hasStdEvents = nOf(Infix.Standard, "SET") > 0
         val childMarkers: Map[String, (DataFrame, Boolean)] = Map(
           "accreditations" -> (orgEvents, hasOrgEvents),
           "addresses" -> (orgEvents, hasOrgEvents),
           "authorizations" -> (orgEvents, hasOrgEvents),
           "contacts" -> (orgEvents, hasOrgEvents),
           "standard_versions" -> (stdEvents, hasStdEvents))
+        // table → "its entity type appears with a SET in this batch".
+        // For child tables this is the PARENT's flag — a superset of the
+        // exact exploded-rows probe (parent updated, zero child rows),
+        // where the merge correctly reduces to the marker close-out.
+        val setTouched: Map[String, Boolean] = Map(
+          "organizations" -> hasOrgEvents, "accreditations" -> hasOrgEvents,
+          "addresses" -> hasOrgEvents, "authorizations" -> hasOrgEvents,
+          "contacts" -> hasOrgEvents,
+          "agents" -> (nOf(Infix.Agent, "SET") > 0),
+          "certificates" -> (nOf(Infix.Certificate, "SET") > 0),
+          "requests" -> (nOf(Infix.Request, "SET") > 0),
+          "standards" -> hasStdEvents, "standard_versions" -> hasStdEvents,
+          "assertions" -> (nOf(Infix.Assertion, "SET") > 0))
 
         // Entity tables are independent (separate store dirs, no
         // cross-table reads), so their merges run CONCURRENTLY on a small
@@ -97,14 +123,9 @@ object Pipeline {
         def mergeTable(t: String): Unit = {
           val updates = Decode.extractors(t)(sc)
           val markers = childMarkers.get(t)
-          // skip tables this batch doesn't touch (cheap: sc is cached) —
-          // a block rarely writes every entity type, and an untouched
-          // table needs no rewrite unless its parent versioned (markers)
-          // or a fork rewinds it. Markers without updates only matter
-          // when live child rows exist to close (lazy ||: the live-set
-          // probe is tiny and runs only on that branch).
-          val touched = !updates.isEmpty ||
-            (markers.exists(_._2) && !store.live(t).isEmpty) ||
+          // skip tables this batch doesn't touch — decided entirely from
+          // the one collected summary, zero extra Spark jobs
+          val touched = setTouched(t) ||
             (t == "assertions" && hasDeletes) || fork.isDefined
           if (touched) {
             val events = markers.map(_._1)
