@@ -100,11 +100,10 @@ object Dedup {
       |sh AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM h)""".stripMargin
   }
 
-  /** Label-propagation round tripwire for q59's large-graph path.
-    * Near-dup components are quasi-cliques (diameter 2-3); a diameter
-    * past this bound means an adversarial chain graph, where the
-    * alternating large/small-star formulation is the real fix — the
-    * loop FAILS LOUDLY rather than returning truncated (wrong) labels. */
+  /** Round tripwire for q59's large-graph path. Pointer jumping needs
+    * O(log diameter) rounds, so 64 covers any graph of < 2^64 nodes —
+    * hitting it means a bug, and the loop FAILS LOUDLY rather than
+    * returning truncated (wrong) labels. */
   private val MaxCcRounds = 64
 
   /** Below this many (directed) edges the q59 component graph runs as a
@@ -211,14 +210,11 @@ object Dedup {
     *    non-duplicates), so this is the path that runs in practice even
     *    at large corpus scale; measured ~2.5 s faster than the loop at
     *    bench scale (Spark job-scheduling overhead, not compute).
-    *  - large graph: iterative min-label propagation — each round every
-    *    node takes the min of its own and its neighbours' labels; one
-    *    equi-join + aggregation per round, rounds = component diameter
-    *    (near-dup clusters are quasi-cliques, diameter 2-3), convergence
-    *    probed by a driver-side emptiness check. On adversarial
-    *    long-chain graphs the alternating large/small-star variant
-    *    (Kiveris et al.) bounds rounds at O(log n) with the same
-    *    per-round join shape; MaxCcRounds marks that switch point. */
+    *  - large graph: min-label propagation with pointer jumping —
+    *    per round every node takes the min of its neighbours' labels,
+    *    then follows its label one hop (lbl ← min(lbl, lbl(lbl))), so
+    *    convergence is O(log diameter); convergence is probed by a
+    *    driver-side emptiness check. */
   def connectedComponents(pairs: DataFrame,
                           smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
     val edges = pairs.toDF("doc1", "doc2")
@@ -273,39 +269,54 @@ object Dedup {
     * a loud-failure tripwire (2^64 ≫ any graph), never a silent
     * truncation. */
   private def propagateLabels(und: DataFrame): DataFrame = {
+    // the RDD a localCheckpoint'd frame materialized — Dataset.unpersist
+    // does NOT free checkpoint blocks (they are RDD-level persisted, not
+    // CacheManager entries), so rounds release them explicitly
+    def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
     var labels = und.select(col("src").as("node"))
       .distinct().withColumn("lbl", col("node")).persist()
+    var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var round = 0
     while (!converged && round < MaxCcRounds) {
       val nbrMin = und
         .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("nlbl"))
+      // localCheckpoint the EXPENSIVE subtree (neighbor-min join + agg):
+      // the pointer-jump below reads it twice, and each round otherwise
+      // doubles the logical plan (exponential plan trees OOM the driver
+      // on plan strings around round 8, persist or not — persist caches
+      // data, never lineage). Checkpointing materializes it once and
+      // truncates the plan to a leaf.
       val afterNbr = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: follow the label one hop (lbl → lbl's label).
-      // localCheckpoint (not persist): each round references afterNbr
-      // twice, so the LOGICAL plan would double per round — exponential
-      // plan trees OOM the driver around round 8 even though the data is
-      // tiny. Checkpointing truncates the lineage to the materialized
-      // partitions.
+        .localCheckpoint(true)
+      // pointer jump: follow the label one hop (lbl → lbl's label)
       val next = afterNbr
         .join(afterNbr.select(col("node").as("lbl"), col("lbl").as("jl")),
           Seq("lbl"), "left")
         .select(col("node"), col("old"),
           least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("nl"))
-        .localCheckpoint(true)
       converged = next.filter(col("nl") < col("old")).isEmpty
       val prev = labels
       labels = next.select(col("node"), col("nl").as("lbl"))
       prev.unpersist()
+      // free the PREVIOUS round's checkpoint blocks now that this round's
+      // labels no longer reference them; the current one stays live for
+      // the next round (or the final output)
+      prevCp.foreach(_.unpersist(false))
+      prevCp = cpRdd(afterNbr)
       round += 1
     }
     require(converged,
       s"component labeling did not converge within $MaxCcRounds rounds — " +
-        "unreachable for any graph of < 2^$MaxCcRounds nodes; indicates a bug")
+        s"unreachable for any graph of < 2^$MaxCcRounds nodes; indicates a bug")
     labels
   }
 
@@ -404,16 +415,10 @@ object Dedup {
     // The step real training pipelines need AFTER candidate pairs: near-dup
     // pairs are edges, the keep/drop decision needs the connected
     // components — every doc labeled with its component's min doc_id (the
-    // canonical copy). Spark side: iterative min-label propagation — each
-    // round every node takes the min of its own and its neighbours'
-    // labels; one shuffle per round, rounds = component diameter, which
-    // for near-dup clusters is 2-3 (they are quasi-cliques). The
-    // convergence probe is a driver-side emptiness check, not a data
-    // collect. On adversarial long-chain graphs the alternating
-    // large-star/small-star variant (Kiveris et al., "Connected
-    // Components in MapReduce and Beyond") forces O(log n) rounds with
-    // the same per-round join shape — MaxCcRounds documents that switch
-    // point. Oracle: DuckDB recursive CTE (min reachable node).
+    // canonical copy). See `connectedComponents` for the two execution
+    // regimes (single-task union-find below a size threshold; min-label
+    // propagation with pointer jumping, O(log diameter) rounds, above
+    // it). Oracle: DuckDB recursive CTE (min reachable node).
     Q("q59_dedup_groups_cc",
       s"""WITH RECURSIVE $lshCandSqlCtes,
         |edges AS (

@@ -146,14 +146,32 @@ object Pipeline {
             }
           }
         }
+        // Shared marker frames feed up to 5 concurrent child merges —
+        // persist so the JSON parse/explode/distinct runs once, not per
+        // consumer.
+        if (hasOrgEvents) orgEvents.persist()
+        if (hasStdEvents) stdEvents.persist()
         val pool = java.util.concurrent.Executors.newFixedThreadPool(MergeParallelism)
         try {
           import scala.concurrent.{Await, ExecutionContext, Future}
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          Await.result(
+          try Await.result(
             Future.sequence(tables.map(t => Future(mergeTable(t)))),
             scala.concurrent.duration.Duration.Inf)
-        } finally pool.shutdown()
+          catch { case e: Throwable =>
+            // a failed merge must not leave sibling merges writing in the
+            // background: the streaming engine will replay this batch, and
+            // a zombie writer racing the replay's writes on the same table
+            // dir corrupts the live-version pointer. Interrupt and WAIT.
+            pool.shutdownNow()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw e
+          }
+        } finally {
+          pool.shutdown()
+          if (hasOrgEvents) orgEvents.unpersist()
+          if (hasStdEvents) stdEvents.unpersist()
+        }
 
         // W5: blocks append — one O(batch) segment; the log reconciles
         // last-id-wins at read. A fork folds the rewound log instead
