@@ -288,6 +288,61 @@ object Extras {
           round(cume_dist().over(wp), 6).as("cdist"),
           ntile(4).over(wt).cast("long").as("quartile"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- q71: fixed-width histogram -------------------------------------
+    // The distribution-profiling primitive: 20 equal-width bins over the
+    // observed [min, max] — bounds from one tiny broadcast aggregate,
+    // binning per-row, then a 20-group count. Integer bin math on both
+    // engines; the max value is clamped into the last bin.
+    Q("q71_histogram",
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT
+        |  CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+        |  round(min(lo + CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT)
+        |    * ((hi - lo) / 20)), 4) AS bin_lo,
+        |  count(*) AS n
+        |FROM orders CROSS JOIN b
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val bounds = t(s, dir, "orders")
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val width = (col("hi") - col("lo")) / 20
+      val bin = least(floor((col("o_totalprice") - col("lo")) / width), lit(19))
+        .cast("long")
+      t(s, dir, "orders")
+        .crossJoin(broadcast(bounds))
+        .withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(round(min(col("lo") + col("bin") * width), 4).as("bin_lo"),
+          count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+
+    // ---- q72: gaps and islands ------------------------------------------
+    // Consecutive-run detection (the classic islands problem): per
+    // customer, runs of consecutive o_orderkey values found via the
+    // key − row_number() fingerprint (constant within a run), then one
+    // group per island. Two window/agg passes, both partitioned by
+    // customer — linear, no self-join.
+    Q("q72_gaps_islands",
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    o_orderkey - row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS grp
+        |  FROM orders WHERE o_custkey % 200 = 0)
+        |SELECT o_custkey, min(o_orderkey) AS island_start,
+        |  max(o_orderkey) AS island_end, count(*) AS island_len
+        |FROM g GROUP BY o_custkey, grp
+        |ORDER BY o_custkey, island_start""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 200 === 0)
+        .withColumn("grp", col("o_orderkey") - row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(min("o_orderkey").as("island_start"),
+          max("o_orderkey").as("island_end"),
+          count(lit(1)).as("island_len"))
+        .drop("grp")
+        .orderBy("o_custkey", "island_start")
     }
   )
 }
