@@ -343,6 +343,77 @@ object Extras {
           count(lit(1)).as("island_len"))
         .drop("grp")
         .orderBy("o_custkey", "island_start")
+    },
+
+    // ---- q73: unpivot / melt (wide → long) ------------------------------
+    // Reshaping surface: lineitem's four numeric measures melted to
+    // (key, measure, value) rows via the native unpivot operator (a
+    // generator, not a join — output is 4 rows per input row, produced
+    // map-side). Oracle states the engine-agnostic UNION ALL form.
+    Q("q73_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value
+        |  FROM lineitem WHERE l_orderkey % 500 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 500 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity
+        |  FROM lineitem WHERE l_orderkey % 500 = 0
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey % 500 = 0) u
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"),
+            col("l_quantity"), col("l_tax")),
+          "measure", "value")
+        .withColumn("value", round(col("value"), 4))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // ---- q74: positional explode (generator with ordinality) ------------
+    // Column-to-rows with position: per-dimension stats across the
+    // embedding corpus via posexplode — the generator runs map-side and
+    // the aggregation groups on the (tiny) dimension domain.
+    Q("q74_explode_positional",
+      """WITH x AS (
+        |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i - 1, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |  FROM embeddings)
+        |SELECT s.pos AS pos,
+        |  round(avg(s.v), 6) AS avg_v, round(min(s.v), 6) AS min_v,
+        |  round(max(s.v), 6) AS max_v, count(*) AS n
+        |FROM x GROUP BY s.pos ORDER BY pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "v")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(round(avg("v"), 6).as("avg_v"), round(min("v"), 6).as("min_v"),
+          round(max("v"), 6).as("max_v"), count(lit(1)).as("n"))
+        .orderBy("pos")
+    },
+
+    // ---- q75: ordered string aggregation --------------------------------
+    // listagg-style rollups (label lists, id digests). Determinism is the
+    // whole trick: DISTINCT + an explicit element order on both engines
+    // (Spark: sort_array(collect_set); DuckDB: string_agg DISTINCT ...
+    // ORDER BY) — an unordered listagg would be flakily nondeterministic
+    // under parallel aggregation.
+    Q("q75_string_agg",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy("o_orderpriority")
     }
   )
 }
