@@ -16,16 +16,17 @@ import org.apache.spark.sql.types._
   * `src/event_handler.rs:6` (fields as used in the transforms,
   * `src/event_handler.rs:205-437`).
   *
-  * Real protobuf wire decode was attempted and is environment-blocked
-  * (round-2 item): `from_protobuf` lives in the `spark-protobuf` module,
-  * which is not in `/opt/spark/jars` (only netty/orc *shaded* protobuf),
-  * there is no standalone `protobuf-java` on the classpath, no `protoc`
-  * binary to compile descriptors, and dependency resolution is offline.
-  * On a cluster with the connector jar, the swap is mechanical: each
-  * nested `from_json(col, schema)` layer here becomes
-  * `from_protobuf(col, messageName, descriptorFile)` with the same
-  * downstream column structure — `Decode` never looks at the wire format
-  * past this module.
+  * Real protobuf wire decode: the TOOLCHAIN is environment-blocked
+  * (`from_protobuf` lives in the absent `spark-protobuf` module, no
+  * standalone `protobuf-java`, no `protoc`, offline resolution), so the
+  * wire FORMAT is implemented directly — `ProtoLite` decodes varint /
+  * length-delimited messages driven by these same StructTypes and emits
+  * the mirror JSON, making binary input a one-expression prefix to the
+  * unchanged staged pipeline (`ProtoLiteSpec` proves wire ≡ JSON on
+  * every entity). On a cluster with the connector jar the swap to
+  * descriptor-based `from_protobuf(col, messageName, descriptorFile)`
+  * stays mechanical — `Decode` never looks at the wire format past this
+  * module.
   */
 object Schemas {
 
