@@ -204,7 +204,8 @@ object Similarity {
         |qz AS (SELECT vec_id, v, scale,
         |         list_transform(v, x -> CAST(floor(x * scale) AS INTEGER)) AS qvec
         |       FROM sc)
-        |SELECT vec_id, round(scale, 6) AS scale, qvec,
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(qvec, ',') AS qvec_csv,
         |  round(CASE WHEN scale = 0 THEN 0.0 ELSE
         |    list_sum(list_transform(range(1, len(v) + 1),
         |      i -> abs(qvec[i] / scale - v[i]))) / len(v) END, 6) AS l1_err
@@ -220,7 +221,11 @@ object Similarity {
         .withColumn("scale",
           when(col("amax") === 0, lit(0.0)).otherwise(lit(127.0) / col("amax")))
         .withColumn("qvec", qvec)
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"),
+        // The driver's correctness harness hashes via pandas sort, which
+        // rejects raw ARRAY cells — serialize the vector to CSV text on
+        // both sides (array_join here == DuckDB array_to_string).
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec_csv"),
           round(when(col("scale") === 0, lit(0.0)).otherwise(err), 6).as("l1_err"))
         .orderBy("vec_id")
     }

@@ -91,22 +91,26 @@ object Temporal {
 
   val defs: Seq[Q] = Seq(
     // ---- q18: SCD2 interval build (Q1 live-row convention) -------------
-    // Oracle casts: DuckDB keeps parquet's TIMESTAMP_MS unit on the raw
-    // o_orderdate passthrough while the coalesce with a TIMESTAMP literal
-    // promotes valid_to to µs; Spark writes both as µs. CAST both so the
-    // driver's hash sees one canonical unit.
+    // Timestamp OUTPUT columns hash differently across engines even when
+    // every value matches (parquet TIMESTAMP_MS unit vs µs, and Spark's
+    // isAdjustedToUTC instants read back as TIMESTAMPTZ by some readers).
+    // Emit epoch-microsecond BIGINTs on both sides instead — integer
+    // hashing is representation-free. Spark unix_micros == DuckDB
+    // epoch_us on the same instant.
     Q("q18_scd2_intervals",
       s"""SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
-        |  CAST(valid_to AS TIMESTAMP) AS valid_to,
+        |  epoch_us(CAST(valid_from AS TIMESTAMP)) AS valid_from_us,
+        |  epoch_us(CAST(valid_to AS TIMESTAMP)) AS valid_to_us,
         |  (valid_to = TIMESTAMP '9999-12-31 00:00:00') AS is_live
         |FROM ($orderIntervalsSql)
-        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, dir) =>
+        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin) { (s, dir) =>
       orderIntervals(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("valid_from"), col("valid_to"),
+          // parquet NTZ → instant under the UTC session zone, then µs
+          unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+          unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
           (col("valid_to") === lit(Sentinel).cast("timestamp")).as("is_live"))
-        .orderBy("o_custkey", "valid_from", "o_orderkey")
+        .orderBy("o_custkey", "valid_from_us", "o_orderkey")
     },
 
     // ---- q19: point-in-time snapshot (Q2) ------------------------------
