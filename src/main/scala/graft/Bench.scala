@@ -31,9 +31,14 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // queries may persist() intermediates; don't let caches accumulate
-      // across the suite and skew later timings
+      // queries may cache intermediates; don't let caches accumulate
+      // across the suite and skew later timings. clearCache drops
+      // CacheManager entries; the GC nudge lets the ContextCleaner reap
+      // localCheckpoint blocks (RDD-level, invisible to clearCache) from
+      // the frames that just went unreachable. Both run OUTSIDE the
+      // timed window.
       spark.catalog.clearCache()
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

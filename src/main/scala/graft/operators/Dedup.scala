@@ -179,7 +179,12 @@ object Dedup {
       .reduce(_ + _).cast("double") / MinhashK
 
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sigb = minhashBandedSignatures(docs(s, dir)).persist()
+    // localCheckpoint, not persist: both sides of the self-join read the
+    // signatures, but a CacheManager entry outlives the query and
+    // accumulates across a long session (75-query bench runs). A local
+    // checkpoint materializes once and its blocks are released by the
+    // ContextCleaner as soon as the frame is unreachable.
+    val sigb = minhashBandedSignatures(docs(s, dir)).localCheckpoint(true)
     val buckets = explodeBandBuckets(sigb)
     val nEqual = (0 until MinhashK)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
@@ -218,8 +223,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
                           smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
     val edges = pairs.toDF("doc1", "doc2")
+    // localCheckpoint: read by the edge count, then once per labeling
+    // round; blocks are ContextCleaner-released when the frame drops out
+    // of scope (a persist() here leaked for the life of the session)
     val und = edges.union(edges.select(col("doc2"), col("doc1")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint(true)
     val labels: DataFrame =
       if (und.count() <= smallGraphThreshold) unionFindSingleTask(und)
       else propagateLabels(und)
@@ -374,7 +382,9 @@ object Dedup {
         .groupBy("h")
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) <= HotShingleCap)
-        .persist() // read twice: per-doc sizes + pair expansion
+        // read twice (per-doc sizes + pair expansion); localCheckpoint so
+        // the blocks die with the frame instead of living in CacheManager
+        .localCheckpoint(true)
       // sizes count ALL kept shingles (incl. singletons — they're part of
       // the union in Jaccard); only pair expansion skips lists of one
       val sz = lists.select(explode(col("ds")).as("doc_id"))
@@ -552,7 +562,7 @@ object Dedup {
         .withColumn("c0", col("simhash") % 64)                  // bits 0-5
         .withColumn("c1", shiftright(col("simhash"), 6) % 32)   // bits 6-10
         .withColumn("c2", shiftright(col("simhash"), 11) % 32)  // bits 11-15
-        .persist()
+        .localCheckpoint(true) // both join sides; freed with the frame
       val chunks = sh.select(col("doc_id"), col("simhash"),
         posexplode(array(col("c0"), col("c1"), col("c2"))).as(Seq("ci", "ck")))
       chunks.as("a")

@@ -160,15 +160,16 @@ object Similarity {
       // Nearest-centroid argmax as a max_by aggregation (partial-agg /
       // map-side combinable — no corpus×centroid sort) with the oracle's
       // tie-break (highest cos_sim, then smallest c_id, via -c_id in the
-      // ordering struct). Persisted: both the query and inverted-list
-      // sides read it, so without this the whole quantization pass — the
-      // expensive subtree — would execute twice.
+      // ordering struct). localCheckpoint: both the query and
+      // inverted-list sides read it, so without pinning the whole
+      // quantization pass — the expensive subtree — would execute twice;
+      // unlike persist() the blocks are released once the frame is gone.
       val assign = n.join(broadcast(cent))
         .withColumn("_csim", expr("cosine_sim(v, cv)"))
         .groupBy(col("vec_id"))
         .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
           first(col("v")).as("v"))
-        .persist()
+        .localCheckpoint(true)
       val q = assign.filter(expr(QueryFilter))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("c_id").as("cluster"))

@@ -231,7 +231,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
     val target = blockSegRoot.resolve(s"s$tag")
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       deleteRecursively(target) // partial write from a crash
-      batch.withColumn("_seg", lit(tag))
+      batch.withColumn("_seg", lit(2 * tag))
         .write.mode("overwrite").parquet(target.toString)
     }
     if (blockSegPaths.size > Scd2Store.BlockCompactThreshold)
@@ -256,7 +256,12 @@ final class Scd2Store(spark: SparkSession, root: String) {
   def compactBlocks(full: DataFrame, tag: Long): Unit = {
     val staging = blockSegRoot.resolve(s"c$tag-staging")
     deleteRecursively(staging)
-    full.withColumn("_seg", lit(tag))
+    // rank 2·tag+1 vs a plain segment's 2·tag: a fold STRICTLY outranks
+    // the same-tag segment it folded, so the crash window between the
+    // move and old-segment deletion can never leave a max_by tie — a
+    // fork-rewound fold deterministically wins over the orphan segment
+    // it superseded
+    full.withColumn("_seg", lit(2 * tag + 1))
       .write.mode("overwrite").parquet(staging.toString)
     val old = blockSegPaths // captured before the fold becomes visible
     deleteRecursively(blockSegRoot.resolve(s"c$tag"))

@@ -59,9 +59,18 @@ object IncrementalDedup {
     val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
 
     val store = storeSigs(spark, storeDir)
-    // candidate targets: the store (always eligible) + earlier batch ids
+    // candidate targets: the store + earlier batch ids. Store rows whose
+    // doc_id is IN the current batch are replay residue (a retried batch
+    // whose signatures were already appended): keep only the batch-row
+    // copy of those docs, or the earlier member of a within-batch pair
+    // would match the later member's STORE row — bypassing the
+    // earlier-id-wins guard below and flipping it from unique to dup on
+    // replay. With the residue removed, a replay joins against exactly
+    // the first run's candidate set, so verdicts are bit-identical.
     val target = store match {
-      case Some(st) => st.withColumn("is_store", lit(true))
+      case Some(st) => st
+        .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("is_store", lit(true))
         .unionByName(batchSigs.withColumn("is_store", lit(false)))
       case None => batchSigs.withColumn("is_store", lit(false))
     }
