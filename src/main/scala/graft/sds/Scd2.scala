@@ -112,13 +112,18 @@ object Scd2 {
 }
 
 /** Parquet-backed store for the SDS reporting tables — incremental
-  * live/history layout (SURVEY.md §4 partitioning, taken further):
+  * live/history layout (SURVEY.md §4 partitioning, taken further), with
+  * a per-table manifest commit:
   *
   * ```
   * <root>/<table>/live/v<N>/     one row per live entity; rewritten per
-  *                               batch, LIVE pointer flips atomically
+  *                               batch under a NEW version number
   * <root>/<table>/history/b<T>/  rows CLOSED by batch T; append-only
-  * <root>/blocks/v<N>/           commit log (small, versioned rewrite)
+  * <root>/<table>/history/f<T>-v<N>/  fork fold (W4): full closed set
+  * <root>/<table>/_m/m<SEQ>      manifest: the committed directory set,
+  *                               written last (tmp + atomic rename),
+  *                               read first
+  * <root>/blocks/segs/           commit log (append-only segments)
   * ```
   *
   * Why: SCD2 history is immutable except at a fork — only the live set
@@ -128,73 +133,131 @@ object Scd2 {
   * 100 TB of accumulated history. Current-state queries read `live/`
   * alone; as-of/history queries union both.
   *
-  * Exactly-once: a history directory is named by its batch's max block
-  * and never rewritten once committed (`_SUCCESS`); replaying the last
-  * batch (the streaming-checkpoint recovery contract — at most one
-  * uncommitted batch re-runs) skips the committed append and recomputes
-  * the identical live set. A fork rewind compacts history (rare, W4).
-  * Production swap-in: Delta/Iceberg MERGE keeps this exact layout idea
-  * as partition `live = end_block_num = MAX`.
+  * Atomicity: readers resolve state exclusively through the highest
+  * manifest; a commit writes all data directories first (never touching
+  * a directory any manifest references), then publishes one manifest
+  * file via rename — the reference's per-block Postgres transaction
+  * (`/root/reference/src/event_handler.rs:34-35`) re-expressed for a
+  * distributed filesystem. A crash at ANY point leaves either the old
+  * manifest (old state fully intact, the streaming engine replays the
+  * batch) or the new one (commit complete); unreferenced directories
+  * from crashed attempts are garbage-collected by the next commit.
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API, so
+  * the store runs unchanged on local disk, HDFS, or any Hadoop-FS-
+  * compatible object store — matching the reference's client/server
+  * split (`/root/reference/src/main.rs:47-56`). Production swap-in:
+  * Delta/Iceberg MERGE keeps this exact layout idea as partition
+  * `live = end_block_num = MAX`.
   */
 final class Scd2Store(spark: SparkSession, root: String) {
-  import java.nio.file.{Files, Paths, Path}
-  import scala.jdk.CollectionConverters._
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  private def dir(name: String): Path = Paths.get(root, name)
-  private def livePointer(name: String): Path = dir(name).resolve("LIVE")
-  private def historyDir(name: String): Path = dir(name).resolve("history")
+  private val fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(name: String): Option[Int] =
-    if (Files.exists(livePointer(name)))
-      Some(Files.readString(livePointer(name)).trim.toInt)
-    else None
+  /** Test-only crash injection: invoked with a commit-point label; a
+    * throwing hook simulates a process kill at that point. */
+  private[sds] var failpoint: String => Unit = _ => ()
+
+  private def dir(name: String): HPath = new HPath(root, name)
+  private def historyDir(name: String): HPath = new HPath(dir(name), "history")
+  private def manifestDir(name: String): HPath = new HPath(dir(name), "_m")
 
   private def empty(name: String): DataFrame = {
     val schema = if (name == "blocks") Schemas.blocksTable else Schemas.tables(name)._1
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** NIO streams hold a directory fd until closed — always scope them. */
-  private def withStream[A](s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
-    try f(s.iterator.asScala) finally s.close()
+  private def listDir(p: HPath): Seq[HPath] =
+    if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath) else Seq.empty
 
-  private def hasParquet(p: Path): Boolean =
-    Files.exists(p) && withStream(Files.walk(p))(
-      _.exists(_.getFileName.toString.endsWith(".parquet")))
+  private def deleteRecursively(p: HPath): Unit =
+    if (fs.exists(p)) fs.delete(p, true)
 
-  /** Committed history batch directories. */
-  private def historyPaths(name: String): Seq[String] =
-    if (!Files.isDirectory(historyDir(name))) Seq.empty
-    else withStream(Files.list(historyDir(name)))(
-      _.filter(p => !p.getFileName.toString.endsWith("-staging") &&
-        Files.exists(p.resolve("_SUCCESS")) && hasParquet(p))
-        .map(_.toString).toSeq.sorted)
+  private def hasParquet(p: HPath): Boolean = fs.exists(p) && {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
+  // ---- manifest: the single source of committed truth ------------------
+
+  private case class Manifest(seq: Long, liveVersion: Int, history: Seq[String])
+
+  private def manifestSeq(p: HPath): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("m")) n.drop(1).toLongOption else None
+  }
+
+  private def latestManifest(name: String): Option[Manifest] = {
+    val entries = listDir(manifestDir(name))
+      .flatMap(p => manifestSeq(p).map(s => (s, p)))
+    if (entries.isEmpty) None
+    else {
+      val (seq, p) = entries.maxBy(_._1)
+      val in = fs.open(p)
+      val lines =
+        try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
+        finally in.close()
+      Some(Manifest(seq,
+        lines.collectFirst { case l if l.startsWith("live=") =>
+          l.stripPrefix("live=").toInt }.get,
+        lines.collect { case l if l.startsWith("history=") =>
+          l.stripPrefix("history=") }))
+    }
+  }
+
+  /** Publish a new committed state: write manifest m<seq+1> to a temp
+    * file, atomically rename into place, then garbage-collect every
+    * directory the new manifest does not reference (leftovers of crashed
+    * attempts and superseded live versions). The rename IS the commit. */
+  private def commit(name: String, liveVersion: Int, history: Seq[String]): Unit = {
+    val seq = latestManifest(name).fold(0L)(_.seq) + 1
+    val content = (s"live=$liveVersion" +: history.sorted.map("history=" + _))
+      .mkString("\n")
+    fs.mkdirs(manifestDir(name))
+    val tmp = new HPath(manifestDir(name), s"m$seq.tmp")
+    val dest = new HPath(manifestDir(name), s"m$seq")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dest")
+    failpoint(s"$name:post-commit")
+    // GC below this line only removes UNREFERENCED paths — a crash here
+    // leaves harmless garbage, cleaned by the next commit.
+    val keepHist = history.toSet
+    listDir(new HPath(dir(name), "live"))
+      .filterNot(_.getName == s"v$liveVersion").foreach(deleteRecursively)
+    listDir(historyDir(name))
+      .filterNot(p => keepHist.contains(p.getName)).foreach(deleteRecursively)
+    listDir(manifestDir(name))
+      .filter(p => manifestSeq(p).forall(_ < seq) && p.getName != dest.getName)
+      .foreach(p => fs.delete(p, false))
+  }
 
   /** Live-state view (Q1): one row per entity, read from the live set
     * alone — cost independent of history depth. */
   def live(name: String): DataFrame =
-    currentVersion(name) match {
-      case Some(v) =>
-        val p = dir(name).resolve(s"live/v$v")
+    latestManifest(name) match {
+      case Some(m) =>
+        val p = new HPath(dir(name), s"live/v${m.liveVersion}")
         if (hasParquet(p)) spark.read.parquet(p.toString) else empty(name)
       case None => empty(name)
     }
+
+  /** Committed history batch directories. */
+  private def historyPaths(name: String): Seq[String] =
+    latestManifest(name).fold(Seq.empty[String])(_.history)
+      .map(h => new HPath(historyDir(name), h).toString)
 
   def table(name: String): DataFrame = {
     if (name == "blocks") return blocks()
     val hist = historyPaths(name)
     if (hist.isEmpty) live(name)
     else live(name).unionByName(spark.read.parquet(hist: _*))
-  }
-
-  private def writeLive(name: String, df: DataFrame): Unit = {
-    val prev = currentVersion(name)
-    val next = prev.getOrElse(-1) + 1
-    val target = dir(name).resolve(s"live/v$next")
-    df.write.mode("overwrite").parquet(target.toString)
-    Files.createDirectories(dir(name))
-    Files.writeString(livePointer(name), next.toString)
-    prev.foreach(v => deleteRecursively(dir(name).resolve(s"live/v$v")))
   }
 
   // ---- blocks commit log: append-only segment layout -------------------
@@ -206,14 +269,13 @@ final class Scd2Store(spark: SparkSession, root: String) {
   // forever; appending a segment is O(batch), and a rare fold (fork, or
   // segment count past BlockCompactThreshold) keeps read fan-in bounded.
 
-  private def blockSegRoot: Path = dir("blocks").resolve("segs")
+  private def blockSegRoot: HPath = new HPath(dir("blocks"), "segs")
 
-  private def blockSegPaths: Seq[Path] =
-    if (!Files.isDirectory(blockSegRoot)) Seq.empty
-    else withStream(Files.list(blockSegRoot))(
-      _.filter(p => !p.getFileName.toString.endsWith("-staging") &&
-        Files.exists(p.resolve("_SUCCESS")) && hasParquet(p))
-        .toSeq.sortBy(_.getFileName.toString))
+  private def blockSegPaths: Seq[HPath] =
+    listDir(blockSegRoot)
+      .filter(p => !p.getName.endsWith("-staging") &&
+        fs.exists(new HPath(p, "_SUCCESS")) && hasParquet(p))
+      .sortBy(_.getName)
 
   /** Reconciled commit log: last block_id per block_num wins, by segment
     * tag (D4 across batches). Distributed — nothing driver-side. */
@@ -228,8 +290,8 @@ final class Scd2Store(spark: SparkSession, root: String) {
   /** W5 append: one O(batch) segment, idempotent by committed tag (replay
     * of the last checkpointed batch skips the write). */
   def appendBlocks(batch: DataFrame, tag: Long): Unit = {
-    val target = blockSegRoot.resolve(s"s$tag")
-    if (!Files.exists(target.resolve("_SUCCESS"))) {
+    val target = new HPath(blockSegRoot, s"s$tag")
+    if (!fs.exists(new HPath(target, "_SUCCESS"))) {
       deleteRecursively(target) // partial write from a crash
       batch.withColumn("_seg", lit(2 * tag))
         .write.mode("overwrite").parquet(target.toString)
@@ -254,7 +316,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
     * the uncommitted batch and re-runs this compaction. The commit log
     * is never empty or lost. */
   def compactBlocks(full: DataFrame, tag: Long): Unit = {
-    val staging = blockSegRoot.resolve(s"c$tag-staging")
+    val staging = new HPath(blockSegRoot, s"c$tag-staging")
     deleteRecursively(staging)
     // rank 2·tag+1 vs a plain segment's 2·tag: a fold STRICTLY outranks
     // the same-tag segment it folded, so the crash window between the
@@ -263,51 +325,69 @@ final class Scd2Store(spark: SparkSession, root: String) {
     // it superseded
     full.withColumn("_seg", lit(2 * tag + 1))
       .write.mode("overwrite").parquet(staging.toString)
-    val old = blockSegPaths // captured before the fold becomes visible
-    deleteRecursively(blockSegRoot.resolve(s"c$tag"))
-    Files.move(staging, blockSegRoot.resolve(s"c$tag"))
+    val fold = new HPath(blockSegRoot, s"c$tag")
+    // exclude the fold target from the delete set: a committed c$tag
+    // left by a prior crashed compaction of the SAME tag would otherwise
+    // be deleted below after the new fold was promoted to that path —
+    // wiping the new fold and the whole log
+    val old = blockSegPaths.filterNot(_.getName == fold.getName)
+    deleteRecursively(fold)
+    if (!fs.rename(staging, fold))
+      throw new java.io.IOException(s"fold promote failed: $staging -> $fold")
+    failpoint("compactBlocks:post-promote")
     old.foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      withStream(Files.walk(p))(_.toSeq.reverse.foreach(Files.delete))
-
   /** Apply a merged batch result: newly-closed rows append to history
-    * (idempotent: skipped when batch `tag` already committed), the live
-    * remainder rewrites the live set. */
+    * (idempotent: skipped when batch `tag` is already in the manifest),
+    * the live remainder writes a new live version, and one manifest
+    * rename commits both together. */
   def applyMerged(name: String, merged: DataFrame, tag: Long): Unit = {
     merged.persist()
     try {
-      val target = historyDir(name).resolve(s"b$tag")
-      val committed = Files.exists(target.resolve("_SUCCESS"))
-      if (!committed) {
-        deleteRecursively(target) // partial write from a crash
+      val m = latestManifest(name)
+      val histName = s"b$tag"
+      val prevHist = m.fold(Seq.empty[String])(_.history)
+      var newHist = prevHist
+      if (!prevHist.contains(histName)) {
+        val target = new HPath(historyDir(name), histName)
+        deleteRecursively(target) // partial write from a crashed attempt
         val closed = merged.filter(col("end_block_num") =!= MaxBlockNum)
-        if (!closed.isEmpty)
+        if (!closed.isEmpty) {
           closed.write.mode("overwrite").parquet(target.toString)
+          newHist = prevHist :+ histName
+        }
       }
-      writeLive(name, merged.filter(col("end_block_num") === MaxBlockNum))
+      val liveV = m.fold(-1)(_.liveVersion) + 1
+      merged.filter(col("end_block_num") === MaxBlockNum)
+        .write.mode("overwrite").parquet(
+          new HPath(dir(name), s"live/v$liveV").toString)
+      failpoint(s"applyMerged:$name:pre-commit")
+      commit(name, liveV, newHist)
     } finally merged.unpersist()
   }
 
   /** Fork path (W4): the rewound table replaces everything — history is
-    * compacted into one directory and the live set rewritten. A crash in
-    * the middle of the (rare) compaction can require replaying from one
-    * batch earlier; the transactional production store (Delta/Iceberg)
-    * closes that window. */
+    * compacted into one fold directory, a new live version is written,
+    * and the manifest swap publishes both atomically. The fold name
+    * embeds the new live version so a replayed attempt never rewrites a
+    * directory the current manifest references; until the manifest
+    * rename lands, readers see the intact pre-compaction state. */
   def compactTo(name: String, full: DataFrame, tag: Long): Unit = {
     full.persist()
     try {
+      val liveV = latestManifest(name).fold(-1)(_.liveVersion) + 1
+      val foldName = s"f$tag-v$liveV"
       val closed = full.filter(col("end_block_num") =!= MaxBlockNum)
-      val staging = historyDir(name).resolve(s"compact$tag-staging")
-      deleteRecursively(staging)
       val hasClosed = !closed.isEmpty
-      if (hasClosed) closed.write.mode("overwrite").parquet(staging.toString)
-      writeLive(name, full.filter(col("end_block_num") === MaxBlockNum))
-      historyPaths(name).foreach(p => deleteRecursively(Paths.get(p)))
       if (hasClosed)
-        Files.move(staging, historyDir(name).resolve(s"b$tag"))
+        closed.write.mode("overwrite").parquet(
+          new HPath(historyDir(name), foldName).toString)
+      full.filter(col("end_block_num") === MaxBlockNum)
+        .write.mode("overwrite").parquet(
+          new HPath(dir(name), s"live/v$liveV").toString)
+      failpoint(s"compactTo:$name:pre-commit")
+      commit(name, liveV, if (hasClosed) Seq(foldName) else Seq.empty)
     } finally full.unpersist()
   }
 
