@@ -144,11 +144,20 @@ object Scd2 {
   * from crashed attempts are garbage-collected by the next commit.
   *
   * All filesystem access goes through the Hadoop `FileSystem` API, so
-  * the store runs unchanged on local disk, HDFS, or any Hadoop-FS-
-  * compatible object store — matching the reference's client/server
-  * split (`/root/reference/src/main.rs:47-56`). Production swap-in:
-  * Delta/Iceberg MERGE keeps this exact layout idea as partition
+  * the store runs unchanged on local disk, HDFS, or ABFS — matching the
+  * reference's client/server split (`/root/reference/src/main.rs:47-56`).
+  * The commit protocol relies on ATOMIC rename, which S3A emulates as
+  * copy+delete; on S3 the manifest publish would need a conditional-put
+  * commit strategy (what Delta's commit service / Iceberg's catalog
+  * provide) — the documented production swap-in there is Delta/Iceberg
+  * MERGE, which keeps this exact layout idea as partition
   * `live = end_block_num = MAX`.
+  *
+  * Reader contract: `live()`/`table()` resolve concrete directory paths
+  * at call time and return lazy DataFrames; commits retain the previous
+  * manifest's directories for ONE extra generation, so a reader must
+  * materialize before two further batches commit or risk
+  * FileNotFoundException on the GC'd paths.
   */
 final class Scd2Store(spark: SparkSession, root: String) {
   import java.nio.charset.StandardCharsets.UTF_8
@@ -202,9 +211,10 @@ final class Scd2Store(spark: SparkSession, root: String) {
       val lines =
         try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
         finally in.close()
-      Some(Manifest(seq,
-        lines.collectFirst { case l if l.startsWith("live=") =>
-          l.stripPrefix("live=").toInt }.get,
+      val liveV = lines.collectFirst { case l if l.startsWith("live=") =>
+        l.stripPrefix("live=").toInt }.getOrElse(throw new java.io.IOException(
+        s"corrupt manifest $p: no live= line (content: ${lines.mkString("\\n").take(200)})"))
+      Some(Manifest(seq, liveV,
         lines.collect { case l if l.startsWith("history=") =>
           l.stripPrefix("history=") }))
     }
@@ -212,10 +222,14 @@ final class Scd2Store(spark: SparkSession, root: String) {
 
   /** Publish a new committed state: write manifest m<seq+1> to a temp
     * file, atomically rename into place, then garbage-collect every
-    * directory the new manifest does not reference (leftovers of crashed
-    * attempts and superseded live versions). The rename IS the commit. */
+    * directory neither the new nor the PREVIOUS manifest references
+    * (leftovers of crashed attempts and superseded generations). The
+    * rename IS the commit. Retaining the previous generation gives lazy
+    * readers that resolved paths before this commit one full batch to
+    * materialize (see the reader contract in the class doc). */
   private def commit(name: String, liveVersion: Int, history: Seq[String]): Unit = {
-    val seq = latestManifest(name).fold(0L)(_.seq) + 1
+    val prev = latestManifest(name)
+    val seq = prev.fold(0L)(_.seq) + 1
     val content = (s"live=$liveVersion" +: history.sorted.map("history=" + _))
       .mkString("\n")
     fs.mkdirs(manifestDir(name))
@@ -228,36 +242,39 @@ final class Scd2Store(spark: SparkSession, root: String) {
     failpoint(s"$name:post-commit")
     // GC below this line only removes UNREFERENCED paths — a crash here
     // leaves harmless garbage, cleaned by the next commit.
-    val keepHist = history.toSet
+    val keepLive = Set(s"v$liveVersion") ++ prev.map(p => s"v${p.liveVersion}")
+    val keepHist = history.toSet ++ prev.fold(Set.empty[String])(_.history.toSet)
     listDir(new HPath(dir(name), "live"))
-      .filterNot(_.getName == s"v$liveVersion").foreach(deleteRecursively)
+      .filterNot(p => keepLive.contains(p.getName)).foreach(deleteRecursively)
     listDir(historyDir(name))
       .filterNot(p => keepHist.contains(p.getName)).foreach(deleteRecursively)
     listDir(manifestDir(name))
-      .filter(p => manifestSeq(p).forall(_ < seq) && p.getName != dest.getName)
+      .filter(p => manifestSeq(p).forall(_ < seq - 1) && p.getName != dest.getName)
       .foreach(p => fs.delete(p, false))
   }
 
-  /** Live-state view (Q1): one row per entity, read from the live set
-    * alone — cost independent of history depth. */
-  def live(name: String): DataFrame =
-    latestManifest(name) match {
-      case Some(m) =>
-        val p = new HPath(dir(name), s"live/v${m.liveVersion}")
+  private def liveOf(name: String, m: Option[Manifest]): DataFrame =
+    m match {
+      case Some(mf) =>
+        val p = new HPath(dir(name), s"live/v${mf.liveVersion}")
         if (hasParquet(p)) spark.read.parquet(p.toString) else empty(name)
       case None => empty(name)
     }
 
-  /** Committed history batch directories. */
-  private def historyPaths(name: String): Seq[String] =
-    latestManifest(name).fold(Seq.empty[String])(_.history)
-      .map(h => new HPath(historyDir(name), h).toString)
+  /** Live-state view (Q1): one row per entity, read from the live set
+    * alone — cost independent of history depth. */
+  def live(name: String): DataFrame = liveOf(name, latestManifest(name))
 
+  /** Full SCD2 view: live + closed history. Resolves ONE manifest per
+    * call, so the live and history halves always come from the same
+    * committed generation. */
   def table(name: String): DataFrame = {
     if (name == "blocks") return blocks()
-    val hist = historyPaths(name)
-    if (hist.isEmpty) live(name)
-    else live(name).unionByName(spark.read.parquet(hist: _*))
+    val m = latestManifest(name)
+    val hist = m.fold(Seq.empty[String])(_.history)
+      .map(h => new HPath(historyDir(name), h).toString)
+    if (hist.isEmpty) liveOf(name, m)
+    else liveOf(name, m).unionByName(spark.read.parquet(hist: _*))
   }
 
   // ---- blocks commit log: append-only segment layout -------------------
@@ -277,6 +294,16 @@ final class Scd2Store(spark: SparkSession, root: String) {
         fs.exists(new HPath(p, "_SUCCESS")) && hasParquet(p))
       .sortBy(_.getName)
 
+  /** Parse a committed fold directory name `c<tag>-a<attempt>`. */
+  private def foldAttempt(name: String): Option[(Long, Int)] =
+    if (name.startsWith("c") && !name.endsWith("-staging"))
+      name.drop(1).split("-a", 2) match {
+        case Array(t, a) =>
+          for (tl <- t.toLongOption; ai <- a.toIntOption) yield (tl, ai)
+        case _ => None
+      }
+    else None
+
   /** Reconciled commit log: last block_id per block_num wins, by segment
     * tag (D4 across batches). Distributed — nothing driver-side. */
   def blocks(): DataFrame = {
@@ -293,7 +320,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
     val target = new HPath(blockSegRoot, s"s$tag")
     if (!fs.exists(new HPath(target, "_SUCCESS"))) {
       deleteRecursively(target) // partial write from a crash
-      batch.withColumn("_seg", lit(2 * tag))
+      batch.withColumn("_seg", lit(tag * Scd2Store.SegRankStride))
         .write.mode("overwrite").parquet(target.toString)
     }
     if (blockSegPaths.size > Scd2Store.BlockCompactThreshold)
@@ -303,35 +330,39 @@ final class Scd2Store(spark: SparkSession, root: String) {
   /** Fold the log into one segment — fork rewind (W4) or periodic
     * compaction.
     *
-    * Crash ordering: the staging write EXECUTES the read of the old
-    * segments (fold fully materialized first), the fold is PROMOTED
-    * before any old segment is deleted, and only then are the old
-    * segments removed. A crash at any point leaves a readable log:
-    * before the move → old segments intact (fold re-derivable); after
-    * the move, mid-delete → fold + leftover old segments, which
-    * `blocks()` reconciles by max `_seg` (the fold's tag is highest, so
-    * it wins for every block_num it covers). The one visible remnant —
-    * fork-orphaned block_nums absent from a rewound fold but present in
-    * a leftover segment — is healed when Structured Streaming replays
-    * the uncommitted batch and re-runs this compaction. The commit log
-    * is never empty or lost. */
+    * Crash ordering: each fold attempt gets a UNIQUE directory name
+    * `c<tag>-a<attempt>` (attempt = max visible same-tag attempt + 1),
+    * so promotion never targets — and the pre-promote path never
+    * deletes — a directory any reader can currently see. The staging
+    * write EXECUTES the read of the old segments (fold fully
+    * materialized first), the fold is promoted by rename, and ONLY THEN
+    * are the superseded segments (including prior same-tag folds)
+    * removed. A crash at any point leaves a readable log: before the
+    * rename → every previously-visible segment intact (a replay starts
+    * a fresh attempt); after the rename, mid-delete → new fold +
+    * leftovers, which `blocks()` reconciles by max `_seg` — the new
+    * attempt's rank strictly exceeds both the same-tag plain segment
+    * and every earlier attempt, so there is never a tie. The one
+    * visible remnant — fork-orphaned block_nums absent from a rewound
+    * fold but present in a leftover HIGHER-tag segment — is healed when
+    * Structured Streaming replays the uncommitted batch and re-runs
+    * this compaction. The commit log is never empty or lost. */
   def compactBlocks(full: DataFrame, tag: Long): Unit = {
-    val staging = new HPath(blockSegRoot, s"c$tag-staging")
+    val attempt = listDir(blockSegRoot)
+      .flatMap(p => foldAttempt(p.getName))
+      .collect { case (t, a) if t == tag => a }
+      .maxOption.getOrElse(0) + 1
+    require(attempt < Scd2Store.SegRankStride,
+      s"fold attempt counter exhausted for tag $tag")
+    val fold = new HPath(blockSegRoot, s"c$tag-a$attempt")
+    val staging = new HPath(blockSegRoot, fold.getName + "-staging")
     deleteRecursively(staging)
-    // rank 2·tag+1 vs a plain segment's 2·tag: a fold STRICTLY outranks
-    // the same-tag segment it folded, so the crash window between the
-    // move and old-segment deletion can never leave a max_by tie — a
-    // fork-rewound fold deterministically wins over the orphan segment
-    // it superseded
-    full.withColumn("_seg", lit(2 * tag + 1))
+    full.withColumn("_seg", lit(tag * Scd2Store.SegRankStride + attempt))
       .write.mode("overwrite").parquet(staging.toString)
-    val fold = new HPath(blockSegRoot, s"c$tag")
-    // exclude the fold target from the delete set: a committed c$tag
-    // left by a prior crashed compaction of the SAME tag would otherwise
-    // be deleted below after the new fold was promoted to that path —
-    // wiping the new fold and the whole log
-    val old = blockSegPaths.filterNot(_.getName == fold.getName)
-    deleteRecursively(fold)
+    // snapshot the supersede set BEFORE promotion: it can never contain
+    // the new fold, so nothing visible is deleted until the rename lands
+    val old = blockSegPaths
+    failpoint("compactBlocks:pre-promote")
     if (!fs.rename(staging, fold))
       throw new java.io.IOException(s"fold promote failed: $staging -> $fold")
     failpoint("compactBlocks:post-promote")
@@ -415,4 +446,12 @@ object Scd2Store {
     * amortized rewrite cost stays O(1) per batch, low enough that the
     * read fan-in (one parquet listing per segment) stays trivial. */
   val BlockCompactThreshold = 64
+
+  /** `_seg` rank stride per block tag: plain segment s<T> ranks
+    * T·stride, fold attempt a of the same tag ranks T·stride + a — a
+    * fold strictly outranks the segment it folded AND every earlier
+    * attempt, so the `max_by(_seg)` reconcile in `blocks()` never ties
+    * during a crash-overlap window. 2^20 attempts of headroom per tag
+    * keeps ranks collision-free up to ~2^43 blocks. */
+  val SegRankStride: Long = 1L << 20
 }

@@ -158,6 +158,110 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("no entity type"))
   }
 
+  // ---- crash injection (Scd2Store.failpoint) ---------------------------
+  // Each case kills the commit at one protocol point, restarts the store
+  // over the same root (fresh Scd2Store = process restart), replays the
+  // batch as Structured Streaming would, and asserts the final state
+  // matches the no-crash run.
+
+  private def crashAt(store: Scd2Store, label: String): Unit =
+    store.failpoint = l =>
+      if (l == label) throw new RuntimeException(s"injected crash at $l")
+
+  private def agentState(store: Scd2Store): Set[(String, Long, Long)] =
+    store.table("agents").select("name", "start_block_num", "end_block_num")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def blockState(store: Scd2Store): Set[(Long, String)] =
+    store.table("blocks").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("crash injection: applyMerged recovers at pre-commit and post-commit") {
+    val b1 = batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v1")))))
+    val b2 = batch(4, "b4", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v2")))))
+    val expected = Set(("v1", 1L, 4L), ("v2", 4L, MaxBlockNum))
+
+    for (label <- Seq("applyMerged:agents:pre-commit", "agents:post-commit")) {
+      val root = tempDir("sds-crash")
+      val s1 = new Scd2Store(spark, root)
+      apply1(s1, b1)
+      crashAt(s1, label)
+      val ex = intercept[Throwable] { apply1(s1, b2) }
+      assert(ex.getMessage == null || ex.toString.nonEmpty) // crashed somewhere in the batch
+      val s2 = new Scd2Store(spark, root) // restart
+      // pre-commit crash: old manifest still current, v1 alone visible;
+      // post-commit crash: commit landed, v2 already visible — either way
+      // the state is a committed generation, never a partial one
+      assert(Set(Set(("v1", 1L, MaxBlockNum)), expected).contains(agentState(s2)))
+      apply1(s2, b2) // streaming replay of the uncommitted/committed batch
+      assert(agentState(s2) === expected)
+      assert(blockState(s2) === Set((1L, "b1"), (4L, "b4")))
+    }
+  }
+
+  test("crash injection: fork compactTo recovers at pre-commit") {
+    val b1 = batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v1")))))
+    val b2 = batch(2, "b2", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v2-orphan")))))
+    val fork = batch(2, "b2'", Seq(Change(agentAddress("other_key"), "SET",
+      container(agentJson(publicKey = "other_key", name = "fork")))))
+
+    val root = tempDir("sds-crash")
+    val s1 = new Scd2Store(spark, root)
+    apply1(s1, b1, b2)
+    crashAt(s1, "compactTo:agents:pre-commit")
+    intercept[Throwable] { apply1(s1, fork) }
+    val s2 = new Scd2Store(spark, root)
+    // pre-fork state fully intact under the old manifest
+    assert(agentState(s2) === Set(("v1", 1L, 2L), ("v2-orphan", 2L, MaxBlockNum)))
+    apply1(s2, fork) // replay
+    assert(agentState(s2) === Set(("v1", 1L, MaxBlockNum), ("fork", 2L, MaxBlockNum)))
+    assert(blockState(s2) === Set((1L, "b1"), (2L, "b2'")))
+  }
+
+  test("crash injection: fold promote crash never empties the commit log") {
+    val b1 = batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v1")))))
+    val b2 = batch(2, "b2", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v2-orphan")))))
+    val fork = batch(2, "b2'", Seq(Change(agentAddress("other_key"), "SET",
+      container(agentJson(publicKey = "other_key", name = "fork")))))
+
+    for (label <- Seq("compactBlocks:pre-promote", "compactBlocks:post-promote")) {
+      val root = tempDir("sds-crash")
+      val s1 = new Scd2Store(spark, root)
+      apply1(s1, b1, b2)
+      crashAt(s1, label)
+      intercept[Throwable] { apply1(s1, fork) }
+      val s2 = new Scd2Store(spark, root)
+      assert(s2.table("blocks").count() >= 2) // log readable, never empty
+      apply1(s2, fork)
+      assert(blockState(s2) === Set((1L, "b1"), (2L, "b2'")))
+      assert(agentState(s2) === Set(("v1", 1L, MaxBlockNum), ("fork", 2L, MaxBlockNum)))
+    }
+  }
+
+  test("crash injection: replayed compaction of an already-folded tag keeps the log (ADVICE r4)") {
+    // the round-4 data-loss window: log already folded to a single fold
+    // directory for tag T; a replayed compaction of the same tag crashes
+    // between staging and promote. The old protocol had deleted the only
+    // visible fold by then — blocks() returned empty and the log was lost.
+    val b1 = batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v1")))))
+    val b2 = batch(2, "b2", Seq(Change(agentAddress(PublicKey), "SET", container(agentJson(name = "v2-orphan")))))
+    val fork = batch(2, "b2'", Seq(Change(agentAddress("other_key"), "SET",
+      container(agentJson(publicKey = "other_key", name = "fork")))))
+
+    val root = tempDir("sds-crash")
+    val s1 = new Scd2Store(spark, root)
+    apply1(s1, b1, b2)
+    apply1(s1, fork) // completed fork → log folded, old segments gone
+    val committed = blockState(s1)
+    assert(committed === Set((1L, "b1"), (2L, "b2'")))
+
+    crashAt(s1, "compactBlocks:pre-promote")
+    intercept[Throwable] { s1.compactBlocks(s1.blocks(), 2L) } // replayed fold
+    val s2 = new Scd2Store(spark, root)
+    assert(blockState(s2) === committed) // fold intact — nothing lost
+    s2.compactBlocks(s2.blocks(), 2L) // replay completes a fresh attempt
+    assert(blockState(s2) === committed)
+  }
+
   test("streaming wiring: MemoryStream → foreachBatch → store") {
     val store = newStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
