@@ -41,10 +41,19 @@ object Bench {
       System.gc()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: the driver parses a bounded stdout TAIL, so the
+    // JSON line must stay well under ~4 KB or the leading queries fall
+    // off the capture window (BENCH_r03/r04 "parsed": null).
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file copy survives any stdout truncation
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -22,8 +22,8 @@ object IngestBench {
     import spark.implicits._
     import Fixtures._
 
-    val store = new Scd2Store(spark,
-      java.nio.file.Files.createTempDirectory("ingest-bench").toString)
+    val storeRoot = java.nio.file.Files.createTempDirectory("ingest-bench").toString
+    val store = new Scd2Store(spark, storeRoot)
 
     def mkBatch(b: Long): String = batch(b, s"block_$b", Seq(
       Change(agentAddress(s"agent_${b % 50}"), "SET",
@@ -41,6 +41,8 @@ object IngestBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val liveAgents = store.live("agents").count()
     println(f"""{"metric":"ingest_blocks_per_sec","value":${nBlocks / sec}%.1f,"blocks":$nBlocks,"batch_size":$batchSize,"sec":$sec%.1f,"live_agents":$liveAgents}""")
+    val p = new org.apache.hadoop.fs.Path(storeRoot)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     spark.stop()
   }
 }

@@ -222,6 +222,15 @@ object Dedup {
     *    driver-side emptiness check. */
   def connectedComponents(pairs: DataFrame,
                           smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
+    // both paths label nodes by LONG comparisons; a string id would cast
+    // to null in the union-find path and produce garbage components
+    // silently — fail loudly instead (hash string ids to longs upstream)
+    pairs.schema.fields.foreach { f =>
+      require(Seq("long", "int", "short", "byte", "integer", "bigint")
+        .contains(f.dataType.typeName),
+        s"connectedComponents needs integral node ids; " +
+          s"got ${f.name}: ${f.dataType.typeName}")
+    }
     val edges = pairs.toDF("doc1", "doc2")
     // localCheckpoint: read by the edge count, then once per labeling
     // round; blocks are ContextCleaner-released when the frame drops out

@@ -29,15 +29,28 @@ object E2eQueries {
   private val MaxBlock = Long.MaxValue // 9223372036854775807
 
   /** Ingest per-block EventList JSON rows (`value`, keyed by `block`)
-    * through the real pipeline in ordered micro-batches. */
+    * through the real pipeline in ordered micro-batches. Returns the
+    * store and its temp root (so `detach` can reclaim it). */
   private def ingest(s: SparkSession, batches: DataFrame,
-                     ranges: Seq[(Long, Long)]): Scd2Store = {
-    val store = new Scd2Store(s, Files.createTempDirectory("sds-e2e").toString)
+                     ranges: Seq[(Long, Long)]): (Scd2Store, String) = {
+    val root = Files.createTempDirectory("sds-e2e").toString
+    val store = new Scd2Store(s, root)
     ranges.foreach { case (lo, hi) =>
       val chunk = batches.filter(col("block").between(lo, hi)).select("value")
       Pipeline.applyBatch(store, chunk)
     }
-    store
+    (store, root)
+  }
+
+  /** Materialize the result off the store, then delete the temp store —
+    * repeated Verify runs must leave /tmp flat (the result frame would
+    * otherwise pin the store paths for its whole lifetime). */
+  private def detach(df: DataFrame, storeRoot: String): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(storeRoot)
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    pinned
   }
 
   val defs: Seq[Q] = Seq(
@@ -76,11 +89,11 @@ object E2eQueries {
             container(agentJson(publicKey = key, orgId = s"org_${block % 10}",
               name = name, timestamp = block))))))
         }.toDF("block", "value")
-      val store = ingest(s, batches, Seq((1L, 50L), (51L, 100L)))
-      store.table("agents")
+      val (store, root) = ingest(s, batches, Seq((1L, 50L), (51L, 100L)))
+      detach(store.table("agents")
         .select("public_key", "organization_id", "name", "timestamp",
           "start_block_num", "end_block_num")
-        .orderBy("public_key", "start_block_num")
+        .orderBy("public_key", "start_block_num"), root)
     },
 
     // ---- q57: org child-table close-out under parent version markers ----
@@ -125,11 +138,11 @@ object E2eQueries {
               container(orgJson(k, s"${name}_v2",
                 if (k % 2 == 0) Some(contact(k, "p2")) else None)))))))
         }.toDF("block", "value")
-      val store = ingest(s, batches, Seq((1L, 100L), (101L, 200L)))
-      store.table("contacts")
+      val (store, root) = ingest(s, batches, Seq((1L, 100L), (101L, 200L)))
+      detach(store.table("contacts")
         .select("organization_id", "name", "phone_number", "language_code",
           "start_block_num", "end_block_num")
-        .orderBy("organization_id", "start_block_num", "phone_number")
+        .orderBy("organization_id", "start_block_num", "phone_number"), root)
     },
 
     // ---- q58: fork rewind e2e (W4) --------------------------------------
@@ -160,7 +173,8 @@ object E2eQueries {
         .map { case (k, name) =>
           agentBatch(k + 1, s"id_r$k", s"agent_r$k", name, "org_r")
         }.toDF("block", "value")
-      val store = new Scd2Store(s, Files.createTempDirectory("sds-e2e").toString)
+      val root = Files.createTempDirectory("sds-e2e").toString
+      val store = new Scd2Store(s, root)
       Pipeline.applyBatch(store, regionAgents.select("value"))
       val orphanAndFork = Seq(
         agentBatch(6L, "id_orphan", "agent_x", "orphan", "org_x"),
@@ -168,10 +182,10 @@ object E2eQueries {
       orphanAndFork.foreach { case (_, json) =>
         Pipeline.applyBatch(store, s.createDataset(Seq(json)).toDF("value"))
       }
-      store.table("agents")
+      detach(store.table("agents")
         .select("public_key", "organization_id", "name", "timestamp",
           "start_block_num", "end_block_num")
-        .orderBy("public_key")
+        .orderBy("public_key"), root)
     }
   )
 }

@@ -21,12 +21,13 @@ import graft.operators.Dedup
   *      touches only matching (band, bucket) groups — per-batch cost is
   *      O(batch × bucket collision rate), independent of corpus size;
   *   3. verdicts emitted: each new doc's best match ≥ threshold;
-  *   4. batch signatures appended to the store (blind append — no
-  *      rewrite; the store is the index and grows with the corpus, ~100
-  *      bytes/doc, partition-prunable by band bucket at scale. Appended
-  *      ONLY after verdict output so a failed batch retries cleanly —
-  *      re-detection is idempotent, re-append of a replayed batch is
-  *      filtered by an anti-join on doc_id).
+  *   4. batch signatures appended to the store (append-mostly — the
+  *      store is the index and grows with the corpus, ~100 bytes/doc,
+  *      partition-prunable by band bucket at scale. Appended ONLY after
+  *      verdict output so a failed batch retries cleanly — re-detection
+  *      is idempotent; a replayed identical batch is filtered by an
+  *      exact-signature anti-join, and a doc_id RE-INGESTED with changed
+  *      text replaces its stale store row, see `processBatch`).
   *
   * Store compaction: blind appends accumulate small files; the same
   * rare-compaction policy as the SCD2 segment log applies (rewrite when
@@ -105,12 +106,40 @@ object IncrementalDedup {
     // immune to the recache.
     val out = verdicts.localCheckpoint(true)
 
-    // idempotent append: drop ids the store already has (batch replay)
-    val fresh = store match {
-      case Some(st) => batchSigs.join(st.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => batchSigs
+    // Store maintenance — re-ingest semantics (one row per doc_id, the
+    // LATEST text wins):
+    //  * unseen doc_id             → appended (the common case);
+    //  * identical signature again → no-op (idempotent batch replay);
+    //  * CHANGED signature (the doc was re-ingested with new text) →
+    //    the stale store row is rewritten out (rare, crash-safe via the
+    //    compaction side-dir protocol), then the new signature appends.
+    // Verdicts above already used the batch copy for in-batch ids, so a
+    // replay after any crash point below re-emits identical verdicts.
+    store match {
+      case Some(st) =>
+        val allCols = batchSigs.columns.toSeq
+        val exactIds = st.join(batchSigs, allCols, "left_semi").select("doc_id")
+        // pin before any rewrite: these read the pre-rewrite store files
+        val fresh = batchSigs
+          .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val staleIds = st
+          .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(batchSigs, allCols, "left_anti")
+          .select("doc_id")
+        if (!staleIds.isEmpty) {
+          val remaining = st.join(staleIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val tmp = storeDir + CompactSuffix
+          remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+          val p = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        }
+        fresh.write.mode(SaveMode.Append).parquet(storeDir)
+      case None =>
+        batchSigs.write.mode(SaveMode.Append).parquet(storeDir)
     }
-    fresh.write.mode(SaveMode.Append).parquet(storeDir)
     batchSigs.unpersist()
     out
   }

@@ -55,4 +55,12 @@ class CcPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("string node ids fail loudly instead of silently casting to null") {
+    val df = Seq(("a", "b"), ("b", "c")).toDF("doc1", "doc2")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(df)
+    }
+    assert(ex.getMessage.contains("integral node ids"))
+  }
 }

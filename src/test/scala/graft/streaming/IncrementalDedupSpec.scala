@@ -71,6 +71,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(healed(31L) === 1L, s"store not recovered from side dir: $healed")
   }
 
+  test("changed-text re-ingest replaces the stored signature (latest wins)") {
+    val store = tempDir("inc-dedup-update") + "/sigs"
+
+    // doc 1 enters with `base` text
+    IncrementalDedup.processBatch(docsDf(1L -> base), store)
+    val sigV1 = spark.read.parquet(store).filter(col("doc_id") === 1L)
+      .drop("doc_id").collect().toSeq
+    assert(sigV1.size === 1)
+
+    // doc 1 is RE-INGESTED with unrelated text: exactly one store row
+    // remains for it, holding the NEW signature
+    IncrementalDedup.processBatch(docsDf(1L -> unrelated), store)
+    val rows = spark.read.parquet(store).filter(col("doc_id") === 1L)
+      .drop("doc_id").collect().toSeq
+    assert(rows.size === 1, s"expected one row for doc 1, got ${rows.size}")
+    assert(rows !== sigV1, "stale signature survived the re-ingest")
+
+    // future docs match the NEW text, not the old
+    val vNew = IncrementalDedup.processBatch(docsDf(5L -> unrelated), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vNew(5L) === 1L, s"new text should match updated doc 1: $vNew")
+    val vOld = IncrementalDedup.processBatch(docsDf(6L -> base), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!vOld.contains(6L), s"old text must no longer match doc 1: $vOld")
+  }
+
   test("streaming path: foreachBatch over MemoryStream produces the same verdicts") {
     val store = tempDir("inc-dedup-stream") + "/sigs"
     val ckpt = tempDir("inc-dedup-ckpt")
