@@ -187,6 +187,102 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // ---- q76: IVF with a TRAINED codebook (k-means) ---------------------
+    // q54's md5-derived codebook proves the probe plan shape; real vector
+    // pipelines train centroids. Spherical k-means, Lloyd's iterations
+    // with FIXED seed and FIXED round count so the oracle can recompute
+    // training exactly: seed centroids = every 64th vector (q54's seed),
+    // two assign→mean rounds, then the same inverted-list top-k probe.
+    // Centroid means are rounded to 6 dp each round — double summation
+    // order differs between engines in the low bits (~1e-13), and the
+    // rounding pins both to identical codebooks before the next assign.
+    // Empty clusters drop naturally (no mean row) on both engines.
+    // Scale posture: each assign is a broadcast(K centroids) map-side
+    // argmax via max_by (partial-agg combinable); each update is one
+    // shuffle on (c_id, dim) — K·dims rows out. Training touches the
+    // corpus 2R+1 times with NO corpus×corpus join anywhere; the probe
+    // is q54's cluster-equi-join.
+    Q("q76_ivf_trained",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |dims AS (SELECT unnest(range(1, $Dims + 1)) AS i),
+        |a1 AS (SELECT vec_id, v, nrm, c_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c0.c_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c0.cv) / (n.nrm * c0.cn) DESC, c0.c_id) AS crk
+        |  FROM n, c0) WHERE crk = 1),
+        |c1 AS (SELECT c_id, list(m ORDER BY i) AS cv FROM (
+        |  SELECT a.c_id, d.i, round(avg(a.v[d.i]), 6) AS m
+        |  FROM a1 a, dims d GROUP BY a.c_id, d.i) GROUP BY c_id),
+        |c1n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
+        |a2 AS (SELECT vec_id, v, nrm, c_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c1n.c_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c1n.cv) / (n.nrm * c1n.cn) DESC, c1n.c_id) AS crk
+        |  FROM n, c1n) WHERE crk = 1),
+        |c2 AS (SELECT c_id, list(m ORDER BY i) AS cv FROM (
+        |  SELECT a.c_id, d.i, round(avg(a.v[d.i]), 6) AS m
+        |  FROM a2 a, dims d GROUP BY a.c_id, d.i) GROUP BY c_id),
+        |c2n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c2),
+        |af AS (SELECT vec_id, v, nrm, c_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c2n.c_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c2n.cv) / (n.nrm * c2n.cn) DESC, c2n.c_id) AS crk
+        |  FROM n, c2n) WHERE crk = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.c_id AS cluster, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+        |  FROM af q JOIN af c ON c.c_id = q.c_id AND c.vec_id <> q.vec_id
+        |  WHERE q.$QueryFilter)
+        |SELECT query_id, cluster, rk, neighbor_id, round(cos_sim, 6) AS cos_sim
+        |FROM scored WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      // argmax assign, q54's max_by pattern (tie: highest cos, lowest c_id)
+      def assignTo(cent: DataFrame): DataFrame =
+        n.join(broadcast(cent))
+          .withColumn("_csim", expr("cosine_sim(v, cv)"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+            first(col("v")).as("v"))
+      // Lloyd's update: elementwise mean over the cluster, one shuffle on
+      // (c_id, dim); posexplode is 0-based vs the oracle's 1-based v[i],
+      // but both orderings reassemble the same dimension sequence
+      def centUpdate(asg: DataFrame): DataFrame =
+        asg.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("c_id", "pos").agg(round(avg("x"), 6).as("m"))
+          .groupBy("c_id")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+      val c0 = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      // pin each codebook: K rows, but read by the NEXT full-corpus
+      // assign — without pinning every round recomputes all prior rounds
+      val c1 = centUpdate(assignTo(c0)).localCheckpoint(true)
+      val c2 = centUpdate(assignTo(c1)).localCheckpoint(true)
+      // final assignment feeds both sides of the probe self-join
+      val assign = assignTo(c2).localCheckpoint(true)
+      val q = assign.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("c_id").as("cluster"))
+      val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("c_id").as("cluster"))
+      val rk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q.join(c, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- q64: int8 embedding quantization -------------------------------
     // Symmetric per-vector int8 quantization (the storage/serving format
     // for billion-vector indexes: 4× smaller than fp32, SIMD-dot-product

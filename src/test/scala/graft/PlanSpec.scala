@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q76: trained-IVF training and probe never go unbounded-cartesian") {
+    // the codebook assigns are broadcast(K-row) nested loops by design —
+    // bounded; what must never appear is a CartesianProduct (corpus ×
+    // corpus). The probe itself is the q54 cluster equi-join.
+    val p = plan("q76_ivf_trained")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q59: component labeling never leaves equi-join land") {
     val p = plan("q59_dedup_groups_cc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
