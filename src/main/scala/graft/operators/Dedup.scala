@@ -30,6 +30,14 @@ object Dedup {
     * paths (q30 LSH banding, q34 hyperplane LSH, q54 IVF) are the design. */
   val MaxBruteForceVectors: Long = 500_000L
 
+  /** The q32 design bound, shared so `ScaleBench` trips the REAL guard:
+    * brute-force all-pairs only while the corpus fits one executor. */
+  private[graft] def requireBruteForceable(n: Long): Unit =
+    require(n <= MaxBruteForceVectors,
+      s"q32 is the bounded all-pairs verifier ($n vectors > " +
+        s"$MaxBruteForceVectors); use the LSH (q34) or IVF (q54) " +
+        "candidate paths at this scale")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -178,13 +186,18 @@ object Dedup {
       .map(i => when(col(s"$left.mh$i") === col(s"$right.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / MinhashK
 
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairsOf(docs(s, dir))
+
+  /** q30's candidate generator over an arbitrary (doc_id, text) frame —
+    * also the chain `ScaleBench` measures at 10×/50× amplification. */
+  private[graft] def lshCandidatePairsOf(docsDf: DataFrame): DataFrame = {
     // localCheckpoint, not persist: both sides of the self-join read the
     // signatures, but a CacheManager entry outlives the query and
     // accumulates across a long session (75-query bench runs). A local
     // checkpoint materializes once and its blocks are released by the
     // ContextCleaner as soon as the frame is unreachable.
-    val sigb = minhashBandedSignatures(docs(s, dir)).localCheckpoint(true)
+    val sigb = minhashBandedSignatures(docsDf).localCheckpoint(true)
     val buckets = explodeBandBuckets(sigb)
     val nEqual = (0 until MinhashK)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
@@ -527,10 +540,7 @@ object Dedup {
       // Enforce the design bound instead of OOMing past it: brute-force
       // all-pairs only makes sense while the corpus fits one executor.
       val n = e.count()
-      require(n <= Dedup.MaxBruteForceVectors,
-        s"q32 is the bounded all-pairs verifier ($n vectors > " +
-          s"${Dedup.MaxBruteForceVectors}); use the LSH (q34) or IVF (q54) " +
-          "candidate paths at this scale")
+      Dedup.requireBruteForceable(n)
       val corpus = e.collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(
         (corpus.map(_._1), corpus.map(_._2), corpus.map(r => l2(r._2))))
