@@ -262,6 +262,25 @@ class PipelineSpec extends SparkSpec {
     assert(blockState(s2) === committed)
   }
 
+  test("manifest GC retains exactly one previous generation for lazy readers") {
+    val root = tempDir("sds-gc")
+    val store = new Scd2Store(spark, root)
+    def b(n: Long) = batch(n, s"b$n", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = s"v$n")))))
+    apply1(store, b(1)) // live v0
+    apply1(store, b(2)) // live v1, v0 retained for pinned readers
+    val liveDir = new java.io.File(root, "agents/live")
+    assert(liveDir.list().toSet === Set("v0", "v1"))
+    apply1(store, b(3)) // live v2: v0 GC'd, v1 retained
+    assert(liveDir.list().toSet === Set("v1", "v2"))
+
+    // the reader contract: a frame resolved before a commit still
+    // materializes through ONE subsequent commit
+    val pinned = store.live("agents")
+    apply1(store, b(4))
+    assert(pinned.select("name").collect().map(_.getString(0)).toSeq === Seq("v3"))
+  }
+
   test("streaming wiring: MemoryStream → foreachBatch → store") {
     val store = newStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
