@@ -121,8 +121,8 @@ object Scd2 {
   * <root>/<table>/history/b<T>/  rows CLOSED by batch T; append-only
   * <root>/<table>/history/f<T>-v<N>/  fork fold (W4): full closed set
   * <root>/<table>/_m/m<SEQ>      manifest: the committed directory set,
-  *                               written last (tmp + atomic rename),
-  *                               read first
+  *                               written last (create-exclusive, with a
+  *                               trailing end-marker), read first
   * <root>/blocks/segs/           commit log (append-only segments)
   * ```
   *
@@ -134,32 +134,38 @@ object Scd2 {
   * alone; as-of/history queries union both.
   *
   * Atomicity: readers resolve state exclusively through the highest
-  * manifest; a commit writes all data directories first (never touching
-  * a directory any manifest references), then publishes one manifest
-  * file via rename — the reference's per-block Postgres transaction
+  * COMPLETE manifest; a commit writes all data directories first (never
+  * touching a directory any manifest references), then publishes one
+  * manifest file — the reference's per-block Postgres transaction
   * (`/root/reference/src/event_handler.rs:34-35`) re-expressed for a
-  * distributed filesystem. A crash at ANY point leaves either the old
-  * manifest (old state fully intact, the streaming engine replays the
-  * batch) or the new one (commit complete); unreferenced directories
-  * from crashed attempts are garbage-collected by the next commit.
-  *
-  * All filesystem access goes through the Hadoop `FileSystem` API, so
-  * the store runs unchanged on local disk, HDFS, or ABFS — matching the
-  * reference's client/server split (`/root/reference/src/main.rs:47-56`).
-  * The commit protocol relies on ATOMIC rename, which S3A emulates as
-  * copy+delete; on S3 the manifest publish would need a conditional-put
-  * commit strategy (what Delta's commit service / Iceberg's catalog
-  * provide) — the documented production swap-in there is Delta/Iceberg
-  * MERGE, which keeps this exact layout idea as partition
-  * `live = end_block_num = MAX`.
+  * distributed filesystem. The publish is a CREATE-EXCLUSIVE write of a
+  * never-reused name `m<seq>` whose last line is an end-marker the
+  * reader validates: a crash mid-write leaves a file without the marker
+  * — detectably partial, skipped by readers, garbage-collected and
+  * superseded (fresh higher seq) by the replay's next commit. No step
+  * of the protocol renames anything, so commit atomicity does NOT
+  * depend on the filesystem's rename semantics — it holds on local
+  * disk, HDFS, ABFS, and rename-as-copy stores like S3A alike. A crash
+  * at ANY point leaves either the old manifest current (old state fully
+  * intact, the streaming engine replays the batch) or the new one
+  * (commit complete); unreferenced directories from crashed attempts
+  * are garbage-collected by the next commit. Writers are single-process
+  * per table (Structured Streaming's one-active-batch guarantee), which
+  * is what makes the fresh-seq choice race-free; the production
+  * multi-writer swap-in is Delta/Iceberg MERGE, which keeps this exact
+  * layout idea as partition `live = end_block_num = MAX`.
   *
   * Reader contract: `live()`/`table()` resolve concrete directory paths
-  * at call time and return lazy DataFrames; commits retain the previous
-  * manifest's directories for ONE extra generation, so a reader must
-  * materialize before two further batches commit or risk
-  * FileNotFoundException on the GC'd paths.
+  * at call time and return lazy DataFrames; commits retain the
+  * directories of the previous `retainGenerations` manifests (default
+  * 1), so a reader must materialize within `retainGenerations + 1`
+  * further batch commits or risk FileNotFoundException on the GC'd
+  * paths. Long-running readers (a dashboard holding frames across many
+  * batches) raise `retainGenerations` at store construction — retention
+  * costs only the retained live-set copies, history is shared.
   */
-final class Scd2Store(spark: SparkSession, root: String) {
+final class Scd2Store(spark: SparkSession, root: String,
+                      retainGenerations: Int = 1) {
   import java.nio.charset.StandardCharsets.UTF_8
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
@@ -201,16 +207,23 @@ final class Scd2Store(spark: SparkSession, root: String) {
     if (n.startsWith("m")) n.drop(1).toLongOption else None
   }
 
-  private def latestManifest(name: String): Option[Manifest] = {
-    val entries = listDir(manifestDir(name))
+  /** Manifest files by seq, newest first — includes partials. */
+  private def manifestEntries(name: String): Seq[(Long, HPath)] =
+    listDir(manifestDir(name))
       .flatMap(p => manifestSeq(p).map(s => (s, p)))
-    if (entries.isEmpty) None
+      .sortBy(-_._1)
+
+  /** Parse one manifest file. `None` = the end-marker is missing, i.e. a
+    * crashed partial publish — callers skip it and fall back to the next
+    * lower seq. A file WITH the marker but no live= line is genuine
+    * corruption and fails loudly. */
+  private def readManifest(seq: Long, p: HPath): Option[Manifest] = {
+    val in = fs.open(p)
+    val lines =
+      try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
+      finally in.close()
+    if (!lines.lastOption.contains(Scd2Store.EndMarker)) None
     else {
-      val (seq, p) = entries.maxBy(_._1)
-      val in = fs.open(p)
-      val lines =
-        try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
-        finally in.close()
       val liveV = lines.collectFirst { case l if l.startsWith("live=") =>
         l.stripPrefix("live=").toInt }.getOrElse(throw new java.io.IOException(
         s"corrupt manifest $p: no live= line (content: ${lines.mkString("\\n").take(200)})"))
@@ -220,36 +233,46 @@ final class Scd2Store(spark: SparkSession, root: String) {
     }
   }
 
-  /** Publish a new committed state: write manifest m<seq+1> to a temp
-    * file, atomically rename into place, then garbage-collect every
-    * directory neither the new nor the PREVIOUS manifest references
-    * (leftovers of crashed attempts and superseded generations). The
-    * rename IS the commit. Retaining the previous generation gives lazy
-    * readers that resolved paths before this commit one full batch to
-    * materialize (see the reader contract in the class doc). */
+  private def latestManifest(name: String): Option[Manifest] =
+    manifestEntries(name).iterator
+      .flatMap { case (s, p) => readManifest(s, p) }
+      .nextOption()
+
+  /** Publish a new committed state: CREATE-EXCLUSIVE write of manifest
+    * m<seq> (seq = 1 + the highest seq ever seen, complete or partial,
+    * so the name is never reused) ending in the end-marker line, then
+    * garbage-collect every directory not referenced by the new or the
+    * `retainGenerations` previous complete manifests (leftovers of
+    * crashed attempts and superseded generations). The close of the
+    * exclusive write IS the commit — no rename, so atomicity holds on
+    * stores that emulate rename as copy+delete (S3A). Retention gives
+    * lazy readers that resolved paths before this commit
+    * `retainGenerations` full batches to materialize (see the reader
+    * contract in the class doc). */
   private def commit(name: String, liveVersion: Int, history: Seq[String]): Unit = {
-    val prev = latestManifest(name)
-    val seq = prev.fold(0L)(_.seq) + 1
-    val content = (s"live=$liveVersion" +: history.sorted.map("history=" + _))
-      .mkString("\n")
     fs.mkdirs(manifestDir(name))
-    val tmp = new HPath(manifestDir(name), s"m$seq.tmp")
+    val entries = manifestEntries(name)
+    val seq = entries.headOption.fold(0L)(_._1) + 1
+    val retained = entries
+      .flatMap { case (s, p) => readManifest(s, p) }.take(retainGenerations)
+    val content =
+      (s"live=$liveVersion" +: history.sorted.map("history=" + _)
+        :+ Scd2Store.EndMarker).mkString("\n")
     val dest = new HPath(manifestDir(name), s"m$seq")
-    val out = fs.create(tmp, true)
+    val out = fs.create(dest, false) // exclusive: fails if the name exists
     try out.write(content.getBytes(UTF_8)) finally out.close()
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dest")
     failpoint(s"$name:post-commit")
     // GC below this line only removes UNREFERENCED paths — a crash here
     // leaves harmless garbage, cleaned by the next commit.
-    val keepLive = Set(s"v$liveVersion") ++ prev.map(p => s"v${p.liveVersion}")
-    val keepHist = history.toSet ++ prev.fold(Set.empty[String])(_.history.toSet)
+    val keepSeq = Set(seq) ++ retained.map(_.seq)
+    val keepLive = Set(s"v$liveVersion") ++ retained.map(m => s"v${m.liveVersion}")
+    val keepHist = history.toSet ++ retained.flatMap(_.history)
     listDir(new HPath(dir(name), "live"))
       .filterNot(p => keepLive.contains(p.getName)).foreach(deleteRecursively)
     listDir(historyDir(name))
       .filterNot(p => keepHist.contains(p.getName)).foreach(deleteRecursively)
     listDir(manifestDir(name))
-      .filter(p => manifestSeq(p).forall(_ < seq - 1) && p.getName != dest.getName)
+      .filter(p => manifestSeq(p).forall(s => !keepSeq.contains(s)))
       .foreach(p => fs.delete(p, false))
   }
 
@@ -331,22 +354,27 @@ final class Scd2Store(spark: SparkSession, root: String) {
     * compaction.
     *
     * Crash ordering: each fold attempt gets a UNIQUE directory name
-    * `c<tag>-a<attempt>` (attempt = max visible same-tag attempt + 1),
-    * so promotion never targets — and the pre-promote path never
-    * deletes — a directory any reader can currently see. The staging
-    * write EXECUTES the read of the old segments (fold fully
-    * materialized first), the fold is promoted by rename, and ONLY THEN
-    * are the superseded segments (including prior same-tag folds)
-    * removed. A crash at any point leaves a readable log: before the
-    * rename → every previously-visible segment intact (a replay starts
-    * a fresh attempt); after the rename, mid-delete → new fold +
-    * leftovers, which `blocks()` reconciles by max `_seg` — the new
-    * attempt's rank strictly exceeds both the same-tag plain segment
-    * and every earlier attempt, so there is never a tie. The one
-    * visible remnant — fork-orphaned block_nums absent from a rewound
-    * fold but present in a leftover HIGHER-tag segment — is healed when
-    * Structured Streaming replays the uncommitted batch and re-runs
-    * this compaction. The commit log is never empty or lost. */
+    * `c<tag>-a<attempt>` (attempt = max same-tag attempt on disk + 1,
+    * committed or not), so a fold write never targets — and the
+    * supersede pass never deletes — a directory any reader can
+    * currently see. The fold writes DIRECTLY to its unique directory;
+    * the write executes the read of the old segments (fold fully
+    * materialized first), and the `_SUCCESS` marker the committer
+    * writes last is what makes the fold visible to `blockSegPaths` —
+    * promotion needs no rename, so the protocol does not depend on
+    * rename atomicity (S3A-safe, matching the manifest publish). ONLY
+    * after the fold is visible are the superseded segments (including
+    * prior same-tag folds) removed. A crash at any point leaves a
+    * readable log: before `_SUCCESS` lands → an invisible partial fold
+    * (a replay starts a fresh attempt, the stale directory is ignored
+    * forever); after it, mid-delete → new fold + leftovers, which
+    * `blocks()` reconciles by max `_seg` — the new attempt's rank
+    * strictly exceeds both the same-tag plain segment and every earlier
+    * attempt, so there is never a tie. The one visible remnant —
+    * fork-orphaned block_nums absent from a rewound fold but present in
+    * a leftover HIGHER-tag segment — is healed when Structured
+    * Streaming replays the uncommitted batch and re-runs this
+    * compaction. The commit log is never empty or lost. */
   def compactBlocks(full: DataFrame, tag: Long): Unit = {
     val attempt = listDir(blockSegRoot)
       .flatMap(p => foldAttempt(p.getName))
@@ -355,16 +383,13 @@ final class Scd2Store(spark: SparkSession, root: String) {
     require(attempt < Scd2Store.SegRankStride,
       s"fold attempt counter exhausted for tag $tag")
     val fold = new HPath(blockSegRoot, s"c$tag-a$attempt")
-    val staging = new HPath(blockSegRoot, fold.getName + "-staging")
-    deleteRecursively(staging)
-    full.withColumn("_seg", lit(tag * Scd2Store.SegRankStride + attempt))
-      .write.mode("overwrite").parquet(staging.toString)
-    // snapshot the supersede set BEFORE promotion: it can never contain
-    // the new fold, so nothing visible is deleted until the rename lands
+    // snapshot the supersede set BEFORE the fold becomes visible: it can
+    // never contain the new fold, so nothing a reader can see is deleted
+    // until the fold is committed
     val old = blockSegPaths
     failpoint("compactBlocks:pre-promote")
-    if (!fs.rename(staging, fold))
-      throw new java.io.IOException(s"fold promote failed: $staging -> $fold")
+    full.withColumn("_seg", lit(tag * Scd2Store.SegRankStride + attempt))
+      .write.mode("overwrite").parquet(fold.toString)
     failpoint("compactBlocks:post-promote")
     old.foreach(deleteRecursively)
   }
@@ -372,7 +397,7 @@ final class Scd2Store(spark: SparkSession, root: String) {
   /** Apply a merged batch result: newly-closed rows append to history
     * (idempotent: skipped when batch `tag` is already in the manifest),
     * the live remainder writes a new live version, and one manifest
-    * rename commits both together. */
+    * publish commits both together. */
   def applyMerged(name: String, merged: DataFrame, tag: Long): Unit = {
     merged.persist()
     try {
@@ -400,10 +425,10 @@ final class Scd2Store(spark: SparkSession, root: String) {
 
   /** Fork path (W4): the rewound table replaces everything — history is
     * compacted into one fold directory, a new live version is written,
-    * and the manifest swap publishes both atomically. The fold name
+    * and the manifest publish commits both atomically. The fold name
     * embeds the new live version so a replayed attempt never rewrites a
     * directory the current manifest references; until the manifest
-    * rename lands, readers see the intact pre-compaction state. */
+    * publish lands, readers see the intact pre-compaction state. */
   def compactTo(name: String, full: DataFrame, tag: Long): Unit = {
     full.persist()
     try {
@@ -442,6 +467,12 @@ final class Scd2Store(spark: SparkSession, root: String) {
 }
 
 object Scd2Store {
+  /** Last line of every complete manifest. A manifest file without it is
+    * a crashed partial publish: readers skip it, the next commit GCs it.
+    * The marker is what lets the publish be a plain create-exclusive
+    * write instead of an atomic rename. */
+  val EndMarker = "end"
+
   /** Segment count that triggers a blocks-log fold: high enough that the
     * amortized rewrite cost stays O(1) per batch, low enough that the
     * read fan-in (one parquet listing per segment) stays trivial. */
