@@ -1,17 +1,28 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Amplify, Dedup}
+import graft.operators.{Amplify, Dedup, Similarity}
+import graft.streaming.IncrementalDedup
 
-/** Scaling-curve measurement for the dedup/ANN paths (not part of the
-  * driver contract): amplifies the sf corpus 1×/10×/50× with
+/** Scaling-curve measurement for the dedup/ANN/streaming paths (not part
+  * of the driver contract): amplifies the sf corpus 1×/10×/50× with
   * `Amplify` (deterministic, linear duplicate structure) and measures
-  * the q30→q59→q67 LSH/CC/apply chain and the q54-shaped IVF probe at
-  * each scale, plus the q32 brute-force guard tripping past its bound.
+  * the q30→q59→q67 LSH/CC/apply chain and the IVF probe at each scale,
+  * plus the q32 brute-force guard tripping past its bound, plus the
+  * incremental streaming dedup driven batch-by-batch at 10×.
+  *
+  * The IVF probe is `Similarity.ivfProbeOfAssigned` — the EXACT shipped
+  * q54/q76 plan, not a hand copy — measured under two codebook
+  * policies:
+  *   - fixed:  centroids from replica 0 only (K constant), so
+  *     per-cluster population grows ∝ corpus/K — the curve that bends;
+  *   - scaled: K ∝ √N centroids hash-sampled across the WHOLE corpus
+  *     (the classic IVF balance point: assign cost N·K and probe cost
+  *     N/K·queries grow together), so per-cluster population grows only
+  *     ∝ √N instead of ∝ N.
   *
   * Near-linear wall-clock growth here is the EVIDENCE for the 100 TB
   * posture claims: every candidate generator is a bucket equi-join over
@@ -48,33 +59,45 @@ object ScaleBench {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** q54's IVF shape with a FIXED codebook size: centroids come from
-    * replica 0 only, so assign cost grows ∝ corpus (broadcast K) and
-    * per-cluster population grows ∝ corpus/K. Production would grow K
-    * with the corpus (or train it, q76) to pin cluster sizes. */
-  private def ivfProbe(emb: DataFrame): DataFrame = {
-    val n = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val cent = n.filter(col("vec_id") < Amplify.IdStride && col("vec_id") % 64 === 0)
+  /** Fixed-K codebook: replica-0 vectors only (q54's every-64th seed) —
+    * K does NOT grow with the corpus. */
+  private def fixedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < Amplify.IdStride && col("vec_id") % 64 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val assign = n.join(broadcast(cent))
-      .withColumn("_csim", expr("cosine_sim(v, cv)"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
-        first(col("v")).as("v"))
-      .localCheckpoint(true)
-    val q = assign.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("c_id").as("cluster"))
-    val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
-      col("c_id").as("cluster"))
-    val rk = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-      .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= 5)
+
+  /** Scaled codebook: K ≈ √N centroids hash-sampled uniformly across
+    * ALL replicas (a deterministic stand-in for re-training the q76
+    * k-means at each scale — sampling keeps the harness fast while
+    * pinning K to the policy under test). */
+  private def scaledCentroids(emb: DataFrame, n: Long): DataFrame = {
+    val k = math.max(1L, math.round(math.sqrt(n.toDouble)))
+    val step = math.max(1L, n / k)
+    emb.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+  }
+
+  /** Drive the incremental streaming dedup over `batches` deterministic
+    * hash-partitioned batches of the amplified corpus, measuring
+    * per-batch wall-clock (flat = per-batch cost independent of how
+    * much the store has accumulated) and final store size. */
+  private def streamingCurve(spark: SparkSession, docs: DataFrame,
+                             batches: Int): (Seq[Double], Long, Long) = {
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("scale-inc-dedup").toString + "/sigs"
+    val secs = (0 until batches).map { i =>
+      val b = docs.filter(pmod(xxhash64(col("doc_id")), lit(batches)) === i)
+        .select("doc_id", "text").localCheckpoint(true)
+      val t = timed(noop(IncrementalDedup.processBatch(b, storeDir)))
+      spark.catalog.clearCache()
+      t
+    }
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nSigs = spark.read.parquet(storeDir).count()
+    fs.delete(new org.apache.hadoop.fs.Path(
+      storeDir.stripSuffix("/sigs")), true)
+    (secs, bytes, nSigs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +115,10 @@ object ScaleBench {
       // input prep OUTSIDE the timed window: the chains are what scale,
       // amplification is an input generator
       val docs = Amplify.docs(baseDocs, r).localCheckpoint(true)
-      val emb = Amplify.embeddings(baseEmb, r).localCheckpoint(true)
+      val emb = Amplify.embeddings(baseEmb, r)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .localCheckpoint(true)
       val nDocs = docs.count(); val nVecs = emb.count()
       spark.catalog.clearCache(); System.gc(); resetPeaks()
 
@@ -106,12 +132,32 @@ object ScaleBench {
         val drop = cc.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
         nKept = docs.join(broadcast(drop), Seq("doc_id"), "left_anti").count()
       }
-      val ivfSec = timed(noop(ivfProbe(emb)))
+
+      // fixed-K IVF (r5's curve, kept for continuity): assign + probe
+      val ivfFixedSec = timed(noop(
+        Similarity.ivfProbeOf(emb, fixedCentroids(emb))))
+
+      // scaled-K IVF: assign timed separately (ivfAssign materializes
+      // eagerly via localCheckpoint), then the probe; cluster population
+      // stats measured from the actual assignment
+      val cent = scaledCentroids(emb, nVecs).localCheckpoint(true)
+      val k = cent.count()
+      var maxPop = 0L
+      var assign: DataFrame = null
+      val ivfAssignSec = timed { assign = Similarity.ivfAssign(emb, cent) }
+      val ivfProbeSec = timed(noop(Similarity.ivfProbeOfAssigned(assign)))
+      maxPop = assign.groupBy("c_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+
       val peak = peakHeapMb()
       spark.catalog.clearCache(); System.gc()
       println(s"[scale] r=$r docs=$nDocs vecs=$nVecs lsh=${f"$lshSec%.1f"}s " +
-        s"ivf=${f"$ivfSec%.1f"}s pairs=$nPairs groups=$nGroups kept=$nKept peakMb=$peak")
-      (r, nDocs, nVecs, nPairs, nGroups, nKept, lshSec, ivfSec, peak)
+        s"ivfFixed=${f"$ivfFixedSec%.1f"}s k=$k " +
+        s"ivfScaled=${f"${ivfAssignSec + ivfProbeSec}%.1f"}s " +
+        s"meanPop=${nVecs / math.max(k, 1)} maxPop=$maxPop " +
+        s"pairs=$nPairs groups=$nGroups kept=$nKept peakMb=$peak")
+      (r, nDocs, nVecs, nPairs, nGroups, nKept, lshSec,
+        ivfFixedSec, k, ivfAssignSec, ivfProbeSec, maxPop, peak)
     }
 
     // the q32 bound: brute-force all-pairs must FAIL FAST past the
@@ -126,12 +172,33 @@ object ScaleBench {
         e.getMessage.contains("bounded all-pairs verifier")
       }
 
-    val qs = rows.map { case (r, nd, nv, np, ng, nk, ls, is, pk) =>
+    // streaming dedup at 10×, ten batches: per-batch latency must stay
+    // flat as the signature store accumulates the earlier batches
+    val streamReplicas = 10
+    val streamBatches = 10
+    val streamDocs = Amplify.docs(baseDocs, streamReplicas)
+      .localCheckpoint(true)
+    val (batchSecs, storeBytes, storeSigs) =
+      streamingCurve(spark, streamDocs, streamBatches)
+
+    val qs = rows.map { case (r, nd, nv, np, ng, nk, ls, fi, k, as_, ps, mp, pk) =>
       s"""{"replicas":$r,"docs":$nd,"vecs":$nv,"cand_pairs":$np,""" +
         s""""dup_groups":$ng,"docs_kept":$nk,"lsh_cc_apply_sec":${f"$ls%.1f"},""" +
-        s""""ivf_sec":${f"$is%.1f"},"peak_heap_mb":$pk}"""
+        s""""ivf_fixedk_sec":${f"$fi%.1f"},"codebook_k":$k,""" +
+        s""""ivf_scaledk_assign_sec":${f"$as_%.1f"},""" +
+        s""""ivf_scaledk_probe_sec":${f"$ps%.1f"},""" +
+        s""""mean_cluster_pop":${nv / math.max(k, 1)},"max_cluster_pop":$mp,""" +
+        s""""peak_heap_mb":$pk}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,"scales":$qs}"""
+    val streaming =
+      s"""{"replicas":$streamReplicas,"batches":$streamBatches,""" +
+        s""""batch_sec":[${batchSecs.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""first_sec":${f"${batchSecs.head}%.2f"},""" +
+        s""""last_sec":${f"${batchSecs.last}%.2f"},""" +
+        s""""store_bytes":$storeBytes,"store_rows":$storeSigs,""" +
+        s""""bytes_per_doc":${storeBytes / math.max(storeSigs, 1)}}"""
+    val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
+      s""""scales":$qs,"streaming":$streaming}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,6 +103,98 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
       m.copy(content = StubCodec.resize(m.content, w, h), width = w, height = h)))
+  }
+
+  /** REAL pure-JVM image header codec — no native libraries, so it runs
+    * in any executor as-is. Parses (format, width, height) from the
+    * leading bytes of PNG (IHDR chunk, big-endian), GIF87a/89a (logical
+    * screen descriptor, little-endian), and JPEG (marker-segment scan to
+    * the first start-of-frame). This replaces the stubbed decode step
+    * for the dimension-extraction path; full pixel decode stays behind
+    * `StubCodec` (no image libs in this environment). */
+  object ImageCodec {
+    /** (format, width, height) if the payload starts with a recognized
+      * image header; None for unknown/truncated/corrupt bytes. */
+    def dimensions(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+          u8(7) == 0x0a && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some(("png", be32(16), be32(20)))
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(("gif", le16(6), le16(8)))
+      else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // walk the marker segments to the first SOFn (C0-CF minus the
+        // non-frame C4/C8/CC); dimensions sit at +5 (height), +7 (width)
+        var i = 2
+        var out: Option[(String, Int, Int)] = None
+        var ok = true
+        while (ok && out.isEmpty && i + 9 < b.length) {
+          if (u8(i) != 0xff) ok = false
+          else {
+            val marker = u8(i + 1)
+            if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+            else {
+              val len = be16(i + 2)
+              if (len < 2) ok = false
+              else if (marker >= 0xc0 && marker <= 0xcf &&
+                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+                out = Some(("jpeg", be16(i + 7), be16(i + 5)))
+              else i += 2 + len
+            }
+          }
+        }
+        out
+      } else None
+    }
+  }
+
+  /** Parsed header row — fixed-width, shuffle-friendly. */
+  case class MediaHeader(media_id: Long, format: String, width: Int, height: Int)
+
+  /** Header parse over a (media_id, content: binary) frame: the same
+    * partition-local mapPartitions shape as `extractFeatures` (one codec
+    * init per partition), with the REAL `ImageCodec` doing the byte
+    * work. Unrecognized payloads map to ("unknown", -1, -1) instead of
+    * failing the job — corrupt media is data, not an error. */
+  def parseHeaders(media: DataFrame): Dataset[MediaHeader] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init would go here (expensive handle reuse)
+        rows.map { case (id, bytes) =>
+          val (f, w, h) = ImageCodec.dimensions(bytes).getOrElse(("unknown", -1, -1))
+          MediaHeader(id, f, w, h)
+        }
+      }
+  }
+
+  /** Deterministic VALID image payloads from `documents` (the sandbox
+    * ships no binary fixtures): every row gets a structurally-correct
+    * PNG, GIF89a, or JPEG(JFIF+SOF0) header blob whose dimensions are
+    * arithmetic in (doc_id, n_chars) — so the DuckDB oracle can predict
+    * exactly what the REAL parser must extract from the bytes. Payload
+    * construction is pure codegen'd expressions (hex/unhex/concat). */
+  def synthHeaders(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 1024 + 16).cast("int")
+    val h = (col("n_chars") % 768 + 16).cast("int")
+    val w32 = lpad(hex(w), 8, "0"); val h32 = lpad(hex(h), 8, "0")
+    val w16 = lpad(hex(w), 4, "0"); val h16 = lpad(hex(h), 4, "0")
+    def le(hx: Column): Column = concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    val png = unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+      w32, h32, lit("0806000000")))
+    val gif = unhex(concat(lit("474946383961"), le(w16), le(h16), lit("F70000")))
+    val jpg = unhex(concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      h16, w16, lit("03012200021101031101")))
+    docs.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, gif)
+        .otherwise(jpg).as("content"))
   }
 
   /** Build a synthetic media table from `documents` (the sandbox has no

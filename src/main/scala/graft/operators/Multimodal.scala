@@ -35,6 +35,25 @@ object Multimodal {
       Media.extractFeatures(media).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 9))
         .orderBy("media_id")
+    },
+
+    // q77: REAL image header decode. Every document row becomes a
+    // structurally-valid PNG / GIF89a / JPEG(SOF0) header blob whose
+    // dimensions are arithmetic in (doc_id, n_chars); the Spark side
+    // must recover format/width/height by actually PARSING those bytes
+    // (Media.ImageCodec inside the mapPartitions codec shape), while
+    // the oracle predicts the same values from the arithmetic alone —
+    // any parser bug (endianness, offset, marker walk) hash-mismatches.
+    Q("q77_media_header_parse",
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 1024 + 16 AS INT) AS width,
+        |  CAST(n_chars % 768 + 16 AS INT) AS height
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val blobs = Media.synthHeaders(Tables.load(s, dir, "documents"))
+      Media.parseHeaders(blobs).toDF().orderBy("media_id")
     }
   )
 }

@@ -43,6 +43,53 @@ object Similarity {
 
   private val Dims = 64
 
+  /** IVF coarse assignment: every vector to its nearest centroid, as a
+    * broadcast-K map-side argmax via `max_by` (partial-agg combinable —
+    * no corpus×centroid sort) with a deterministic tie-break (highest
+    * cos_sim, then smallest c_id via -c_id in the ordering struct).
+    * `vectors` = (vec_id, v: array<double>), `centroids` = (c_id,
+    * cv: array<double>). localCheckpoint: every caller reads the
+    * assignment from both sides of the probe self-join (or across
+    * k-means rounds), so without pinning the whole quantization pass —
+    * the expensive subtree — would execute twice; unlike persist() the
+    * blocks are released once the frame is gone. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids))
+      .withColumn("_csim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+        first(col("v")).as("v"))
+      .localCheckpoint(true)
+
+  /** The inverted-list probe over an `ivfAssign` output: each query
+    * vector scores ONLY its own cluster's list — the search join is
+    * centroid-equality, never corpus×corpus. Shared verbatim by q54,
+    * q76, and `ScaleBench` (the scale harness measures the exact
+    * shipped plan, not a hand copy). */
+  def ivfProbeOfAssigned(assign: DataFrame,
+                         queryFilter: String = QueryFilter,
+                         topK: Int = TopK): DataFrame = {
+    val q = assign.filter(expr(queryFilter))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("c_id").as("cluster"))
+    val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("c_id").as("cluster"))
+    val rk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Full IVF search: coarse assign + cluster probe. */
+  def ivfProbeOf(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfProbeOfAssigned(ivfAssign(vectors, centroids))
+
   private def hpSql(j: Int, d: String): String =
     s"(('0x'||substr(md5('$j:' || CAST($d AS VARCHAR)),1,15))::BIGINT % 1000) / 500.0 - 1"
 
@@ -157,34 +204,7 @@ object Similarity {
       val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
       val cent = n.filter(col("vec_id") % 64 === 0)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      // Nearest-centroid argmax as a max_by aggregation (partial-agg /
-      // map-side combinable — no corpus×centroid sort) with the oracle's
-      // tie-break (highest cos_sim, then smallest c_id, via -c_id in the
-      // ordering struct). localCheckpoint: both the query and
-      // inverted-list sides read it, so without pinning the whole
-      // quantization pass — the expensive subtree — would execute twice;
-      // unlike persist() the blocks are released once the frame is gone.
-      val assign = n.join(broadcast(cent))
-        .withColumn("_csim", expr("cosine_sim(v, cv)"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
-          first(col("v")).as("v"))
-        .localCheckpoint(true)
-      val q = assign.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("c_id").as("cluster"))
-      val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
-        col("c_id").as("cluster"))
-      val rk = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      q.join(c, Seq("cluster"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-        .withColumn("rk", row_number().over(rk).cast("long"))
-        .filter(col("rk") <= TopK)
-        .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy("query_id", "rk")
+      ivfProbeOf(n, cent)
     },
 
     // ---- q76: IVF with a TRAINED codebook (k-means) ---------------------
@@ -242,13 +262,6 @@ object Similarity {
         |FROM scored WHERE rk <= $TopK
         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
-      // argmax assign, q54's max_by pattern (tie: highest cos, lowest c_id)
-      def assignTo(cent: DataFrame): DataFrame =
-        n.join(broadcast(cent))
-          .withColumn("_csim", expr("cosine_sim(v, cv)"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
-            first(col("v")).as("v"))
       // Lloyd's update: elementwise mean over the cluster, one shuffle on
       // (c_id, dim); posexplode is 0-based vs the oracle's 1-based v[i],
       // but both orderings reassemble the same dimension sequence
@@ -261,26 +274,12 @@ object Similarity {
       val c0 = n.filter(col("vec_id") % 64 === 0)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       // pin each codebook: K rows, but read by the NEXT full-corpus
-      // assign — without pinning every round recomputes all prior rounds
-      val c1 = centUpdate(assignTo(c0)).localCheckpoint(true)
-      val c2 = centUpdate(assignTo(c1)).localCheckpoint(true)
+      // assign (ivfAssign pins its output itself) — without pinning
+      // every round recomputes all prior rounds
+      val c1 = centUpdate(ivfAssign(n, c0)).localCheckpoint(true)
+      val c2 = centUpdate(ivfAssign(n, c1)).localCheckpoint(true)
       // final assignment feeds both sides of the probe self-join
-      val assign = assignTo(c2).localCheckpoint(true)
-      val q = assign.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("c_id").as("cluster"))
-      val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
-        col("c_id").as("cluster"))
-      val rk = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      q.join(c, Seq("cluster"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
-        .withColumn("rk", row_number().over(rk).cast("long"))
-        .filter(col("rk") <= TopK)
-        .select(col("query_id"), col("cluster"), col("rk"), col("neighbor_id"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy("query_id", "rk")
+      ivfProbeOfAssigned(ivfAssign(n, c2))
     },
 
     // ---- q64: int8 embedding quantization -------------------------------

@@ -51,6 +51,53 @@ class MediaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  // ---- ImageCodec: the REAL header parser on real fixture bytes -------
+
+  private def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+  test("ImageCodec parses a real 1x1 PNG") {
+    // canonical 1x1 transparent PNG (67 bytes)
+    val png = b64("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m" +
+      "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Media.ImageCodec.dimensions(png) === Some(("png", 1, 1)))
+  }
+
+  test("ImageCodec parses a real 1x1 GIF89a") {
+    val gif = b64("R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw==")
+    assert(Media.ImageCodec.dimensions(gif) === Some(("gif", 1, 1)))
+  }
+
+  test("ImageCodec walks JPEG segments to SOF0 (skipping APP0 + DQT)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(xs: Int*): Unit = xs.foreach(x => bos.write(x & 0xff))
+    put(0xff, 0xd8)                                  // SOI
+    put(0xff, 0xe0, 0x00, 0x10); put(Seq.fill(14)(0): _*) // APP0, len 16
+    put(0xff, 0xdb, 0x00, 0x43); put(Seq.fill(0x41)(0): _*) // DQT, len 67
+    put(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x02, 0x00, 0x03) // SOF0 h=2 w=3
+    put(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Media.ImageCodec.dimensions(bos.toByteArray) === Some(("jpeg", 3, 2)))
+  }
+
+  test("ImageCodec rejects truncated and unknown payloads") {
+    val png = b64("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m" +
+      "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Media.ImageCodec.dimensions(png.take(10)) === None)
+    assert(Media.ImageCodec.dimensions("not an image".getBytes("UTF-8")) === None)
+    assert(Media.ImageCodec.dimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)) === None)
+  }
+
+  test("synthHeaders emits VALID headers the real parser recovers exactly") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val parsed = Media.parseHeaders(Media.synthHeaders(docs)).toDF()
+    val expected = docs.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "gif").otherwise("jpeg").as("format"),
+      (col("doc_id") % 1024 + 16).cast("int").as("width"),
+      (col("n_chars") % 768 + 16).cast("int").as("height"))
+    assert(parsed.filter(col("format") === "unknown").isEmpty)
+    assert(parsed.except(expected).isEmpty && expected.except(parsed).isEmpty)
+  }
+
   test("media from documents round-trips through parquet (binary column)") {
     val dir = tempDir("media-parquet")
     val media = Media.fromDocuments(graft.core.Tables.load(spark, sf0001, "documents"))
