@@ -94,7 +94,8 @@ object ScaleBench {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val nSigs = spark.read.parquet(storeDir).count()
+    val nSigs = IncrementalDedup.storeSigs(spark, storeDir)
+      .map(_.count()).getOrElse(0L)
     fs.delete(new org.apache.hadoop.fs.Path(
       storeDir.stripSuffix("/sigs")), true)
     (secs, bytes, nSigs)

@@ -19,6 +19,16 @@ class IncrementalDedupSpec extends SparkSpec {
   private def docsDf(rows: (Long, String)*): DataFrame =
     rows.toSeq.toDF("doc_id", "text")
 
+  private def storeDf(store: String): DataFrame =
+    IncrementalDedup.storeSigs(spark, store)
+      .getOrElse(fail(s"store $store is empty"))
+
+  private def storeParquetFiles(store: String): Int =
+    IncrementalDedup.committedDirs(spark, store).map { d =>
+      new java.io.File(store, d).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+
   test("cross-batch and within-batch near-dups detected; store appends are idempotent") {
     val store = tempDir("inc-dedup-store") + "/sigs"
 
@@ -42,33 +52,42 @@ class IncrementalDedupSpec extends SparkSpec {
     // replaying batch 2 re-emits IDENTICAL verdicts (self-matches against
     // the already-appended signatures are excluded) and does not grow the
     // store
-    val sizeBefore = spark.read.parquet(store).count()
+    val sizeBefore = storeDf(store).count()
     val replay = IncrementalDedup.processBatch(
       docsDf(10L -> nearCopy, 11L -> unrelated), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(replay === Map(10L -> 1L, 11L -> 2L),
       s"replay verdicts must be stable, got $replay")
-    assert(spark.read.parquet(store).count() === sizeBefore, "replay grew the store")
+    assert(storeDf(store).count() === sizeBefore, "replay grew the store")
 
     // compaction: same contents, bounded file count, detection unchanged
     IncrementalDedup.compactStore(spark, store, targetFiles = 2)
-    assert(spark.read.parquet(store).count() === sizeBefore, "compaction changed contents")
-    val files = new java.io.File(store).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    assert(storeDf(store).count() === sizeBefore, "compaction changed contents")
+    assert(IncrementalDedup.committedDirs(spark, store).size === 1,
+      "compaction should fold to one directory")
+    val files = storeParquetFiles(store)
     assert(files <= 2, s"$files files after compaction")
     val v3 = IncrementalDedup.processBatch(docsDf(30L -> nearCopy), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v3(30L) === 1L, s"post-compaction detection: $v3")
 
-    // crash-window self-heal: simulate dying between compaction's delete
-    // and rename — live dir gone, completed side dir present
+    // crashed partial publish: a manifest file without the end-marker
+    // (and an orphan data directory it would have referenced) must be
+    // invisible to readers and superseded by the next batch's commit
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val side = new org.apache.hadoop.fs.Path(store + ".compact")
-    assert(fs.rename(new org.apache.hadoop.fs.Path(store), side))
-    val healed = IncrementalDedup.processBatch(docsDf(31L -> nearCopy), store)
+    val preDirs = IncrementalDedup.committedDirs(spark, store)
+    val orphan = new org.apache.hadoop.fs.Path(store, "d9999")
+    storeDf(store).limit(1).write.parquet(orphan.toString)
+    val partial = new org.apache.hadoop.fs.Path(store, "_m/m9999")
+    val out = fs.create(partial, false)
+    try out.write("d9999\n".getBytes("UTF-8")) finally out.close()
+    assert(IncrementalDedup.committedDirs(spark, store) === preDirs,
+      "partial manifest must be invisible")
+    val afterCrash = IncrementalDedup.processBatch(docsDf(31L -> nearCopy), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(healed(31L) === 1L, s"store not recovered from side dir: $healed")
+    assert(afterCrash(31L) === 1L, s"detection after crash residue: $afterCrash")
+    assert(!fs.exists(partial), "superseding commit must GC the partial manifest")
   }
 
   test("changed-text re-ingest replaces the stored signature (latest wins)") {
@@ -76,14 +95,14 @@ class IncrementalDedupSpec extends SparkSpec {
 
     // doc 1 enters with `base` text
     IncrementalDedup.processBatch(docsDf(1L -> base), store)
-    val sigV1 = spark.read.parquet(store).filter(col("doc_id") === 1L)
+    val sigV1 = storeDf(store).filter(col("doc_id") === 1L)
       .drop("doc_id").collect().toSeq
     assert(sigV1.size === 1)
 
     // doc 1 is RE-INGESTED with unrelated text: exactly one store row
     // remains for it, holding the NEW signature
     IncrementalDedup.processBatch(docsDf(1L -> unrelated), store)
-    val rows = spark.read.parquet(store).filter(col("doc_id") === 1L)
+    val rows = storeDf(store).filter(col("doc_id") === 1L)
       .drop("doc_id").collect().toSeq
     assert(rows.size === 1, s"expected one row for doc 1, got ${rows.size}")
     assert(rows !== sigV1, "stale signature survived the re-ingest")
