@@ -210,6 +210,65 @@ object Events {
         .withColumn("p", round(
           col("n") / sum("n").over(W.partitionBy("from_type")).cast("double"), 6))
         .orderBy("from_type", "to_type")
+    },
+
+    // ---- q78: as-of join (temporal attribution) -------------------------
+    // The operator Spark lacks natively: for every purchase, the most
+    // recent view by the same user at or before it (plus the exact gap).
+    // Implemented with the scalable union-window pattern instead of an
+    // inequality join: tag both sides, ONE shuffle on user_id, and a
+    // running last(ignoreNulls) carries the latest view forward — cost
+    // O(events log events-per-user), never views×purchases. At 100 TB
+    // the same plan holds: the only exchange is the per-user window
+    // partitioning, and AQE handles user skew. Gap arithmetic uses the
+    // exact ns longs (DIV, engine-identical) — never doubles.
+    Q("q78_asof_join",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 0 AS tag,
+        |         event_id AS view_id, NULL::BIGINT AS purchase_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS tag,
+        |         NULL::BIGINT AS view_id, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_tus
+        |  FROM u)
+        |SELECT purchase_id AS event_id, user_id,
+        |  asof_view_id AS view_id,
+        |  CAST((tus - asof_view_tus) // 1000 AS BIGINT) AS gap_ms
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // µs precision on BOTH sides: DuckDB's parquet reader floors the
+      // ns timestamps to µs, so the Spark side floors ts_ns identically
+      // (q38's epoch_us convention) — gap arithmetic stays exact-integer
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(0).as("tag"),
+          col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(1).as("tag"),
+          lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+      // view sorts before a same-instant purchase (tag 0 < 1), so an
+      // exactly-simultaneous view is attributable — and the fixture has
+      // no (user, ts) ties anyway
+      val w = W.partitionBy("user_id").orderBy("tus", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      views.unionByName(buys)
+        .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_view_tus",
+          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("purchase_id").as("event_id"), col("user_id"),
+          col("asof_view_id").as("view_id"),
+          expr("(tus - asof_view_tus) DIV 1000").as("gap_ms"))
+        .orderBy("event_id")
     }
   )
 }

@@ -282,6 +282,51 @@ object Similarity {
       ivfProbeOfAssigned(ivfAssign(n, c2))
     },
 
+    // ---- q79: semantic dedup (SemDeDup-style) ---------------------------
+    // Embedding-space deduplication: cluster with the coarse IVF
+    // codebook (the shared ivfAssign — one broadcast argmax pass), then
+    // compare ONLY within-cluster pairs and drop the higher vec_id of
+    // every pair above the cosine threshold. The cluster equi-join is
+    // what makes this corpus-scale: candidate pairs are Σ|cluster|²,
+    // never corpus² — the same bound SemDeDup exploits at web scale.
+    // τ=0.4 is corpus-relative: these synthetic embeddings are
+    // near-orthogonal (max within-cluster cosine ≈0.48); real text
+    // embeddings concentrate near 1 and use τ≈0.95+ — the parameter
+    // moves, the plan does not. Output: each dropped vector, its lowest
+    // surviving partner, and its best within-cluster similarity.
+    Q("q79_semantic_dedup",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk = 1),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+        |  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT j AS vec_id, min(i) AS kept_id, round(max(cs), 6) AS max_cos
+        |FROM p GROUP BY j ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val assign = ivfAssign(n, cent)
+      val a = assign.select(col("c_id"), col("vec_id").as("i"), col("v").as("vi"))
+      val b = assign.select(col("c_id"), col("vec_id").as("j"), col("v").as("vj"))
+      a.join(b, Seq("c_id")).filter(col("i") < col("j"))
+        .withColumn("cs", expr("cosine_sim(vi, vj)"))
+        .filter(col("cs") >= 0.4)
+        .groupBy("j")
+        .agg(min("i").as("kept_id"), round(max("cs"), 6).as("max_cos"))
+        .select(col("j").as("vec_id"), col("kept_id"), col("max_cos"))
+        .orderBy("vec_id")
+    },
+
     // ---- q64: int8 embedding quantization -------------------------------
     // Symmetric per-vector int8 quantization (the storage/serving format
     // for billion-vector indexes: 4× smaller than fp32, SIMD-dot-product

@@ -298,6 +298,113 @@ object Text {
           round(sum(score), 4).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // ---- q80: corpus quality filters (Gopher/C4-style gate) -------------
+    // The pre-training quality gate: per-document lexical statistics —
+    // word count, mean word length, most-frequent-word fraction
+    // (repetition) and distinct-word ratio (diversity) — and a boolean
+    // keep verdict from fixed thresholds (tuned to pass ~57% of this
+    // corpus, so both branches are exercised). One shuffle on
+    // (doc_id, word) for term frequencies, one map-side-combinable
+    // reduce to per-doc stats; every metric derives from exact integer
+    // sums, so the cross-engine doubles divide identically. At 100 TB
+    // this is the same two-phase shape — nothing is per-corpus global.
+    Q("q80_quality_filters",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |m AS (SELECT doc_id, sum(c) AS n_words, count(*) AS distinct_words,
+        |             max(c) AS top_c,
+        |             sum(c * length(w)) / CAST(sum(c) AS DOUBLE) AS mwl
+        |      FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(distinct_words AS BIGINT) AS distinct_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+        |  round(distinct_words / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+        |  CAST(CASE WHEN n_words >= 20
+        |        AND top_c / CAST(n_words AS DOUBLE) < 0.12
+        |        AND distinct_words / CAST(n_words AS DOUBLE) > 0.35
+        |       THEN 1 ELSE 0 END AS INT) AS keep_flag
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          count(lit(1)).as("distinct_words"),
+          max("c").as("top_c"),
+          (sum(col("c") * length(col("w"))) / sum("c").cast("double")).as("mwl"))
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("distinct_words").cast("long").as("distinct_words"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("top_c") / col("n_words").cast("double"), 6).as("top_word_frac"),
+          round(col("distinct_words") / col("n_words").cast("double"), 6)
+            .as("distinct_ratio"),
+          when(col("n_words") >= 20 &&
+              col("top_c") / col("n_words").cast("double") < 0.12 &&
+              col("distinct_words") / col("n_words").cast("double") > 0.35,
+            1).otherwise(0).cast("int").as("keep_flag"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q81: benchmark contamination check -----------------------------
+    // The eval-set hygiene pass every training pipeline needs: which
+    // corpus documents share 5-gram shingles with a held-out benchmark
+    // set (stand-in: doc_id % 10 = 0)? Shingles are hashed to 60-bit
+    // md5 keys (identical arithmetic in the oracle) so the overlap join
+    // shuffles 8-byte keys, never shingle strings; the benchmark side
+    // is a plain equi-join input — at real scale it is far too big to
+    // broadcast, and nothing here needs it to be. Reported: per-doc
+    // distinct-shingle count, benchmark hits (shingles from OTHER
+    // docs), and the contamination fraction, thresholded at 0.2 — the
+    // six flagged docs at sf0.01 are exactly the cross-boundary
+    // near-dup pairs.
+    Q("q81_contamination",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         (('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT) AS k
+        |       FROM ix),
+        |bench AS (SELECT DISTINCT k, doc_id FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT a.doc_id, count(DISTINCT a.k) AS n_hit
+        |         FROM sh a JOIN bench b ON a.k = b.k AND b.doc_id <> a.doc_id
+        |         GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+        |SELECT t.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) AS contaminated_frac
+        |FROM tot t LEFT JOIN hits h USING (doc_id)
+        |WHERE round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) >= 0.2
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+          .as("s"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("k"))
+        .distinct()
+      // renamed columns, not sh("k")/bench("k"): bench derives from sh,
+      // so attribute-based references would be an ambiguous self-join
+      val bench = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("k").as("bk"), col("doc_id").as("b_doc"))
+      val hits = sh.join(bench, col("k") === col("bk") && col("b_doc") =!= col("doc_id"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("k")).as("n_hit"))
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_shingles").cast("long").as("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles").cast("double"), 6)
+            .as("contaminated_frac"))
+        .filter(col("contaminated_frac") >= 0.2)
+        .orderBy("doc_id")
     }
   )
 }

@@ -75,6 +75,24 @@ class PlanSpec extends SparkSpec {
       "label propagation must join on node keys only")
   }
 
+  test("q78: as-of join is one window over a union — no inequality join at all") {
+    val p = plan("q78_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the union-window formulation must not degrade into any join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of should be join-free:\n" + p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q79/q81: semantic dedup and contamination stay in equi-join land") {
+    for (q <- Seq("q79_semantic_dedup", "q81_contamination")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n" + p.take(1500))
+    }
+  }
+
   test("q62: BM25 stats join by broadcast, postings filtered before exchange") {
     val p = plan("q62_bm25_rank")
     assert(p.contains("BroadcastHashJoin"), "df stats should broadcast")
