@@ -305,11 +305,16 @@ object Text {
     // word count, mean word length, most-frequent-word fraction
     // (repetition) and distinct-word ratio (diversity) — and a boolean
     // keep verdict from fixed thresholds (tuned to pass ~57% of this
-    // corpus, so both branches are exercised). One shuffle on
-    // (doc_id, word) for term frequencies, one map-side-combinable
-    // reduce to per-doc stats; every metric derives from exact integer
-    // sums, so the cross-engine doubles divide identically. At 100 TB
-    // this is the same two-phase shape — nothing is per-corpus global.
+    // corpus, so both branches are exercised). ZERO data shuffles: every
+    // metric is a per-row HOF expression (the top-word count is the max
+    // run length over the SORTED word array, folded by a single
+    // `aggregate` with a (prev, run, best) struct state) — the naive
+    // explode→groupBy(doc_id, word) formulation would exchange every
+    // word in the corpus, which at 100 TB is the difference between a
+    // map-only scan and the largest shuffle in the pipeline. The only
+    // exchange left is the presentation sort's range partitioning
+    // (PlanSpec-guarded). Every metric derives from exact integer sums,
+    // so the cross-engine doubles divide identically.
     Q("q80_quality_filters",
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |           FROM documents),
@@ -328,14 +333,21 @@ object Text {
         |        AND distinct_words / CAST(n_words AS DOUBLE) > 0.35
         |       THEN 1 ELSE 0 END AS INT) AS keep_flag
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      tf.groupBy("doc_id")
-        .agg(sum("c").as("n_words"),
-          count(lit(1)).as("distinct_words"),
-          max("c").as("top_c"),
-          (sum(col("c") * length(col("w"))) / sum("c").cast("double")).as("mwl"))
+      docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("distinct_words", size(array_distinct(col("ws"))).cast("long"))
+        // max run length over the sorted array == the top word's count
+        .withColumn("top_c", expr(
+          """aggregate(array_sort(ws),
+            |  struct(cast('' as string) as prev, 0L as run, 0L as best),
+            |  (st, w) -> struct(w,
+            |    if(w = st.prev, st.run + 1L, 1L),
+            |    greatest(st.best, if(w = st.prev, st.run + 1L, 1L))),
+            |  st -> st.best)""".stripMargin))
+        .withColumn("mwl", expr(
+          "aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double")
+          / col("n_words"))
         .select(col("doc_id"),
           col("n_words").cast("long").as("n_words"),
           col("distinct_words").cast("long").as("distinct_words"),
@@ -361,7 +373,12 @@ object Text {
     // distinct-shingle count, benchmark hits (shingles from OTHER
     // docs), and the contamination fraction, thresholded at 0.2 — the
     // six flagged docs at sf0.01 are exactly the cross-boundary
-    // near-dup pairs.
+    // near-dup pairs. Plan shape: shingle hashing and per-doc
+    // DEDUPLICATION are per-row array expressions (array_distinct on
+    // the hashed shingle array — no corpus-wide distinct exchange), and
+    // the per-doc shingle total comes free as the array size; the only
+    // corpus-scale shuffle is the unavoidable overlap equi-join on the
+    // 8-byte keys, plus a per-doc count over the (small) hit set.
     Q("q81_contamination",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
@@ -380,15 +397,18 @@ object Text {
         |FROM tot t LEFT JOIN hits h USING (doc_id)
         |WHERE round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) >= 0.2
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir)
+      // per-row: shingle → 60-bit hash → per-doc distinct, all inside
+      // one projection (no corpus-wide distinct exchange)
+      val karr = docs(s, dir)
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
-          .as("s"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("k"))
-        .distinct()
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(
+            |  transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' ')),
+            |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"""
+            .stripMargin).as("karr"))
+        .localCheckpoint(true) // read by both join sides and the totals
+      val sh = karr.select(col("doc_id"), explode(col("karr")).as("k"))
       // renamed columns, not sh("k")/bench("k"): bench derives from sh,
       // so attribute-based references would be an ambiguous self-join
       val bench = sh.filter(col("doc_id") % 10 === 0)
@@ -396,10 +416,9 @@ object Text {
       val hits = sh.join(bench, col("k") === col("bk") && col("b_doc") =!= col("doc_id"))
         .groupBy("doc_id")
         .agg(countDistinct(col("k")).as("n_hit"))
-      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      tot.join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("n_shingles").cast("long").as("n_shingles"),
+      karr.select(col("doc_id"), size(col("karr")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles").cast("double"), 6)
             .as("contaminated_frac"))

@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("q80: quality gate is map-only — no hash-partition exchange anywhere") {
+    // all metrics are per-row HOF expressions; the only exchange allowed
+    // is the presentation sort's range partitioning
+    val p = plan("q80_quality_filters")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
   test("q79/q81: semantic dedup and contamination stay in equi-join land") {
     for (q <- Seq("q79_semantic_dedup", "q81_contamination")) {
       val p = plan(q)
