@@ -150,15 +150,29 @@ object ScaleBench {
       maxPop = assign.groupBy("c_id").count()
         .agg(max("count")).collect()(0).getLong(0)
 
+      // hierarchical two-level assign over the SAME scaled codebook:
+      // ~2√K dots per vector instead of K — the answer to the flat
+      // assign dominating the 50× curve; agreement with the exact
+      // argmax is measured, not assumed
+      var hier: DataFrame = null
+      val hierAssignSec = timed { hier = Similarity.ivfAssignHierarchical(emb, cent) }
+      val hierProbeSec = timed(noop(Similarity.ivfProbeOfAssigned(hier)))
+      val agree = assign.select(col("vec_id"), col("c_id").as("ce"))
+        .join(hier.select(col("vec_id"), col("c_id").as("ch")), "vec_id")
+        .filter(col("ce") === col("ch")).count()
+      val agreeFrac = agree.toDouble / math.max(nVecs, 1)
+
       val peak = peakHeapMb()
       spark.catalog.clearCache(); System.gc()
       println(s"[scale] r=$r docs=$nDocs vecs=$nVecs lsh=${f"$lshSec%.1f"}s " +
         s"ivfFixed=${f"$ivfFixedSec%.1f"}s k=$k " +
         s"ivfScaled=${f"${ivfAssignSec + ivfProbeSec}%.1f"}s " +
+        s"ivfHier=${f"${hierAssignSec + hierProbeSec}%.1f"}s agree=${f"$agreeFrac%.2f"} " +
         s"meanPop=${nVecs / math.max(k, 1)} maxPop=$maxPop " +
         s"pairs=$nPairs groups=$nGroups kept=$nKept peakMb=$peak")
       (r, nDocs, nVecs, nPairs, nGroups, nKept, lshSec,
-        ivfFixedSec, k, ivfAssignSec, ivfProbeSec, maxPop, peak)
+        ivfFixedSec, k, ivfAssignSec, ivfProbeSec, maxPop,
+        hierAssignSec, hierProbeSec, agreeFrac, peak)
     }
 
     // the q32 bound: brute-force all-pairs must FAIL FAST past the
@@ -182,13 +196,16 @@ object ScaleBench {
     val (batchSecs, storeBytes, storeSigs) =
       streamingCurve(spark, streamDocs, streamBatches)
 
-    val qs = rows.map { case (r, nd, nv, np, ng, nk, ls, fi, k, as_, ps, mp, pk) =>
+    val qs = rows.map { case (r, nd, nv, np, ng, nk, ls, fi, k, as_, ps, mp, ha, hp, af, pk) =>
       s"""{"replicas":$r,"docs":$nd,"vecs":$nv,"cand_pairs":$np,""" +
         s""""dup_groups":$ng,"docs_kept":$nk,"lsh_cc_apply_sec":${f"$ls%.1f"},""" +
         s""""ivf_fixedk_sec":${f"$fi%.1f"},"codebook_k":$k,""" +
         s""""ivf_scaledk_assign_sec":${f"$as_%.1f"},""" +
         s""""ivf_scaledk_probe_sec":${f"$ps%.1f"},""" +
         s""""mean_cluster_pop":${nv / math.max(k, 1)},"max_cluster_pop":$mp,""" +
+        s""""ivf_hier_assign_sec":${f"$ha%.1f"},""" +
+        s""""ivf_hier_probe_sec":${f"$hp%.1f"},""" +
+        s""""hier_agree_frac":${f"$af%.3f"},""" +
         s""""peak_heap_mb":$pk}"""
     }.mkString("[", ",", "]")
     val streaming =

@@ -90,6 +90,52 @@ object Similarity {
   def ivfProbeOf(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ivfProbeOfAssigned(ivfAssign(vectors, centroids))
 
+  /** Two-level hierarchical coarse assignment — the flat `ivfAssign`
+    * is O(N·K) dot products, which the 50× scaling measurement showed
+    * dominating once K grows with the corpus; this drops per-vector
+    * work to ~2√K: (1) √K level-1 pivots are hash-sampled FROM the
+    * centroids and every centroid is exactly-assigned to its nearest
+    * pivot (K·√K — centroids, not corpus); (2) each vector finds its
+    * nearest pivot (√K dots) and then argmaxes only over that pivot's
+    * ~√K child centroids. Both join sides are broadcast (K rows at
+    * most) and all reduction is partial-agg `max_by` — same shuffle
+    * shape as the flat assign, strictly less compute. The assignment
+    * is APPROXIMATE in the classic hierarchical-ANN sense (the true
+    * nearest centroid can live under a different pivot);
+    * `SimilaritySpec` pins the measured exact-agreement floor, and the
+    * probe layout/downstream plan are unchanged. */
+  def ivfAssignHierarchical(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignHierarchicalPlan(vectors, centroids).localCheckpoint(true)
+
+  /** The un-checkpointed hierarchical-assign plan (exposed so specs can
+    * assert its join shape — localCheckpoint executes eagerly and hides
+    * the lineage). */
+  private[operators] def ivfAssignHierarchicalPlan(
+      vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val k = centroids.count()
+    val step = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    val l1 = centroids.filter(pmod(xxhash64(col("c_id")), lit(step)) === 0)
+      .select(col("c_id").as("l1_id"), col("cv").as("l1v"))
+    // exact parent for every centroid: K·√K, tiny
+    val centWithParent = centroids.join(broadcast(l1))
+      .withColumn("_psim", expr("cosine_sim(cv, l1v)"))
+      .groupBy(col("c_id"))
+      .agg(max_by(col("l1_id"), struct(col("_psim"), -col("l1_id"))).as("l1_id"),
+        first(col("cv")).as("cv"))
+    // vector → nearest pivot (√K dots per row)
+    val vl1 = vectors.join(broadcast(l1))
+      .withColumn("_psim", expr("cosine_sim(v, l1v)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("l1_id"), struct(col("_psim"), -col("l1_id"))).as("l1_id"),
+        first(col("v")).as("v"))
+    // vector → best centroid among its pivot's children (~√K dots)
+    vl1.join(broadcast(centWithParent), Seq("l1_id"))
+      .withColumn("_csim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+        first(col("v")).as("v"))
+  }
+
   private def hpSql(j: Int, d: String): String =
     s"(('0x'||substr(md5('$j:' || CAST($d AS VARCHAR)),1,15))::BIGINT % 1000) / 500.0 - 1"
 
