@@ -189,6 +189,83 @@ object Corpus {
           floor(col("cum_before") / PackBudget).as("window_id"),
           (col("cum_before") % PackBudget).as("offset_in_window"))
         .orderBy("doc_id")
+    },
+
+    // ---- q82: the composed corpus gate (quality × dedup × decontam) -----
+    // The capstone a real training pipeline runs nightly: every document
+    // passes through three independent gates — the q80 quality rules
+    // (per-row HOF expressions, no shuffle), exact dedup (keep the
+    // lowest doc_id per md5 fingerprint — one window shuffle), and the
+    // q81 contamination check (shared Text.contaminationStats; the
+    // flagged set is tiny and broadcast back) — and the per-source
+    // yield report attributes each rejection to its FIRST failing gate
+    // (quality → dup → contamination), plus the surviving token budget.
+    // Composition is the point: three operators, one pass over the
+    // corpus, no driver-side state, every count reproducible by the
+    // oracle.
+    Q("q82_corpus_gate",
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tfc AS (SELECT doc_id, w, count(*) AS c FROM tf GROUP BY 1, 2),
+        |qm AS (SELECT doc_id, sum(c) AS nw, count(*) AS dw, max(c) AS tc FROM tfc GROUP BY 1),
+        |q AS (SELECT doc_id, nw,
+        |        (nw >= 20 AND tc / CAST(nw AS DOUBLE) < 0.12
+        |         AND dw / CAST(nw AS DOUBLE) > 0.35) AS quality_ok FROM qm),
+        |d AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS dup_ok
+        |      FROM documents),
+        |t5 AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |       FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         (('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT) AS k
+        |       FROM ix),
+        |bench AS (SELECT DISTINCT k, doc_id FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT a.doc_id, count(DISTINCT a.k) AS n_hit
+        |         FROM sh a JOIN bench b ON a.k = b.k AND b.doc_id <> a.doc_id GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |cont AS (SELECT t.doc_id,
+        |           round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) >= 0.2 AS contaminated
+        |         FROM tot t LEFT JOIN hits h USING (doc_id)),
+        |g AS (SELECT doc.doc_id, doc.source, q.nw, q.quality_ok, d.dup_ok,
+        |        coalesce(cont.contaminated, FALSE) AS contaminated
+        |      FROM documents doc
+        |      JOIN q USING (doc_id) JOIN d USING (doc_id)
+        |      LEFT JOIN cont USING (doc_id))
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  count(*) FILTER (NOT quality_ok) AS n_quality_fail,
+        |  count(*) FILTER (quality_ok AND NOT dup_ok) AS n_dup_drop,
+        |  count(*) FILTER (quality_ok AND dup_ok AND contaminated) AS n_contaminated,
+        |  count(*) FILTER (quality_ok AND dup_ok AND NOT contaminated) AS n_kept,
+        |  CAST(coalesce(sum(nw) FILTER (quality_ok AND dup_ok AND NOT contaminated), 0) AS BIGINT)
+        |    AS kept_tokens
+        |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val keepQ = col("quality_ok")
+      val keepD = col("dup_ok")
+      val cont = col("contaminated")
+      val base = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")).cast("long"))
+        .withColumn("quality_ok",
+          col("nw") >= 20 &&
+            Text.topWordCount(col("ws")) / col("nw").cast("double") < 0.12 &&
+            size(array_distinct(col("ws"))) / col("nw").cast("double") > 0.35)
+        .withColumn("dup_ok",
+          col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      val flagged = Text.contaminationStats(docs(s, dir))
+        .filter(col("contaminated_frac") >= 0.2)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      base.join(broadcast(flagged), Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(cont, lit(false)))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!keepQ, 1)).as("n_quality_fail"),
+          count(when(keepQ && !keepD, 1)).as("n_dup_drop"),
+          count(when(keepQ && keepD && cont, 1)).as("n_contaminated"),
+          count(when(keepQ && keepD && !cont, 1)).as("n_kept"),
+          coalesce(sum(when(keepQ && keepD && !cont, col("nw"))), lit(0L))
+            .cast("long").as("kept_tokens"))
+        .orderBy("source")
     }
   )
 }

@@ -16,6 +16,54 @@ import graft.core.{Q, Tables}
   * across engines) to keep every query DuckDB-oracle-checkable.
   */
 object Text {
+
+  /** Count of the most frequent element of a string array = the max run
+    * length over the SORTED array, folded by one `aggregate` with a
+    * (prev, run, best) struct state — a pure per-row expression, so the
+    * repetition metric costs no shuffle (q80, q82). */
+  def topWordCount(ws: Column): Column =
+    aggregate(array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, w) => {
+        val run = when(w === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Per-document contamination stats against the `doc_id % benchMod = 0`
+    * benchmark stand-in (q81, q82): (doc_id, n_shingles, n_hit,
+    * contaminated_frac). Shingle hashing and per-doc dedup are per-row
+    * array expressions; the only corpus-scale shuffle is the overlap
+    * equi-join on 8-byte keys. Docs with fewer than 5 words have no
+    * shingles and are absent from the output. */
+  def contaminationStats(d: DataFrame, benchMod: Int = 10): DataFrame = {
+    val karr = d
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' ')),
+          |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"""
+          .stripMargin).as("karr"))
+      .localCheckpoint(true) // read by both join sides and the totals
+    val sh = karr.select(col("doc_id"), explode(col("karr")).as("k"))
+    // renamed columns, not sh("k")/bench("k"): bench derives from sh,
+    // so attribute-based references would be an ambiguous self-join
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("k").as("bk"), col("doc_id").as("b_doc"))
+    val hits = sh.join(bench, col("k") === col("bk") && col("b_doc") =!= col("doc_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("k")).as("n_hit"))
+    karr.select(col("doc_id"), size(col("karr")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles").cast("double"), 6)
+          .as("contaminated_frac"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -338,13 +386,7 @@ object Text {
         .withColumn("n_words", size(col("ws")).cast("long"))
         .withColumn("distinct_words", size(array_distinct(col("ws"))).cast("long"))
         // max run length over the sorted array == the top word's count
-        .withColumn("top_c", expr(
-          """aggregate(array_sort(ws),
-            |  struct(cast('' as string) as prev, 0L as run, 0L as best),
-            |  (st, w) -> struct(w,
-            |    if(w = st.prev, st.run + 1L, 1L),
-            |    greatest(st.best, if(w = st.prev, st.run + 1L, 1L))),
-            |  st -> st.best)""".stripMargin))
+        .withColumn("top_c", topWordCount(col("ws")))
         .withColumn("mwl", expr(
           "aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast("double")
           / col("n_words"))
@@ -397,31 +439,7 @@ object Text {
         |FROM tot t LEFT JOIN hits h USING (doc_id)
         |WHERE round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) >= 0.2
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // per-row: shingle → 60-bit hash → per-doc distinct, all inside
-      // one projection (no corpus-wide distinct exchange)
-      val karr = docs(s, dir)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 5)
-        .select(col("doc_id"), expr(
-          """array_distinct(transform(
-            |  transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' ')),
-            |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)))"""
-            .stripMargin).as("karr"))
-        .localCheckpoint(true) // read by both join sides and the totals
-      val sh = karr.select(col("doc_id"), explode(col("karr")).as("k"))
-      // renamed columns, not sh("k")/bench("k"): bench derives from sh,
-      // so attribute-based references would be an ambiguous self-join
-      val bench = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("k").as("bk"), col("doc_id").as("b_doc"))
-      val hits = sh.join(bench, col("k") === col("bk") && col("b_doc") =!= col("doc_id"))
-        .groupBy("doc_id")
-        .agg(countDistinct(col("k")).as("n_hit"))
-      karr.select(col("doc_id"), size(col("karr")).cast("long").as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles").cast("double"), 6)
-            .as("contaminated_frac"))
+      contaminationStats(docs(s, dir))
         .filter(col("contaminated_frac") >= 0.2)
         .orderBy("doc_id")
     }
