@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Media
+
+/** Property checks for the subtle per-row folds behind q80/q77: the
+  * sorted-run `topWordCount` fold must equal a reference max-frequency
+  * count on ANY word list, and the image header codec must round-trip
+  * ANY dimensions through the same byte layouts q77 synthesizes. Cases
+  * drawn with fixed seeds (deterministic CI). */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("topWordCount equals the reference max word frequency on random lists") {
+    val genWords: Gen[List[String]] = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee", "f g".trim))
+    } yield ws
+    val cases = samples(genWords, 60)
+    val df = cases.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("id", "ws")
+      .select(col("id"), Text.topWordCount(col("ws")).as("top"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (ws, i) =>
+      val expect = ws.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i.toLong) === expect, s"case $i: $ws")
+    }
+  }
+
+  test("ImageCodec round-trips random dimensions through PNG/GIF/JPEG layouts") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    val genDims = for {
+      w <- Gen.choose(1, 65535)
+      h <- Gen.choose(1, 65535)
+    } yield (w, h)
+    samples(genDims, 80).foreach { case (w, h) =>
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 0x0d, 'I', 'H', 'D', 'R') ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0)
+      assert(Media.ImageCodec.dimensions(png) === Some(("png", w, h)), s"png $w x $h")
+      val gif = "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+        Array[Byte](0xf7.toByte, 0, 0)
+      assert(Media.ImageCodec.dimensions(gif) === Some(("gif", w, h)), s"gif $w x $h")
+      val jpg = Array[Byte](0xff.toByte, 0xd8.toByte,
+        0xff.toByte, 0xe0.toByte, 0x00, 0x10) ++ Array.fill[Byte](14)(0) ++
+        Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08) ++
+        be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      assert(Media.ImageCodec.dimensions(jpg) === Some(("jpeg", w, h)), s"jpeg $w x $h")
+    }
+  }
+}
