@@ -428,7 +428,16 @@ final class Scd2Store(spark: SparkSession, root: String,
     * and the manifest publish commits both atomically. The fold name
     * embeds the new live version so a replayed attempt never rewrites a
     * directory the current manifest references; until the manifest
-    * publish lands, readers see the intact pre-compaction state. */
+    * publish lands, readers see the intact pre-compaction state.
+    *
+    * This is ALSO the history-maintenance hook: normal ingest appends
+    * one `b<tag>` directory per batch, so the read fan-in of
+    * history/as-of queries grows with batch count; running
+    * `compactTo(name, table(name), tag)` periodically (an operator
+    * decision, like VACUUM — cost is O(total history), so schedule it
+    * off the ingest path) folds the accumulated directories into one
+    * and restores single-directory history reads, with data and
+    * crash-safety identical before and after (manifest-committed). */
   def compactTo(name: String, full: DataFrame, tag: Long): Unit = {
     full.persist()
     try {

@@ -359,6 +359,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("manual history compaction folds batch dirs, preserving contents exactly") {
+    val root = tempDir("sds-histfold")
+    val store = new Scd2Store(spark, root)
+    def b(n: Long) = batch(n, s"b$n", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = s"v$n")))))
+    for (n <- 1L to 5L) apply1(store, b(n))
+    val before = agentState(store)
+    val histDir = new java.io.File(root, "agents/history")
+    assert(histDir.list().count(_.startsWith("b")) === 4, "one b<tag> dir per closing batch")
+
+    // the VACUUM-style maintenance pass: fold everything into one dir
+    store.compactTo("agents", store.table("agents"), 5L)
+    assert(agentState(store) === before, "fold must not change contents")
+    // after the NEXT commit GCs the superseded generation, one fold remains
+    apply1(store, b(6))
+    apply1(store, b(7))
+    val names = histDir.list().toSeq
+    assert(names.count(_.startsWith("f")) === 1, s"expected one fold dir in $names")
+    assert(names.count(_.startsWith("b")) <= 2, s"old batch dirs not GC'd: $names")
+    assert(store.asOf("agents", 3).select("name").collect()
+      .map(_.getString(0)).toSeq === Seq("v3"))
+  }
+
   test("streaming wiring: MemoryStream → foreachBatch → store") {
     val store = newStore()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
