@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to the terminal: sbt's
+// default LoggedOutput prefixes every child line with "[info] "/"[error] ",
+// which broke the driver's machine-readable bench gate four rounds running
+// (BENCH_r04..r07 `parsed: null` — the JSON total line arrived as
+// `[info] {...}` and failed to parse).
+ThisBuild / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

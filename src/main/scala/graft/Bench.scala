@@ -31,11 +31,16 @@ object Bench {
     // query reports its minimum — host noise (a GC pause, a page-cache
     // miss, a co-tenant burst) inflates one run, never both, so min
     // tracks the plan's actual cost instead of the noisiest sample
-    val runs: Seq[Seq[(String, Double)]] = (1 to runCount).map { _ =>
+    // Each run records (time, succeeded). A failed query must NEVER feed
+    // the minimum: a query that throws in 50 ms would otherwise report a
+    // FAST time and a healthy total while being broken — masking exactly
+    // the regression the bench exists to catch.
+    val runs: Seq[Seq[(String, (Double, Boolean))]] = (1 to runCount).map { _ =>
       suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // queries may cache intermediates; don't let caches accumulate
         // across the suite and skew later timings. clearCache drops
@@ -45,27 +50,43 @@ object Bench {
         // timed window.
         spark.catalog.clearCache()
         System.gc()
-        name -> elapsed
+        name -> (elapsed, ok)
       }
     }
     def s3(v: Double): String = f"$v%.3f"
+    // min over SUCCESSFUL runs only (host noise inflates one run, never
+    // both, so min tracks plan cost); a query with zero successful runs
+    // is reported as -1 and counted in `errors`.
     val mins: Seq[(String, Double)] = suite.map(_._1).map { name =>
-      name -> runs.map(_.toMap.apply(name)).min
+      val good = runs.map(_.toMap.apply(name)).collect { case (t, true) => t }
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
-    val total = mins.map(_._2).sum
+    val failed = mins.collect { case (n, t) if t < 0 => n }
+    val errorRuns = runs.flatten.count(!_._2._2)
+    val total = mins.map(_._2).filter(_ >= 0).sum
     def qmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""queries":${qmap(mins)},"runs":[${runs.map(qmap).mkString(",")}]}"""
+        s""""errors":$errorRuns,"failed_queries":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""queries":${qmap(mins)},"runs":[${runs.map(r => qmap(r.map { case (n, (t, _)) => n -> t })).mkString(",")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // stdout carries ONLY the total: the driver parses a bounded stdout
-    // TAIL, and a 73-query map (~4.4 KB even at 3 decimals) overflowed it
-    // three rounds running (BENCH_r03..r05 "parsed": null). Per-query
-    // detail lives in BENCH_LOCAL.json, committed with the repo.
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","queries":{},"queries_file":"BENCH_LOCAL.json"}""")
+    // The driver parses a bounded TAIL of the process output, so the
+    // total-only line (a) carries no per-query map (a 73-query map
+    // overflowed the tail in rounds 3-5), (b) is printed AFTER all Spark
+    // work so nothing can flood past it, (c) goes to BOTH stdout and
+    // stderr (build.sbt's StdoutOutput strategy keeps sbt from prefixing
+    // either with "[info] "/"[error] " — the r04-r07 parse failure), and
+    // (d) is ALSO written to the fixed file BENCH_TOTAL.json as the
+    // transport-independent copy.
+    val totalLine =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
+        s""""sf":"$sfDir","errors":$errorRuns,"queries":{},"queries_file":"BENCH_LOCAL.json"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_TOTAL.json"),
+      (totalLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(totalLine)
+    System.err.println(totalLine)
   }
 }

@@ -79,9 +79,17 @@ object ScaleBench {
   /** Drive the incremental streaming dedup over `batches` deterministic
     * hash-partitioned batches of the amplified corpus, measuring
     * per-batch wall-clock (flat = per-batch cost independent of how
-    * much the store has accumulated) and final store size. */
+    * much the store has accumulated), final store size, and the
+    * partition-pruned probe footprint of a trickle batch against the
+    * fully-grown store — the join-input-rows ≪ store-rows evidence for
+    * the bucket-partitioned layout. */
+  private case class StreamingResult(
+      batchSecs: Seq[Double], bytes: Long, storeDocs: Long,
+      indexRows: Long, probeRowsRead: Long,
+      touchedLeaves: Int, totalLeaves: Int)
+
   private def streamingCurve(spark: SparkSession, docs: DataFrame,
-                             batches: Int): (Seq[Double], Long, Long) = {
+                             batches: Int): StreamingResult = {
     val storeDir = java.nio.file.Files
       .createTempDirectory("scale-inc-dedup").toString + "/sigs"
     val secs = (0 until batches).map { i =>
@@ -94,11 +102,16 @@ object ScaleBench {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val nSigs = IncrementalDedup.storeSigs(spark, storeDir)
+    val nDocs = IncrementalDedup.storeSigs(spark, storeDir)
       .map(_.count()).getOrElse(0L)
+    // trickle-probe footprint: an 8-doc batch against the grown store
+    val probe = docs.select("doc_id", "text").orderBy("doc_id").limit(8)
+      .localCheckpoint(true)
+    val fp = IncrementalDedup.probeFootprint(spark, storeDir, probe)
     fs.delete(new org.apache.hadoop.fs.Path(
       storeDir.stripSuffix("/sigs")), true)
-    (secs, bytes, nSigs)
+    StreamingResult(secs, bytes, nDocs, fp.rowsTotal, fp.rowsRead,
+      fp.touchedLeaves, fp.totalLeaves)
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,8 +206,7 @@ object ScaleBench {
     val streamBatches = 10
     val streamDocs = Amplify.docs(baseDocs, streamReplicas)
       .localCheckpoint(true)
-    val (batchSecs, storeBytes, storeSigs) =
-      streamingCurve(spark, streamDocs, streamBatches)
+    val sr = streamingCurve(spark, streamDocs, streamBatches)
 
     val qs = rows.map { case (r, nd, nv, np, ng, nk, ls, fi, k, as_, ps, mp, ha, hp, af, pk) =>
       s"""{"replicas":$r,"docs":$nd,"vecs":$nv,"cand_pairs":$np,""" +
@@ -210,11 +222,15 @@ object ScaleBench {
     }.mkString("[", ",", "]")
     val streaming =
       s"""{"replicas":$streamReplicas,"batches":$streamBatches,""" +
-        s""""batch_sec":[${batchSecs.map(s => f"$s%.2f").mkString(",")}],""" +
-        s""""first_sec":${f"${batchSecs.head}%.2f"},""" +
-        s""""last_sec":${f"${batchSecs.last}%.2f"},""" +
-        s""""store_bytes":$storeBytes,"store_rows":$storeSigs,""" +
-        s""""bytes_per_doc":${storeBytes / math.max(storeSigs, 1)}}"""
+        s""""batch_sec":[${sr.batchSecs.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""first_sec":${f"${sr.batchSecs.head}%.2f"},""" +
+        s""""last_sec":${f"${sr.batchSecs.last}%.2f"},""" +
+        s""""store_bytes":${sr.bytes},"store_docs":${sr.storeDocs},""" +
+        s""""index_rows":${sr.indexRows},""" +
+        s""""bytes_per_doc":${sr.bytes / math.max(sr.storeDocs, 1)},""" +
+        s""""probe8_rows_read":${sr.probeRowsRead},""" +
+        s""""probe8_touched_leaves":${sr.touchedLeaves},""" +
+        s""""probe8_total_leaves":${sr.totalLeaves}}"""
     val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
       s""""scales":$qs,"streaming":$streaming}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),

@@ -129,22 +129,38 @@ object Media {
         Some(("gif", le16(6), le16(8)))
       else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
         // walk the marker segments to the first SOFn (C0-CF minus the
-        // non-frame C4/C8/CC); dimensions sit at +5 (height), +7 (width)
+        // non-frame C4/C8/CC); dimensions sit at +4 (height), +6 (width)
+        // past the marker code. Two legal-JPEG subtleties (ITU T.81
+        // §B.1.1.2): (a) any number of extra 0xFF FILL bytes may pad
+        // before a marker code — skip them all, don't reject; (b) EOI
+        // (0xD9) and SOS (0xDA) carry no frame header after them that
+        // this scan may read — EOI has NO length field at all (reading
+        // one grabs garbage) and past SOS lies entropy-coded data, so
+        // both terminate the walk with "no SOF found".
         var i = 2
         var out: Option[(String, Int, Int)] = None
         var ok = true
-        while (ok && out.isEmpty && i + 9 < b.length) {
+        while (ok && out.isEmpty && i + 1 < b.length) {
           if (u8(i) != 0xff) ok = false
           else {
-            val marker = u8(i + 1)
-            if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+            var j = i + 1
+            while (j < b.length && u8(j) == 0xff) j += 1 // consecutive 0xFF = fill
+            if (j >= b.length) ok = false
             else {
-              val len = be16(i + 2)
-              if (len < 2) ok = false
-              else if (marker >= 0xc0 && marker <= 0xcf &&
-                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-                out = Some(("jpeg", be16(i + 7), be16(i + 5)))
-              else i += 2 + len
+              val marker = u8(j)
+              if (marker == 0x00) ok = false // stuffed byte: not legal before SOS
+              else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i = j + 1
+              else if (marker == 0xd9 || marker == 0xda) ok = false // EOI / SOS
+              else if (j + 2 >= b.length) ok = false
+              else {
+                val len = be16(j + 1)
+                if (len < 2) ok = false
+                else if (marker >= 0xc0 && marker <= 0xcf &&
+                    marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+                  if (j + 8 < b.length) out = Some(("jpeg", be16(j + 6), be16(j + 4)))
+                  else ok = false // truncated SOF
+                } else i = j + 1 + len
+              }
             }
           }
         }

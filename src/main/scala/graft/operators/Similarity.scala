@@ -107,15 +107,37 @@ object Similarity {
   def ivfAssignHierarchical(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssignHierarchicalPlan(vectors, centroids).localCheckpoint(true)
 
+  /** Deterministic md5 sampling predicate over an id column — the
+    * repo's portable hash idiom (bit-identical in DuckDB via
+    * `('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT % step`). */
+  private def md5Sampled(id: Column, step: Long): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(step)) === 0
+
+  /** The level-1 pivot set: ~√K centroids hash-sampled from the
+    * codebook, with a GUARANTEED-nonempty fallback — a hash sample has
+    * no hit guarantee, and an empty pivot set would propagate an empty
+    * assignment through every downstream operator (silently dropping
+    * the whole corpus, the wrong-answer shape). The fallback (the
+    * min-c_id centroid) keeps the operator total: one pivot = a flat
+    * argmax, approximate in degree but never empty. Mirrored verbatim
+    * in the q83 DuckDB oracle. */
+  private[operators] def l1Pivots(centroids: DataFrame, step: Long): DataFrame = {
+    val sampled = centroids.filter(md5Sampled(col("c_id"), step))
+    val base = if (sampled.isEmpty) centroids.orderBy(col("c_id")).limit(1)
+               else sampled
+    base.select(col("c_id").as("l1_id"), col("cv").as("l1v"))
+  }
+
   /** The un-checkpointed hierarchical-assign plan (exposed so specs can
     * assert its join shape — localCheckpoint executes eagerly and hides
-    * the lineage). */
+    * the lineage). Output: (vec_id, l1_id, c_id, v). */
   private[operators] def ivfAssignHierarchicalPlan(
       vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val k = centroids.count()
+    require(k > 0, "hierarchical IVF assign needs a non-empty codebook")
     val step = math.max(1L, math.round(math.sqrt(k.toDouble)))
-    val l1 = centroids.filter(pmod(xxhash64(col("c_id")), lit(step)) === 0)
-      .select(col("c_id").as("l1_id"), col("cv").as("l1v"))
+    val l1 = l1Pivots(centroids, step)
     // exact parent for every centroid: K·√K, tiny
     val centWithParent = centroids.join(broadcast(l1))
       .withColumn("_psim", expr("cosine_sim(cv, l1v)"))
@@ -128,11 +150,13 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("l1_id"), struct(col("_psim"), -col("l1_id"))).as("l1_id"),
         first(col("v")).as("v"))
-    // vector → best centroid among its pivot's children (~√K dots)
+    // vector → best centroid among its pivot's children (~√K dots);
+    // l1_id is the group's single pivot, carried for the oracle gate
     vl1.join(broadcast(centWithParent), Seq("l1_id"))
       .withColumn("_csim", expr("cosine_sim(v, cv)"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+      .agg(first(col("l1_id")).as("l1_id"),
+        max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
         first(col("v")).as("v"))
   }
 

@@ -216,8 +216,12 @@ final class Scd2Store(spark: SparkSession, root: String,
   /** Parse one manifest file. `None` = the end-marker is missing, i.e. a
     * crashed partial publish — callers skip it and fall back to the next
     * lower seq. A file WITH the marker but no live= line is genuine
-    * corruption and fails loudly. */
+    * corruption and fails loudly. Throws `FileNotFoundException` when the
+    * file vanished between list and open (a reader racing a concurrent
+    * commit's manifest GC) — `latestManifest` turns that into a re-list,
+    * never a crash. */
   private def readManifest(seq: Long, p: HPath): Option[Manifest] = {
+    failpoint(s"pre-read-manifest:m$seq")
     val in = fs.open(p)
     val lines =
       try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
@@ -233,10 +237,30 @@ final class Scd2Store(spark: SparkSession, root: String,
     }
   }
 
-  private def latestManifest(name: String): Option[Manifest] =
-    manifestEntries(name).iterator
-      .flatMap { case (s, p) => readManifest(s, p) }
-      .nextOption()
+  /** Newest complete manifest. A reader can race a concurrent commit's
+    * manifest GC: a listed file may vanish between list and open (it was
+    * superseded and collected — meaning a NEWER manifest now exists that
+    * the stale listing doesn't contain). A vanished file therefore
+    * triggers a RE-LIST, not a fall-back to a lower seq: the lower seqs
+    * were collected even earlier, and exhausting them would return None
+    * — an empty table, the wrong-answer shape. Bounded: each retry
+    * requires another concurrent commit to have landed mid-read, and a
+    * pass that hits no vanished file is terminal. */
+  private def latestManifest(name: String): Option[Manifest] = {
+    var attempts = 0
+    while (attempts < 8) {
+      var raced = false
+      val found = manifestEntries(name).iterator.flatMap { case (s, p) =>
+        try readManifest(s, p)
+        catch { case _: java.io.FileNotFoundException => raced = true; None }
+      }.nextOption()
+      if (found.isDefined || !raced) return found
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"manifest listing for $name kept vanishing across 8 re-lists — " +
+        "GC racing faster than reads can complete; raise retainGenerations")
+  }
 
   /** Publish a new committed state: CREATE-EXCLUSIVE write of manifest
     * m<seq> (seq = 1 + the highest seq ever seen, complete or partial,
@@ -254,7 +278,10 @@ final class Scd2Store(spark: SparkSession, root: String,
     val entries = manifestEntries(name)
     val seq = entries.headOption.fold(0L)(_._1) + 1
     val retained = entries
-      .flatMap { case (s, p) => readManifest(s, p) }.take(retainGenerations)
+      .flatMap { case (s, p) =>
+        try readManifest(s, p)
+        catch { case _: java.io.FileNotFoundException => None } // racing GC: skip
+      }.take(retainGenerations)
     val content =
       (s"live=$liveVersion" +: history.sorted.map("history=" + _)
         :+ Scd2Store.EndMarker).mkString("\n")

@@ -19,21 +19,30 @@ import graft.operators.Dedup
   *   1. MinHash-band signatures of the batch docs (map-side per doc —
   *      `Dedup.minhashBandedSignatures`, identical arithmetic to q30, so
   *      batch and backfill classify identically);
-  *   2. LSH bucket join of batch signatures against the signature STORE
-  *      plus the batch itself (earlier-id-wins within a batch). The join
-  *      touches only matching (band, bucket) groups — per-batch cost is
-  *      O(batch × bucket collision rate), independent of corpus size;
+  *   2. LSH bucket join of batch signatures against a PARTITION-PRUNED
+  *      read of the signature STORE plus the batch itself
+  *      (earlier-id-wins within a batch). The store is laid out
+  *      exploded — one row per (doc, band) — and directory-partitioned
+  *      by (band_idx, bh = md5-hash of the bucket into
+  *      `BucketPartitions` sub-buckets), so the per-batch read touches
+  *      only the (band_idx, bh) directories the batch's own buckets
+  *      hash into: rows read ≈ store × min(1, touched/256), and the
+  *      join itself then touches only matching (band, bucket) groups.
+  *      Per-batch cost is O(batch × bucket collision rate) for the
+  *      join and O(store × touched-fraction) for the scan — for
+  *      trickle batches (the streaming regime) the touched fraction is
+  *      tiny; for bulk batches it approaches 1, which is the regime
+  *      where the batch itself is corpus-sized and a scan is inherent;
   *   3. verdicts emitted: each new doc's best match ≥ threshold;
-  *   4. batch signatures appended to the store (append-mostly — the
-  *      store is the index and grows with the corpus: ~426 bytes/doc
-  *      measured on disk at 5k-row batch files (SCALING_LOCAL.json
-  *      `streaming`; parquet footer overhead amortizes toward the raw
-  *      ~100-byte signature as files grow), partition-prunable by band
-  *      bucket at scale. Appended ONLY after verdict output so a failed
-  *      batch retries cleanly — re-detection is idempotent; a replayed
-  *      identical batch is filtered by an exact-signature anti-join, and
-  *      a doc_id RE-INGESTED with changed text replaces its stale store
-  *      row, see `processBatch`).
+  *   4. batch rows appended to the store (append-mostly — the store is
+  *      the index and grows with the corpus; 4 exploded rows per doc,
+  *      with the mh columns dictionary-encoded so the on-disk cost
+  *      stays near the raw signature. Appended ONLY after verdict
+  *      output so a failed batch retries cleanly — re-detection is
+  *      idempotent; a replayed identical batch is filtered by an
+  *      exact-signature anti-join, and a doc_id RE-INGESTED with
+  *      changed text replaces its stale store rows, see
+  *      `processBatch`).
   *
   * Store layout — the same manifest-committed protocol as `Scd2Store`
   * (rename-free, so commit atomicity holds on rename-as-copy stores
@@ -43,9 +52,22 @@ import graft.operators.Dedup
   *                       name per line, trailing end-marker; published
   *                       by a CREATE-EXCLUSIVE write of a never-reused
   *                       seq — the close IS the commit
-  *   <store>/d<SEQ>/     immutable parquet directories (one per batch
-  *                       append / stale-rewrite / compaction)
+  *   <store>/d<SEQ>/band_idx=B/bh=H/
+  *                       PROBE INDEX: immutable exploded rows (one per
+  *                       doc×band), partitioned by the LSH key — B ∈
+  *                       [0, bands), H ∈ [0, BucketPartitions); what
+  *                       the per-batch candidate join prunes on
+  *   <store>/r<SEQ>/dh=H/
+  *                       DOC REGISTRY: one row per doc (doc_id +
+  *                       signature), partitioned by a doc_id hash —
+  *                       what the replay / stale-re-ingest check
+  *                       prunes on (a doc_id lookup can't prune the
+  *                       bucket-keyed index, and scanning it per batch
+  *                       would re-introduce the O(store) cost the
+  *                       layout exists to kill)
   * }}}
+  * Both kinds are listed in the SAME manifest, so a batch's index
+  * append and registry append commit atomically.
   * Readers resolve the newest COMPLETE manifest (end-marker present);
   * a crash mid-publish leaves a detectably-partial file that readers
   * skip and the next commit supersedes and GCs. Data directories not
@@ -63,7 +85,39 @@ object IncrementalDedup {
   /** Committed directory count that triggers an automatic compaction. */
   val CompactThreshold = 64
 
+  /** Hash-partition count for `bucket` WITHIN each band directory —
+    * 4 bands × 64 = 256 prunable (band_idx, bh) leaves. Sized so a
+    * trickle batch (a handful of docs → a few dozen bucket keys) prunes
+    * to a few percent of the store, while a batch write never produces
+    * more than 256 files (rows are repartitioned onto the leaf key
+    * before writing). md5-derived like every other hash in the repo. */
+  val BucketPartitions = 64
+
+  /** Hash-partition count for doc_id in the registry — a batch of B docs
+    * touches ≤ min(B, 64) registry directories. */
+  val DocPartitions = 64
+
   private val EndMarker = "end"
+
+  /** Exploded store row key: the partition id a (band_idx, bucket) row
+    * lives in — `band_idx * BucketPartitions + bh`. An expression over
+    * partition columns only, so a filter on it prunes DIRECTORIES at
+    * planning time (PartitionFilters in the scan), never touching
+    * non-matching files. */
+  private def pidCol: org.apache.spark.sql.Column =
+    col("band_idx") * BucketPartitions + col("bh")
+
+  /** Attach the bucket-hash partition column to exploded signature rows. */
+  private[graft] def withBh(exploded: DataFrame): DataFrame =
+    exploded.withColumn("bh",
+      pmod(conv(substring(col("bucket"), 1, 15), 16, 10).cast("long"),
+        lit(BucketPartitions.toLong)).cast("int"))
+
+  /** Attach the doc-hash partition column to per-doc signature rows. */
+  private def withDh(docSigs: DataFrame): DataFrame =
+    docSigs.withColumn("dh",
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(DocPartitions.toLong)).cast("int"))
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,20 +133,43 @@ object IncrementalDedup {
 
   private case class StoreState(seq: Long, dirs: Seq[String])
 
+  /** Test-only read-race injection: invoked with the manifest path just
+    * before open; a hook that deletes the file simulates a reader racing
+    * a concurrent commit's manifest GC. */
+  private[streaming] var readpoint: HPath => Unit = _ => ()
+
   /** Newest COMPLETE manifest (end-marker validated); partial files from
-    * crashed publishes are skipped. */
+    * crashed publishes are skipped. A file that VANISHED between list and
+    * open (reader racing a commit's manifest GC — a newer manifest exists
+    * that the stale listing doesn't contain) triggers a re-list, exactly
+    * as in `Scd2Store.latestManifest`: falling back to a lower seq would
+    * exhaust to None (an empty store — silently re-accepting every dup). */
   private def latestState(spark: SparkSession, root: String): Option[StoreState] = {
     val fs = fsOf(spark, root)
-    listIds(fs, manifestDir(root), "m").sortBy(-_._1).iterator.flatMap {
-      case (seq, p) =>
-        val in = fs.open(p)
-        val lines =
-          try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
-          finally in.close()
-        if (lines.lastOption.contains(EndMarker))
-          Some(StoreState(seq, lines.dropRight(1).filter(_.nonEmpty)))
-        else None
-    }.nextOption()
+    var attempts = 0
+    while (attempts < 8) {
+      var raced = false
+      val found = listIds(fs, manifestDir(root), "m").sortBy(-_._1).iterator.flatMap {
+        case (seq, p) =>
+          try {
+            readpoint(p)
+            val in = fs.open(p)
+            val lines =
+              try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
+              finally in.close()
+            if (lines.lastOption.contains(EndMarker))
+              Some(StoreState(seq, lines.dropRight(1).filter(_.nonEmpty)))
+            else None
+          } catch {
+            case _: java.io.FileNotFoundException => raced = true; None
+          }
+      }.nextOption()
+      if (found.isDefined || !raced) return found
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"manifest listing for $root kept vanishing across 8 re-lists — " +
+        "GC racing faster than reads can complete")
   }
 
   /** Fresh id strictly above every data dir and manifest ever written
@@ -101,7 +178,8 @@ object IncrementalDedup {
     * the single-writer-per-store contract (Structured Streaming's
     * one-active-batch guarantee). */
   private def nextId(fs: FileSystem, root: String): Long =
-    ((listIds(fs, new HPath(root), "d") ++ listIds(fs, manifestDir(root), "m"))
+    ((listIds(fs, new HPath(root), "d") ++ listIds(fs, new HPath(root), "r") ++
+      listIds(fs, manifestDir(root), "m"))
       .map(_._1) :+ 0L).max + 1
 
   /** Publish `dirs` as the committed store contents: create-exclusive
@@ -119,7 +197,8 @@ object IncrementalDedup {
     // GC below only removes UNREFERENCED paths — a crash here leaves
     // harmless garbage, cleaned by the next commit
     val keepDirs = dirs.toSet ++ prev.fold(Set.empty[String])(_.dirs.toSet)
-    listIds(fs, new HPath(root), "d").map(_._2)
+    (listIds(fs, new HPath(root), "d") ++ listIds(fs, new HPath(root), "r"))
+      .map(_._2)
       .filterNot(p => keepDirs.contains(p.getName))
       .foreach(p => fs.delete(p, true))
     val keepM = Set(seq) ++ prev.map(_.seq)
@@ -132,20 +211,88 @@ object IncrementalDedup {
   private[streaming] def committedDirs(spark: SparkSession, root: String): Seq[String] =
     latestState(spark, root).fold(Seq.empty[String])(_.dirs)
 
-  /** The committed signature store as one DataFrame (None when empty). */
-  private[graft] def storeSigs(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val dirs = committedDirs(spark, storeDir)
+  private def readDirs(spark: SparkSession, storeDir: String,
+                       prefix: String): Option[DataFrame] = {
+    val dirs = committedDirs(spark, storeDir).filter(_.startsWith(prefix))
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(
-      dirs.map(d => new HPath(storeDir, d).toString): _*))
+    // one read per directory, unioned: each d<SEQ>/r<SEQ> is its own
+    // partition-discovery root (a single multi-root read trips
+    // "conflicting directory structures" because the d<SEQ> level isn't
+    // a partition column). Partition-filter pushdown crosses the union
+    // onto every child scan, so pruning is unaffected; the committed
+    // dir count is bounded by CompactThreshold, so so is the plan size.
+    else Some(dirs
+      .map(d => spark.read.parquet(new HPath(storeDir, d).toString))
+      .reduce(_ unionByName _))
   }
 
-  /** Write a frame to a fresh immutable directory, returning its name.
-    * The directory is invisible (unreferenced) until a manifest commit
-    * includes it; residue from crashed attempts is GC'd later. */
-  private def writeDir(spark: SparkSession, root: String, df: DataFrame): String = {
+  /** The committed DOC REGISTRY as one DataFrame (None when empty): one
+    * row per doc (doc_id, mh0..mh{k-1}, dh) — the per-doc signature
+    * view. The band columns are pure functions of the mh columns, so
+    * equality on mh alone is exactly signature equality. */
+  private[graft] def storeSigs(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    readDirs(spark, storeDir, "r")
+
+  /** The committed PROBE INDEX as one DataFrame (None when empty):
+    * exploded rows (doc_id, mh0..mh{k-1}, bucket, band_idx, bh) with
+    * band_idx/bh recovered from the directory layout as partition
+    * columns. */
+  private[graft] def storeIndex(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    readDirs(spark, storeDir, "d")
+
+  /** The index read a probe batch actually performs: only the
+    * (band_idx, bh) partition directories in `pids` — a filter on
+    * partition columns alone, pruned at planning time. Exposed for the
+    * spec and the scale harness to measure rows-read against store
+    * size. */
+  private[graft] def storeProbe(spark: SparkSession, storeDir: String,
+                                pids: Seq[Int]): Option[DataFrame] =
+    storeIndex(spark, storeDir).map(_.filter(pidCol.isin(pids: _*)))
+
+  /** The registry read a batch's replay/stale check performs: only the
+    * dh partition directories in `dhs`. */
+  private def registryProbe(spark: SparkSession, storeDir: String,
+                            dhs: Seq[Int]): Option[DataFrame] =
+    storeSigs(spark, storeDir).map(_.filter(col("dh").isin(dhs: _*)))
+
+  /** Touched partition ids of a batch's exploded rows — bounded by the
+    * 4×`BucketPartitions` = 256-value pid domain, so the collect is a
+    * constant-size driver read regardless of batch size. */
+  private def touchedPids(exploded: DataFrame): Seq[Int] =
+    exploded.select(pidCol.cast("int").as("pid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Touched registry partitions of a batch — bounded by `DocPartitions`. */
+  private def touchedDhs(docSigs: DataFrame): Seq[Int] =
+    docSigs.select(col("dh")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Write exploded index rows to a fresh immutable `d` directory
+    * partitioned by (band_idx, bh), returning its name. Rows are
+    * repartitioned onto the leaf key first so each (band_idx, bh) leaf
+    * is written by one task — at most 256 files per directory, never
+    * tasks×leaves — and sorted by bucket within files so row-group
+    * stats prune further inside a touched partition. The directory is
+    * invisible (unreferenced) until a manifest commit includes it;
+    * residue from crashed attempts is GC'd later. */
+  private def writeIndexDir(spark: SparkSession, root: String, df: DataFrame): String = {
     val name = s"d${nextId(fsOf(spark, root), root)}"
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(col("band_idx"), col("bh"))
+      .sortWithinPartitions("bucket")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band_idx", "bh")
+      .parquet(new HPath(root, name).toString)
+    name
+  }
+
+  /** Write per-doc registry rows to a fresh immutable `r` directory
+    * partitioned by dh, returning its name. Same visibility contract as
+    * `writeIndexDir`. */
+  private def writeRegistryDir(spark: SparkSession, root: String, df: DataFrame): String = {
+    val name = s"r${nextId(fsOf(spark, root), root)}"
+    df.repartition(col("dh"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dh")
       .parquet(new HPath(root, name).toString)
     name
   }
@@ -158,25 +305,33 @@ object IncrementalDedup {
                    threshold: Double = DefaultThreshold): DataFrame = {
     val spark = batchDocs.sparkSession
     val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
+    // the batch in store-row shapes: exploded index rows + registry rows
+    val xRows = withBh(Dedup.explodeBandBuckets(batchSigs)).persist()
+    val batchReg = withDh(batchSigs.drop(
+      batchSigs.columns.filter(_.startsWith("band")): _*)).persist()
 
-    val store = storeSigs(spark, storeDir)
-    // candidate targets: the store + earlier batch ids. Store rows whose
-    // doc_id is IN the current batch are replay residue (a retried batch
-    // whose signatures were already appended): keep only the batch-row
-    // copy of those docs, or the earlier member of a within-batch pair
-    // would match the later member's STORE row — bypassing the
-    // earlier-id-wins guard below and flipping it from unique to dup on
-    // replay. With the residue removed, a replay joins against exactly
-    // the first run's candidate set, so verdicts are bit-identical.
+    // candidate targets: the PRUNED store index (only the partitions the
+    // batch's own buckets hash into — the read that stays O(touched) as
+    // the store grows) + earlier batch ids. Store rows whose doc_id is
+    // IN the current batch are replay residue (a retried batch whose
+    // signatures were already appended): keep only the batch-row copy of
+    // those docs, or the earlier member of a within-batch pair would
+    // match the later member's STORE row — bypassing the earlier-id-wins
+    // guard below and flipping it from unique to dup on replay. With the
+    // residue removed, a replay joins against exactly the first run's
+    // candidate set, so verdicts are bit-identical. No candidate is lost
+    // to pruning: a matching store row shares the batch row's bucket,
+    // hence its (band_idx, bh) partition.
+    val store = storeProbe(spark, storeDir, touchedPids(xRows))
     val target = store match {
       case Some(st) => st
         .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("is_store", lit(true))
-        .unionByName(batchSigs.withColumn("is_store", lit(false)))
-      case None => batchSigs.withColumn("is_store", lit(false))
+        .unionByName(xRows.withColumn("is_store", lit(false)))
+      case None => xRows.withColumn("is_store", lit(false))
     }
-    val x = Dedup.explodeBandBuckets(batchSigs).as("x")
-    val y = Dedup.explodeBandBuckets(target).as("y")
+    val x = xRows.as("x")
+    val y = target.as("y")
     val est = Dedup.sigAgreement("x", "y")
     // self-match guard: on batch REPLAY the store already holds this
     // batch's signatures, so without the doc_id inequality every
@@ -204,45 +359,66 @@ object IncrementalDedup {
     // immune to the store mutation.
     val out = verdicts.localCheckpoint(true)
 
-    // Store maintenance — re-ingest semantics (one row per doc_id, the
-    // LATEST text wins):
+    // Store maintenance — re-ingest semantics (one registry row per
+    // doc_id, the LATEST text wins):
     //  * unseen doc_id             → appended (the common case);
     //  * identical signature again → no-op (idempotent batch replay —
     //    no write, no commit);
     //  * CHANGED signature (the doc was re-ingested with new text) →
-    //    the store is rewritten without the stale rows (rare; the
-    //    rewrite directory is invisible until the manifest commit
-    //    publishes it, so a crash at any point leaves the old store).
-    // Verdicts above already used the batch copy for in-batch ids, so a
-    // replay after any crash point below re-emits identical verdicts.
-    store match {
-      case Some(st) =>
-        val allCols = batchSigs.columns.toSeq
-        val exactIds = st.join(batchSigs, allCols, "left_semi").select("doc_id")
+    //    both store kinds are rewritten without the stale rows (rare;
+    //    the rewrite directories are invisible until the manifest
+    //    commit publishes them, so a crash at any point leaves the old
+    //    store).
+    // Replay and stale detection are doc_id lookups, so they prune the
+    // DOC REGISTRY by the batch's dh partitions (≤ min(batch, 64) of
+    // them) — never a scan of either store kind. An identical replay's
+    // registry rows land in the same dh partitions (same doc_ids), so
+    // the pruned read always sees them. Verdicts above already used the
+    // batch copy for in-batch ids, so a replay after any crash point
+    // below re-emits identical verdicts.
+    val sigCols = batchReg.columns.toSeq.filterNot(_ == "dh")
+    val reg = registryProbe(spark, storeDir, touchedDhs(batchReg))
+    reg match {
+      case Some(rg) =>
+        val exactIds = rg.join(batchReg, sigCols, "left_semi").select("doc_id")
         // pin before any commit: these read the pre-commit store dirs
-        val fresh = batchSigs
+        val freshReg = batchReg
           .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        val staleIds = st
-          .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_semi")
-          .join(batchSigs, allCols, "left_anti")
+        val freshIdx = xRows
+          .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val staleIds = rg
+          .join(batchReg.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(batchReg, sigCols, "left_anti")
           .select("doc_id")
-        val hasFresh = !fresh.isEmpty
+        val hasFresh = !freshReg.isEmpty
         if (!staleIds.isEmpty) {
-          val remaining = st.join(staleIds, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-          val dirs = Seq(writeDir(spark, storeDir, remaining)) ++
-            (if (hasFresh) Seq(writeDir(spark, storeDir, fresh)) else Seq.empty)
-          commit(spark, storeDir, dirs)
+          // stale rewrite: the one full-store pass, taken only when a
+          // doc actually changed text (rare); both kinds fold to one
+          // fresh directory each, committed together
+          val stale = staleIds.localCheckpoint(true)
+          val newIdx = storeIndex(spark, storeDir).get
+            .join(stale, Seq("doc_id"), "left_anti")
+            .unionByName(freshIdx).localCheckpoint(true)
+          val newReg = storeSigs(spark, storeDir).get
+            .join(stale, Seq("doc_id"), "left_anti")
+            .unionByName(freshReg).localCheckpoint(true)
+          commit(spark, storeDir, Seq(
+            writeIndexDir(spark, storeDir, newIdx),
+            writeRegistryDir(spark, storeDir, newReg)))
         } else if (hasFresh) {
-          val d = writeDir(spark, storeDir, fresh)
-          commit(spark, storeDir, committedDirs(spark, storeDir) :+ d)
+          val added = Seq(
+            writeIndexDir(spark, storeDir, freshIdx),
+            writeRegistryDir(spark, storeDir, freshReg))
+          commit(spark, storeDir, committedDirs(spark, storeDir) ++ added)
         }
       case None =>
         if (!batchSigs.isEmpty)
-          commit(spark, storeDir, Seq(writeDir(spark, storeDir, batchSigs)))
+          commit(spark, storeDir, Seq(
+            writeIndexDir(spark, storeDir, xRows),
+            writeRegistryDir(spark, storeDir, batchReg)))
     }
-    batchSigs.unpersist()
-    // bound read fan-in: one directory per batch accumulates — fold
+    batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
+    // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)
     if (committedDirs(spark, storeDir).size > CompactThreshold)
       compactStore(spark, storeDir)
@@ -250,20 +426,39 @@ object IncrementalDedup {
   }
 
   /** Compact the store's accumulated batch directories into one
-    * `targetFiles`-file directory. Run rarely (auto-triggered past
-    * `CompactThreshold`, or manually) — the store contents are
+    * directory per kind (index + registry, each still partitioned by
+    * its pruning key, one file per leaf). Run rarely (auto-triggered
+    * past `CompactThreshold`, or manually) — the store contents are
     * unchanged, so detection before and after compaction is identical.
-    * Crash safety: the compacted directory is invisible until the
-    * manifest commit publishes it; a crash leaves the old manifest
-    * current and the next attempt writes a fresh directory. */
-  def compactStore(spark: SparkSession, storeDir: String,
-                   targetFiles: Int = 8): Unit =
-    storeSigs(spark, storeDir).foreach { st =>
-      // localCheckpoint: the write must not re-read the old store dirs
-      // lazily AFTER the commit below GCs them
-      val pinned = st.repartition(targetFiles).localCheckpoint(true)
-      commit(spark, storeDir, Seq(writeDir(spark, storeDir, pinned)))
-    }
+    * Crash safety: the compacted directories are invisible until the
+    * manifest commit publishes them; a crash leaves the old manifest
+    * current and the next attempt writes fresh directories. */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    // localCheckpoint: the writes must not re-read the old store dirs
+    // lazily AFTER the commit below GCs them
+    val idx = storeIndex(spark, storeDir).map(_.localCheckpoint(true))
+    val reg = storeSigs(spark, storeDir).map(_.localCheckpoint(true))
+    if (idx.isDefined || reg.isDefined)
+      commit(spark, storeDir,
+        idx.map(df => writeIndexDir(spark, storeDir, df)).toSeq ++
+          reg.map(df => writeRegistryDir(spark, storeDir, df)).toSeq)
+  }
+
+  /** Measurement hook (spec + scale harness): the index rows a probe of
+    * `batchDocs` reads under partition pruning vs the full index, plus
+    * the touched/total leaf-partition counts. */
+  private[graft] case class ProbeFootprint(
+      rowsRead: Long, rowsTotal: Long, touchedLeaves: Int, totalLeaves: Int)
+  private[graft] def probeFootprint(spark: SparkSession, storeDir: String,
+                                    batchDocs: DataFrame): ProbeFootprint = {
+    val x = withBh(Dedup.explodeBandBuckets(Dedup.minhashBandedSignatures(batchDocs)))
+    val pids = touchedPids(x)
+    ProbeFootprint(
+      rowsRead = storeProbe(spark, storeDir, pids).map(_.count()).getOrElse(0L),
+      rowsTotal = storeIndex(spark, storeDir).map(_.count()).getOrElse(0L),
+      touchedLeaves = pids.size,
+      totalLeaves = 4 * BucketPartitions)
+  }
 
   /** Wire a streaming (doc_id, text) source through per-batch detection;
     * verdicts are handed to `onVerdicts` (e.g. a sink write). */

@@ -78,6 +78,39 @@ class MediaSpec extends SparkSpec {
     assert(Media.ImageCodec.dimensions(bos.toByteArray) === Some(("jpeg", 3, 2)))
   }
 
+  test("ImageCodec skips legal 0xFF fill bytes before markers (T.81 B.1.1.2)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(xs: Int*): Unit = xs.foreach(x => bos.write(x & 0xff))
+    put(0xff, 0xd8)                                   // SOI
+    put(0xff, 0xff, 0xff, 0xe0, 0x00, 0x04, 0, 0)     // APP0 padded by 2 fill bytes
+    put(0xff, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x05, 0x00, 0x07) // SOF0 h=5 w=7, 1 fill
+    put(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Media.ImageCodec.dimensions(bos.toByteArray) === Some(("jpeg", 7, 5)))
+  }
+
+  test("ImageCodec terminates on EOI/SOS instead of reading a garbage length") {
+    // EOI ends the stream: no SOF exists. 0xD9 carries NO length field —
+    // the old walk read one anyway and, with trailer bytes crafted to
+    // look like a length-then-SOF, marched past EOI and reported
+    // dimensions from data OUTSIDE the image
+    val eoi = new java.io.ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(x => eoi.write(x & 0xff))
+    w(0xff, 0xd8)                                   // SOI
+    w(0xff, 0xd9)                                   // EOI — stream over
+    w(0x00, 0x02)                                   // trailer the buggy len-read consumes
+    w(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x02, 0x00, 0x03) // fake SOF in trailer
+    w(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(Media.ImageCodec.dimensions(eoi.toByteArray) === None)
+    // SOS before any SOF: everything after is entropy-coded data the
+    // marker walk must not scan
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(xs: Int*): Unit = xs.foreach(x => bos.write(x & 0xff))
+    put(0xff, 0xd8)                               // SOI
+    put(0xff, 0xda, 0x00, 0x04, 0, 0)             // SOS, len 4
+    put(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x02, 0x00, 0x03) // fake SOF in entropy data
+    assert(Media.ImageCodec.dimensions(bos.toByteArray) === None)
+  }
+
   test("ImageCodec rejects truncated and unknown payloads") {
     val png = b64("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m" +
       "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")

@@ -286,6 +286,58 @@ class PipelineSpec extends SparkSpec {
       assert(pinned.select("name").collect().map(_.getString(0)).toSeq === Seq(s"v$last"))
     }
 
+  test("reader racing manifest GC falls back to the retained generation (ADVICE r7)") {
+    // the race: reader lists manifests, a concurrent commit GCs the
+    // listed newest between list and open. The old readManifest crashed
+    // with FileNotFoundException; it must fall back to the next complete
+    // retained manifest instead.
+    val root = tempDir("sds-race")
+    val store = new Scd2Store(spark, root)
+    def b(n: Long) = batch(n, s"b$n", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = s"v$n")))))
+    apply1(store, b(1)); apply1(store, b(2)); apply1(store, b(3))
+    val mdir = new java.io.File(root, "agents/_m")
+    val maxSeq = mdir.list().filter(_.startsWith("m")).map(_.drop(1).toLong).max
+    var fired = false
+    store.failpoint = l =>
+      if (l == s"pre-read-manifest:m$maxSeq" && !fired) {
+        fired = true
+        new java.io.File(mdir, s"m$maxSeq").delete() // GC won the race
+      }
+    val names = store.live("agents").select("name").collect().map(_.getString(0)).toSeq
+    assert(fired)
+    assert(names === Seq("v2")) // the retained previous generation, not a crash
+  }
+
+  test("reader whose WHOLE manifest listing was GC'd re-lists and finds the newer commit") {
+    // two commits landed between list and open: every listed manifest is
+    // gone and a NEWER one (not in the stale listing) is current. Falling
+    // back within the stale list would exhaust to None = an EMPTY table —
+    // the wrong-answer shape; the reader must re-list instead.
+    val root = tempDir("sds-race2")
+    val store = new Scd2Store(spark, root)
+    def b(n: Long) = batch(n, s"b$n", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = s"v$n")))))
+    apply1(store, b(1)); apply1(store, b(2)); apply1(store, b(3))
+    val mdir = new java.io.File(root, "agents/_m")
+    def seqs() = mdir.list().filter(_.startsWith("m")).map(_.drop(1).toLong).sorted
+    val maxSeq = seqs().max
+    var fired = false
+    store.failpoint = l =>
+      if (l == s"pre-read-manifest:m$maxSeq" && !fired) {
+        fired = true
+        // simulate the concurrent writer: newest content re-published at
+        // a fresh higher seq, everything the stale listing saw collected
+        val content = java.nio.file.Files.readAllBytes(
+          new java.io.File(mdir, s"m$maxSeq").toPath)
+        seqs().foreach(s => new java.io.File(mdir, s"m$s").delete())
+        java.nio.file.Files.write(new java.io.File(mdir, s"m${maxSeq + 2}").toPath, content)
+      }
+    val names = store.live("agents").select("name").collect().map(_.getString(0)).toSeq
+    assert(fired)
+    assert(names === Seq("v3")) // re-listed and found the newer manifest
+  }
+
   test("a crashed partial manifest (no end-marker) is skipped, then superseded and GC'd") {
     val root = tempDir("sds-partial")
     val store = new Scd2Store(spark, root)

@@ -23,11 +23,14 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.storeSigs(spark, store)
       .getOrElse(fail(s"store $store is empty"))
 
-  private def storeParquetFiles(store: String): Int =
-    IncrementalDedup.committedDirs(spark, store).map { d =>
-      new java.io.File(store, d).listFiles()
-        .count(_.getName.endsWith(".parquet"))
-    }.sum
+  private def parquetFilesUnder(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFilesUnder)
+    else if (f.getName.endsWith(".parquet")) Seq(f)
+    else Seq.empty
+
+  private def storeParquetFiles(store: String): Seq[java.io.File] =
+    IncrementalDedup.committedDirs(spark, store)
+      .flatMap(d => parquetFilesUnder(new java.io.File(store, d)))
 
   test("cross-batch and within-batch near-dups detected; store appends are idempotent") {
     val store = tempDir("inc-dedup-store") + "/sigs"
@@ -60,13 +63,16 @@ class IncrementalDedupSpec extends SparkSpec {
       s"replay verdicts must be stable, got $replay")
     assert(storeDf(store).count() === sizeBefore, "replay grew the store")
 
-    // compaction: same contents, bounded file count, detection unchanged
-    IncrementalDedup.compactStore(spark, store, targetFiles = 2)
+    // compaction: same contents, bounded file count (one file per
+    // touched leaf partition, one directory per store kind), detection
+    // unchanged
+    IncrementalDedup.compactStore(spark, store)
     assert(storeDf(store).count() === sizeBefore, "compaction changed contents")
-    assert(IncrementalDedup.committedDirs(spark, store).size === 1,
-      "compaction should fold to one directory")
-    val files = storeParquetFiles(store)
-    assert(files <= 2, s"$files files after compaction")
+    assert(IncrementalDedup.committedDirs(spark, store).size === 2,
+      "compaction should fold to one index + one registry directory")
+    val leaves = storeParquetFiles(store).map(_.getParentFile.toString).distinct
+    val files = storeParquetFiles(store).size
+    assert(files <= leaves.size, s"$files files across ${leaves.size} leaf partitions")
     val v3 = IncrementalDedup.processBatch(docsDf(30L -> nearCopy), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v3(30L) === 1L, s"post-compaction detection: $v3")
@@ -88,6 +94,56 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(afterCrash(31L) === 1L, s"detection after crash residue: $afterCrash")
     assert(!fs.exists(partial), "superseding commit must GC the partial manifest")
+  }
+
+  test("probe read prunes to the batch's (band, bucket-hash) partitions") {
+    val store = tempDir("inc-dedup-prune") + "/sigs"
+    // seed: 200 distinct docs spread across the 256 (band_idx, bh) leaves
+    val seed = (1L to 200L).map(i => i ->
+      (s"seed document number $i with alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i"))
+    IncrementalDedup.processBatch(docsDf(seed: _*), store)
+
+    // a one-doc probe touches ≤ 4 of the 256 leaves (one bucket per band)
+    val probe = docsDf(9001L -> base)
+    val fp = IncrementalDedup.probeFootprint(spark, store, probe)
+    assert(fp.rowsTotal === 200L * 4, "exploded index: 4 rows per doc")
+    assert(fp.touchedLeaves <= 4, s"one doc touches ≤4 leaves, got ${fp.touchedLeaves}")
+    assert(fp.rowsRead <= fp.rowsTotal / 16,
+      s"pruned read (${fp.rowsRead}) should be a small fraction of the " +
+        s"index (${fp.rowsTotal})")
+
+    // the pruning happens at the SCAN (PartitionFilters), not post-read:
+    // the scan's file count is the touched directories, not the store's
+    val xr = IncrementalDedup.withBh(
+      graft.operators.Dedup.explodeBandBuckets(
+        graft.operators.Dedup.minhashBandedSignatures(probe)))
+    val pids = xr
+      .select((col("band_idx") * IncrementalDedup.BucketPartitions + col("bh"))
+        .cast("int").as("pid"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = IncrementalDedup.storeProbe(spark, store, pids).get
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val indexFiles = IncrementalDedup.committedDirs(spark, store)
+      .filter(_.startsWith("d"))
+      .flatMap(d => parquetFilesUnder(new java.io.File(store, d))).size
+    assert(filesRead <= fp.touchedLeaves,
+      s"scan read $filesRead files — more than the touched leaves")
+    assert(filesRead < indexFiles / 16,
+      s"scan read $filesRead of $indexFiles index files — no real pruning")
+
+    // pruning loses no candidates: 9002 enters the store, then a later
+    // batch's near-copy must find it through the pruned probe
+    val v1 = IncrementalDedup.processBatch(docsDf(9002L -> base), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 === Map.empty, s"base text matches nothing stored: $v1")
+    val v2 = IncrementalDedup.processBatch(docsDf(9003L -> nearCopy), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2(9003L) === 9002L, s"cross-batch near-dup through pruned probe: $v2")
   }
 
   test("changed-text re-ingest replaces the stored signature (latest wins)") {
@@ -114,6 +170,33 @@ class IncrementalDedupSpec extends SparkSpec {
     val vOld = IncrementalDedup.processBatch(docsDf(6L -> base), store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(!vOld.contains(6L), s"old text must no longer match doc 1: $vOld")
+  }
+
+  test("reader racing manifest GC re-lists instead of crashing or emptying (ADVICE r7)") {
+    val store = tempDir("inc-dedup-race") + "/sigs"
+    IncrementalDedup.processBatch(docsDf(1L -> base), store)
+    IncrementalDedup.processBatch(docsDf(2L -> unrelated), store)
+    val mdir = new java.io.File(store, "_m")
+    def seqs() = mdir.list().filter(_.startsWith("m")).map(_.drop(1).toLong).sorted
+    val maxSeq = seqs().max
+    var fired = false
+    IncrementalDedup.readpoint = p =>
+      if (p.getName == s"m$maxSeq" && !fired) {
+        fired = true
+        // simulate a concurrent commit's GC landing between list and
+        // open: newest content re-published at a fresh seq, the listed
+        // manifests collected
+        val content = java.nio.file.Files.readAllBytes(
+          new java.io.File(mdir, s"m$maxSeq").toPath)
+        seqs().foreach(s => new java.io.File(mdir, s"m$s").delete())
+        java.nio.file.Files.write(
+          new java.io.File(mdir, s"m${maxSeq + 2}").toPath, content)
+      }
+    try {
+      val docs = storeDf(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fired)
+      assert(docs === Set(1L, 2L), "re-list must find the re-published manifest")
+    } finally IncrementalDedup.readpoint = _ => ()
   }
 
   test("streaming path: foreachBatch over MemoryStream produces the same verdicts") {
