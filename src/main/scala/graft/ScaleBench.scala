@@ -68,12 +68,19 @@ object ScaleBench {
   /** Scaled codebook: K ≈ √N centroids hash-sampled uniformly across
     * ALL replicas (a deterministic stand-in for re-training the q76
     * k-means at each scale — sampling keeps the harness fast while
-    * pinning K to the policy under test). */
+    * pinning K to the policy under test). md5-sampled (the repo's
+    * portable idiom) with a guaranteed-nonempty fallback: a hash sample
+    * has no hit guarantee, and an empty codebook would assign NOTHING —
+    * every downstream stage would silently process an empty corpus. */
   private def scaledCentroids(emb: DataFrame, n: Long): DataFrame = {
     val k = math.max(1L, math.round(math.sqrt(n.toDouble)))
     val step = math.max(1L, n / k)
-    emb.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val sampled = emb.filter(
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(step)) === 0)
+    val base = if (sampled.isEmpty) emb.orderBy(col("vec_id")).limit(1)
+               else sampled
+    base.select(col("vec_id").as("c_id"), col("v").as("cv"))
   }
 
   /** Drive the incremental streaming dedup over `batches` deterministic
@@ -200,6 +207,39 @@ object ScaleBench {
         e.getMessage.contains("bounded all-pairs verifier")
       }
 
+    // ANN recall@k: multi-probe IVF (q84's ivfProbeMulti) against the
+    // q33 brute-force ground truth, per nprobe — the user-visible
+    // answer-quality axis of the ANN surface (single-probe loses true
+    // neighbors across quantization-cell boundaries; P probes recover
+    // them at P× query-side cost, corpus side unchanged)
+    val embD = baseEmb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val centR = embD.filter(col("vec_id") % 64 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val truth = {
+      val q = embD.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      broadcast(q).join(embD, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .localCheckpoint(true)
+    }
+    val nTruth = truth.count()
+    val assignR = Similarity.ivfAssign(embD, centR)
+    val recalls = Seq(1, 2, 4).map { p =>
+      val got = Similarity.ivfProbeMulti(assignR, centR, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+      p -> hit.toDouble / math.max(nTruth, 1)
+    }
+    val recallJson = recalls.map { case (p, r) =>
+      s"""{"nprobe":$p,"recall_at_5":${f"$r%.3f"}}""" }.mkString("[", ",", "]")
+
     // streaming dedup at 10×, ten batches: per-batch latency must stay
     // flat as the signature store accumulates the earlier batches
     val streamReplicas = 10
@@ -232,7 +272,7 @@ object ScaleBench {
         s""""probe8_touched_leaves":${sr.touchedLeaves},""" +
         s""""probe8_total_leaves":${sr.totalLeaves}}"""
     val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
-      s""""scales":$qs,"streaming":$streaming}"""
+      s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

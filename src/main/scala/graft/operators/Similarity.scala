@@ -90,6 +90,45 @@ object Similarity {
   def ivfProbeOf(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ivfProbeOfAssigned(ivfAssign(vectors, centroids))
 
+  /** Multi-probe IVF search (nprobe > 1): each query scores the
+    * inverted lists of its `nprobe` NEAREST centroids, not just its
+    * own cluster's — the classic recall fix for the quantization-
+    * boundary problem (a query near a cell edge has true neighbors in
+    * the adjacent cell, which single-probe silently loses; recall vs
+    * the q33 brute-force ground truth is measured per P by
+    * `ScaleBench`). Plan shape is unchanged from single-probe: the
+    * query→top-P-centroid step is a broadcast(K) join + per-query
+    * window over P·queries rows (queries are the small side by
+    * construction), and the search join stays a cluster equi-join —
+    * each neighbor belongs to exactly one cluster, so multi-probe
+    * multiplies the QUERY side by P, never the corpus side, and no
+    * candidate is scored twice. */
+  def ivfProbeMulti(assign: DataFrame, centroids: DataFrame, nprobe: Int,
+                    queryFilter: String = QueryFilter,
+                    topK: Int = TopK): DataFrame = {
+    val crk = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("cluster"))
+    val q = assign.filter(expr(queryFilter))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(centroids.select(col("c_id").as("cluster"), col("cv"))))
+      .withColumn("_csim", expr("cosine_sim(qv, cv)"))
+      .withColumn("crk", row_number().over(crk))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val c = assign.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("c_id").as("cluster"))
+    val rk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Two-level hierarchical coarse assignment — the flat `ivfAssign`
     * is O(N·K) dot products, which the 50× scaling measurement showed
     * dominating once K grows with the corpus; this drops per-vector
@@ -394,6 +433,92 @@ object Similarity {
         .groupBy("j")
         .agg(min("i").as("kept_id"), round(max("cs"), 6).as("max_cos"))
         .select(col("j").as("vec_id"), col("kept_id"), col("max_cos"))
+        .orderBy("vec_id")
+    },
+
+    // ---- q84: multi-probe IVF ANN (nprobe=2, oracle-gated) --------------
+    // q54 probes only the query's own cluster, silently losing true
+    // neighbors across quantization-cell boundaries; q84 is the
+    // production fix — each query scores its 2 nearest centroids' lists.
+    // Same equi-join plan (see ivfProbeMulti); recall@k vs q33 ground
+    // truth at P=1/2/4 is measured by ScaleBench (SCALING_LOCAL.json
+    // `ann_recall`).
+    Q("q84_ann_ivf_multiprobe",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk = 1),
+        |qp AS (
+        |  SELECT query_id, qv, qnrm, cluster FROM (
+        |    SELECT a.vec_id AS query_id, a.v AS qv, a.nrm AS qnrm, cent.c_id AS cluster,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_dot_product(a.v, cent.cv) / (a.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM assign a, cent WHERE a.$QueryFilter) WHERE crk <= 2),
+        |scored AS (
+        |  SELECT qp.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(qp.qv, c.v) / (qp.qnrm * c.nrm) AS cos_sim,
+        |    row_number() OVER (PARTITION BY qp.query_id
+        |      ORDER BY list_dot_product(qp.qv, c.v) / (qp.qnrm * c.nrm) DESC, c.vec_id) AS rk
+        |  FROM qp JOIN assign c ON c.c_id = qp.cluster AND c.vec_id <> qp.query_id)
+        |SELECT query_id, rk, neighbor_id, round(cos_sim, 6) AS cos_sim
+        |FROM scored WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      ivfProbeMulti(ivfAssign(n, cent), cent, nprobe = 2)
+    },
+
+    // ---- q83: hierarchical two-level IVF assignment (oracle-gated) ------
+    // The two-level coarse quantizer (ivfAssignHierarchical) expressed
+    // end-to-end against a DuckDB oracle: √K md5-sampled pivots (with
+    // the guaranteed-nonempty min-c_id fallback), exact centroid→pivot
+    // parents, vector→pivot argmax, then vector→child-centroid argmax —
+    // every tie broken (cos DESC, id ASC) identically on both engines.
+    // This is the gate the operator lacked while spec-only: the full
+    // assignment (vec_id, l1_id, c_id) is hash-compared, so an empty
+    // pivot sample or a drifted argmax can't hide.
+    Q("q83_ann_ivf_hierarchical", {
+      val md5Int = (c: String) => s"('0x'||substr(md5(CAST($c AS VARCHAR)),1,15))::BIGINT"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |st AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS step FROM cent),
+        |l1s AS (SELECT c_id AS l1_id, cv AS l1v, cn AS l1n FROM cent, st
+        |        WHERE ${md5Int("c_id")} % step = 0),
+        |l1 AS (SELECT * FROM l1s UNION ALL
+        |       SELECT c_id, cv, cn FROM cent
+        |       WHERE c_id = (SELECT min(c_id) FROM cent)
+        |         AND NOT EXISTS (SELECT 1 FROM l1s)),
+        |cp AS (SELECT c_id, cv, cn, l1_id FROM (
+        |  SELECT cent.c_id, cent.cv, cent.cn, l1.l1_id,
+        |    row_number() OVER (PARTITION BY cent.c_id
+        |      ORDER BY list_dot_product(cent.cv, l1.l1v) / (cent.cn * l1.l1n) DESC, l1.l1_id) AS rk
+        |  FROM cent, l1) WHERE rk = 1),
+        |vl1 AS (SELECT vec_id, v, nrm, l1_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, l1.l1_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, l1.l1v) / (n.nrm * l1.l1n) DESC, l1.l1_id) AS rk
+        |  FROM n, l1) WHERE rk = 1),
+        |af AS (SELECT vec_id, l1_id, c_id FROM (
+        |  SELECT vl1.vec_id, vl1.l1_id, cp.c_id,
+        |    row_number() OVER (PARTITION BY vl1.vec_id
+        |      ORDER BY list_dot_product(vl1.v, cp.cv) / (vl1.nrm * cp.cn) DESC, cp.c_id) AS rk
+        |  FROM vl1 JOIN cp ON cp.l1_id = vl1.l1_id) WHERE rk = 1)
+        |SELECT vec_id, l1_id, c_id FROM af ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      ivfAssignHierarchicalPlan(n, cent)
+        .select("vec_id", "l1_id", "c_id")
         .orderBy("vec_id")
     },
 

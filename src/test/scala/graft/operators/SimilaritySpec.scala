@@ -48,6 +48,61 @@ class SimilaritySpec extends SparkSpec {
     assert(frac >= 0.25, s"exact-agreement $frac below floor")
   }
 
+  test("empty pivot sample falls back to a pivot instead of dropping the corpus (ADVICE r7)") {
+    import spark.implicits._
+    // c_ids 3/4/7 all have ODD md5-int hashes, so with k=3 → step=2 the
+    // hash sample is EMPTY; before the guard the assignment came back
+    // empty and downstream silently processed nothing
+    val cent = Seq(3L, 4L, 7L).toDF("c_id")
+      .select(col("c_id"), transform(sequence(lit(1), lit(8)),
+        i => (i * col("c_id")).cast("double")).as("cv"))
+    val sampled = cent.filter(
+      pmod(conv(substring(md5(col("c_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(2L)) === 0)
+    assert(sampled.isEmpty, "fixture ids must dodge the hash sample")
+    val l1 = Similarity.l1Pivots(cent, step = 2L)
+    assert(l1.select("l1_id").as[Long].collect().toSeq === Seq(3L),
+      "fallback must be the min-c_id centroid")
+    val vecs = Seq(1L, 2L).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(8)),
+        i => (i + col("vec_id")).cast("double")).as("v"))
+    val asg = Similarity.ivfAssignHierarchical(vecs, cent)
+    assert(asg.count() === 2, "every vector still assigned")
+  }
+
+  test("multi-probe IVF: recall grows with nprobe; probing ALL clusters is exact") {
+    val n = vectors(sf0001)
+    val cent = centroids(sf0001)
+    val k = cent.count().toInt
+    val assign = Similarity.ivfAssign(n, cent)
+    // ground truth: brute-force top-5 (q33's shape)
+    val q = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = broadcast(q).join(n, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    def recall(p: Int): Double = {
+      val got = Similarity.ivfProbeMulti(assign, cent, p)
+        .select("query_id", "neighbor_id")
+      truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nTruth
+    }
+    val r1 = recall(1); val r2 = recall(2); val rAll = recall(k)
+    assert(r1 <= r2 + 1e-9, s"recall must not shrink with more probes: $r1 > $r2")
+    assert(rAll === 1.0, s"probing all $k clusters must equal brute force, got $rAll")
+    // P=1 equals the shipped single-probe plan's answers
+    val single = Similarity.ivfProbeOfAssigned(assign)
+      .select("query_id", "rk", "neighbor_id")
+    val multi1 = Similarity.ivfProbeMulti(assign, cent, 1)
+      .select("query_id", "rk", "neighbor_id")
+    assert(single.except(multi1).isEmpty && multi1.except(single).isEmpty)
+  }
+
   test("hierarchical assign never leaves broadcast-join land") {
     val p = Similarity.ivfAssignHierarchicalPlan(vectors(sf0001), centroids(sf0001))
       .queryExecution.executedPlan.toString
