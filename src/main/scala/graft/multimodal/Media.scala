@@ -86,13 +86,19 @@ object Media {
     media.mapPartitions { rows =>
       // per-partition codec init would go here (expensive handle reuse)
       rows.map { m =>
-        val px = StubCodec.decodeIntensities(m.content)
+        // REAL codec first (PNG pixel decode); opaque payloads keep the
+        // deterministic stub so non-image media stay oracle-checkable
+        val mean = PngCodec.decode(m.content).map(PngCodec.meanIntensity)
+          .getOrElse {
+            val px = StubCodec.decodeIntensities(m.content)
+            if (px.isEmpty) 0.0 else px.sum / px.length
+          }
         MediaFeatures(
           media_id = m.media_id,
           kind = m.kind,
           size_bytes = m.content.length.toLong,
           sha = StubCodec.sha256(m.content),
-          mean_intensity = if (px.isEmpty) 0.0 else px.sum / px.length,
+          mean_intensity = mean,
           n_frames = StubCodec.sampleFrames(m.content, 1024).length)
       }
     }
@@ -169,6 +175,192 @@ object Media {
     }
   }
 
+  /** Decoded raster: `pixels` is the unfiltered scanline data, row-major,
+    * `channels` interleaved bytes per pixel. */
+  case class PngPixels(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** REAL PNG pixel decode — pure JVM (`java.util.zip.Inflater` + the
+    * five T.81→RFC-2083 scanline filters), so it runs in any executor
+    * with no native image libraries. Scope: non-interlaced 8-bit
+    * greyscale (color type 0) and RGB (color type 2) — the formats a
+    * training-data pipeline normalizes to; anything else returns None
+    * and falls back to the metadata-only path. This retires
+    * `StubCodec.decodeIntensities` for PNG payloads. */
+  object PngCodec {
+    def decode(b: Array[Byte]): Option[PngPixels] = try {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (b.length < 8 || u8(0) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+        return None
+      var i = 8
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end && i + 8 <= b.length) {
+        val len = be32(i)
+        if (len < 0 || i + 12 + len > b.length) return None // truncated chunk
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (len < 13) return None
+            w = be32(i + 8); h = be32(i + 12)
+            val bitDepth = u8(i + 16); colorType = u8(i + 17)
+            val interlace = u8(i + 20)
+            if (bitDepth != 8 || (colorType != 0 && colorType != 2) || interlace != 0)
+              return None // out of scope: fall back to metadata-only
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => end = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (w <= 0 || h <= 0 || colorType < 0 || idat.size == 0) return None
+      val channels = if (colorType == 0) 1 else 3
+      val stride = w * channels
+      // inflate the zlib stream. The loop runs to finished() — not just
+      // until the buffer fills — so the Inflater always reaches and
+      // VERIFIES the adler32 trailer (DataFormatException → None);
+      // stopping at the expected byte count would accept corrupt pixel
+      // data whose damage sits before the trailer.
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((stride + 1) * h)
+      val overflow = new Array[Byte](1)
+      var off = 0
+      while (!inf.finished()) {
+        val n =
+          if (off < raw.length) inf.inflate(raw, off, raw.length - off)
+          else inf.inflate(overflow, 0, 1)
+        if (off >= raw.length && n > 0) return None // longer than w·h — malformed
+        if (off < raw.length) off += n
+        if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary())) return None // truncated
+      }
+      inf.end()
+      if (off < raw.length) return None // short pixel stream
+      // undo the per-scanline filter (type byte leads each row)
+      val px = new Array[Byte](stride * h)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val rs = y * (stride + 1) + 1
+        val os = y * stride
+        var x = 0
+        while (x < stride) {
+          val rv = raw(rs + x) & 0xff
+          val left = if (x >= bpp) px(os + x - bpp) & 0xff else 0
+          val up = if (y > 0) px(os - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) px(os - stride + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => rv
+            case 1 => rv + left
+            case 2 => rv + up
+            case 3 => rv + (left + up) / 2
+            case 4 => // Paeth: nearest of left/up/upper-left to their sum-diff
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              rv + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => return None
+          }
+          px(os + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(PngPixels(w, h, channels, px))
+    } catch { case _: Exception => None } // corrupt deflate/adler → not decodable
+
+    /** Mean pixel intensity in [0, 1]: the same integer sum / (n·255)
+      * arithmetic the q85 oracle predicts in closed form. */
+    def meanIntensity(p: PngPixels): Double = {
+      var s = 0L; var i = 0
+      while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 1 }
+      s.toDouble / (p.pixels.length.toLong * 255.0)
+    }
+
+    /** ENCODE a greyscale image as a real PNG using STORED (uncompressed)
+      * deflate blocks — structurally a fully-valid PNG (zlib header,
+      * adler32, chunk CRCs) whose pixel payload is byte-predictable, so
+      * an oracle can compute the decoded statistics arithmetically.
+      * Each scanline is forward-filtered with `filterOf(y)` cycling
+      * through all four non-trivial filters, making the decoder's
+      * unfilter path the thing under test. */
+    def encodeStoredGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val stride = w
+      // forward-filter the scanlines (type byte + filtered bytes per row)
+      val raw = new Array[Byte]((stride + 1) * h)
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < stride) { cur(x) = pixel(x, y) & 0xff; x += 1 }
+        val f = if (y == 0) 1 else (y % 4) + 1 // Sub, then Up/Avg/Paeth/Sub…
+        raw(y * (stride + 1)) = f.toByte
+        x = 0
+        while (x < stride) {
+          val left = if (x > 0) cur(x - 1) else 0
+          val up = if (y > 0) prev(x) else 0
+          val ul = if (y > 0 && x > 0) prev(x - 1) else 0
+          val pred = f match {
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          raw(y * (stride + 1) + 1 + x) = ((cur(x) - pred) & 0xff).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      // zlib wrapper with stored deflate blocks + adler32
+      val z = new java.io.ByteArrayOutputStream()
+      z.write(0x78); z.write(0x01)
+      var o = 0
+      while (o < raw.length) {
+        val n = math.min(65535, raw.length - o)
+        val last = o + n >= raw.length
+        z.write(if (last) 1 else 0)
+        z.write(n & 0xff); z.write((n >> 8) & 0xff)
+        z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
+        z.write(raw, o, n)
+        o += n
+      }
+      val ad = new java.util.zip.Adler32(); ad.update(raw)
+      val a = ad.getValue
+      z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+      z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+      // assemble chunks
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(typ: String, body: Array[Byte]): Unit = {
+        val len = body.length
+        out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb)
+        out.write(body)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(body)
+        val c = crc.getValue
+        out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+        out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grey
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array())
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+  }
+
   /** Parsed header row — fixed-width, shuffle-friendly. */
   case class MediaHeader(media_id: Long, format: String, width: Int, height: Int)
 
@@ -211,6 +403,44 @@ object Media {
       when(col("doc_id") % 3 === 0, png)
         .when(col("doc_id") % 3 === 1, gif)
         .otherwise(jpg).as("content"))
+  }
+
+  /** Deterministic VALID full PNGs from `documents`: every row gets a
+    * real greyscale PNG (stored-deflate IDAT, correct adler32 + chunk
+    * CRCs, scanlines forward-filtered through Sub/Up/Average/Paeth)
+    * whose pixel values are arithmetic in doc_id — pixel(x, y) =
+    * doc_id%200 + y, constant per row, no mod-256 wrap by construction
+    * (≤ 199+18). The q85 oracle predicts the decoded mean intensity in
+    * closed form, so the REAL inflate+unfilter path is what's under
+    * test. Width/height are intentionally small (≤35×19): the point is
+    * filter/codec coverage per row, not pixel volume. */
+  def synthPngs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
+        val a = (d % 200).toInt
+        (d, PngCodec.encodeStoredGray(w, h, (_, y) => a + y))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Decoded-PNG statistics row. */
+  case class PngStats(media_id: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** Full pixel decode over a (media_id, content) frame: partition-local
+    * mapPartitions (same shape as `extractFeatures`), REAL
+    * inflate+unfilter via `PngCodec`. Undecodable payloads map to
+    * (-1, -1, -1.0) — corrupt media is data, not an error. */
+  def decodePngs(media: DataFrame): Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        PngCodec.decode(bytes) match {
+          case Some(p) => PngStats(id, p.width, p.height, PngCodec.meanIntensity(p))
+          case None => PngStats(id, -1, -1, -1.0)
+        }
+      })
   }
 
   /** Build a synthetic media table from `documents` (the sandbox has no

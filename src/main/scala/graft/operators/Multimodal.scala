@@ -54,6 +54,31 @@ object Multimodal {
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
       val blobs = Media.synthHeaders(Tables.load(s, dir, "documents"))
       Media.parseHeaders(blobs).toDF().orderBy("media_id")
+    },
+
+    // q85: REAL full PNG pixel decode. Every document row becomes a
+    // complete valid greyscale PNG — stored-deflate IDAT with correct
+    // zlib adler32 and chunk CRCs, scanlines forward-filtered through
+    // all four non-trivial filters — whose pixel values are arithmetic
+    // in doc_id (pixel(x,y) = doc_id%200 + y). The Spark side must
+    // actually inflate and unfilter the bytes (Media.PngCodec inside
+    // the partition-local codec shape); the oracle predicts the decoded
+    // mean intensity in closed form with the SAME integer-sum / double-
+    // division arithmetic, so any inflate/unfilter/indexing bug
+    // hash-mismatches. sum(pixels) = w·(h·a + h·(h-1)/2), exact.
+    Q("q85_png_pixel_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 32 + 4 AS INT) AS width,
+        |  CAST(doc_id % 16 + 4 AS INT) AS height,
+        |  round(CAST((doc_id % 32 + 4) * ((doc_id % 16 + 4) * (doc_id % 200)
+        |      + (doc_id % 16 + 4) * (doc_id % 16 + 3) / 2) AS DOUBLE)
+        |    / ((doc_id % 32 + 4) * (doc_id % 16 + 4) * 255.0), 6) AS mean_intensity
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val pngs = Media.synthPngs(Tables.load(s, dir, "documents"))
+      Media.decodePngs(pngs).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }

@@ -119,6 +119,69 @@ class MediaSpec extends SparkSpec {
     assert(Media.ImageCodec.dimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)) === None)
   }
 
+  // ---- PngCodec: REAL pixel decode (inflate + unfilter) ----------------
+
+  test("PngCodec decodes a JDK-ImageIO-encoded PNG pixel-exactly (independent encoder)") {
+    // ImageIO is a fully independent PNG encoder (real deflate, its own
+    // filter choices) shipped in the JDK — decoding its output exactly
+    // rules out a symmetric encode/decode bug canceling itself
+    val w = 23; val h = 11
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + y * 13) % 256; val g = (x * 3 + 200 - y + 256) % 256
+      val b = (x + y * 29) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val p = Media.PngCodec.decode(bos.toByteArray)
+      .getOrElse(fail("ImageIO PNG must decode"))
+    assert((p.width, p.height, p.channels) === (w, h, 3))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y); val o = 3 * (y * w + x)
+      assert((p.pixels(o) & 0xff) === ((rgb >> 16) & 0xff), s"R at ($x,$y)")
+      assert((p.pixels(o + 1) & 0xff) === ((rgb >> 8) & 0xff), s"G at ($x,$y)")
+      assert((p.pixels(o + 2) & 0xff) === (rgb & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("PngCodec round-trips the stored-block encoder through every filter type") {
+    val png = Media.PngCodec.encodeStoredGray(33, 9, (x, y) => (x * 5 + y * 11) % 256)
+    val p = Media.PngCodec.decode(png).getOrElse(fail("synth PNG must decode"))
+    assert((p.width, p.height, p.channels) === (33, 9, 1))
+    for (y <- 0 until 9; x <- 0 until 33)
+      assert((p.pixels(y * 33 + x) & 0xff) === (x * 5 + y * 11) % 256, s"($x,$y)")
+  }
+
+  test("PngCodec rejects truncated, corrupt, and out-of-scope payloads") {
+    val png = Media.PngCodec.encodeStoredGray(8, 8, (x, y) => x + y)
+    assert(Media.PngCodec.decode(png.take(30)) === None, "truncated")
+    // flip a pixel byte inside the stored deflate data: the inflate
+    // succeeds but the adler32 trailer must catch it
+    val bad = png.clone(); bad(50) = (bad(50) ^ 0x5a).toByte
+    assert(Media.PngCodec.decode(bad) === None, "corrupt data must fail adler32")
+    // real RGBA (color type 6) PNG: out of decode scope → None (falls
+    // back to the metadata path), never a crash
+    val rgba = b64("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m" +
+      "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Media.PngCodec.decode(rgba) === None)
+  }
+
+  test("q85 fixture: synthesized PNG mean intensity matches the closed form") {
+    import spark.implicits._
+    val docs = Seq(5L, 17L, 199L, 200L, 1023L).toDF("doc_id")
+    val stats = Media.decodePngs(Media.synthPngs(docs)).collect()
+    for (s <- stats) {
+      val d = s.media_id
+      val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt; val a = (d % 200).toInt
+      assert((s.width, s.height) === (w, h), s"doc $d dims")
+      val expect = (w.toLong * (h.toLong * a + h.toLong * (h - 1) / 2)).toDouble /
+        (w.toLong * h * 255.0)
+      assert(math.abs(s.mean_intensity - expect) < 1e-12, s"doc $d mean")
+    }
+  }
+
   test("synthHeaders emits VALID headers the real parser recovers exactly") {
     val docs = graft.core.Tables.load(spark, sf0001, "documents")
     val parsed = Media.parseHeaders(Media.synthHeaders(docs)).toDF()
