@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Amplify, Dedup, Similarity}
+import graft.operators.{Amplify, Dedup, Events, Similarity}
 import graft.streaming.IncrementalDedup
 
 /** Scaling-curve measurement for the dedup/ANN/streaming paths (not part
@@ -207,6 +207,76 @@ object ScaleBench {
         e.getMessage.contains("bounded all-pairs verifier")
       }
 
+    // CLUSTERED-regime agreement: the hierarchical quantizer measured on
+    // a graded-similarity mixture (Amplify.clusteredVectors) — the data
+    // shape it is designed for; the orthogonal-corpus rows above remain
+    // the documented worst-case floor
+    val clustered = {
+      val nC = 20000L
+      val vecs = Amplify.clusteredVectors(spark, nC).localCheckpoint(true)
+      val centC = scaledCentroids(
+        vecs.select(col("vec_id"), col("v")), nC).localCheckpoint(true)
+      val kC = centC.count()
+      val exactC = Similarity.ivfAssign(vecs, centC)
+        .select(col("vec_id"), col("c_id").as("ce"))
+      val hierC = Similarity.ivfAssignHierarchical(vecs, centC)
+        .select(col("vec_id"), col("c_id").as("ch"))
+      val agreeC = exactC.join(hierC, "vec_id")
+        .filter(col("ce") === col("ch")).count().toDouble / nC
+      spark.catalog.clearCache()
+      s"""{"n":$nC,"centers":64,"codebook_k":$kC,""" +
+        s""""hier_agree_frac":${f"$agreeC%.3f"}}"""
+    }
+
+    // SKEW stress — the two hot-key regimes, measured on the exact
+    // shipped plans (never demonstrated before round 8):
+    //  * q78's per-user window with ONE user owning 30% of all events
+    //    (window skew: AQE join splitting does not apply — a single
+    //    task sorts the hot partition);
+    //  * q30/q59's LSH chain with one giant all-identical dup cluster
+    //    (join skew: every cluster pair meets on single (band, bucket)
+    //    keys — AQE skew-join splitting is the mitigation under test).
+    val skew = {
+      val evBase = Tables.load(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "ts_ns")
+      val r = 10
+      val uni = Amplify.events(evBase, r).localCheckpoint(true)
+      val hot = Amplify.events(evBase, r, hotFrac = 0.3).localCheckpoint(true)
+      val nEv = uni.count(); hot.count()
+      val asofUniSec = timed(noop(Events.asofJoinOf(uni)))
+      val asofHotSec = timed(noop(Events.asofJoinOf(hot)))
+      spark.catalog.clearCache(); System.gc()
+
+      val clusterSize = 800
+      val uniDocs = baseDocs.select("doc_id", "text").localCheckpoint(true)
+      val skewDocs = uniDocs
+        .unionByName(Amplify.giantDupCluster(baseDocs, clusterSize))
+        .localCheckpoint(true)
+      var uniPairs = 0L; var clusterPairs = 0L
+      val lshUniSec = timed {
+        val cand = Dedup.lshCandidatePairsOf(uniDocs)
+          .select("doc1", "doc2").localCheckpoint(true)
+        uniPairs = cand.count()
+        noop(Dedup.connectedComponents(cand))
+      }
+      val lshSkewSec = timed {
+        val cand = Dedup.lshCandidatePairsOf(skewDocs)
+          .select("doc1", "doc2").localCheckpoint(true)
+        clusterPairs = cand.count()
+        noop(Dedup.connectedComponents(cand))
+      }
+      spark.catalog.clearCache(); System.gc()
+      s"""{"events":$nEv,"hot_frac":0.3,""" +
+        s""""asof_uniform_sec":${f"$asofUniSec%.2f"},""" +
+        s""""asof_hot_sec":${f"$asofHotSec%.2f"},""" +
+        s""""asof_ratio":${f"${asofHotSec / math.max(asofUniSec, 1e-9)}%.2f"},""" +
+        s""""dup_cluster_docs":$clusterSize,"uniform_pairs":$uniPairs,""" +
+        s""""cluster_pairs":$clusterPairs,""" +
+        s""""lshcc_uniform_sec":${f"$lshUniSec%.2f"},""" +
+        s""""lshcc_cluster_sec":${f"$lshSkewSec%.2f"},""" +
+        s""""lshcc_ratio":${f"${lshSkewSec / math.max(lshUniSec, 1e-9)}%.2f"}}"""
+    }
+
     // ANN recall@k: multi-probe IVF (q84's ivfProbeMulti) against the
     // q33 brute-force ground truth, per nprobe — the user-visible
     // answer-quality axis of the ANN surface (single-probe loses true
@@ -240,9 +310,9 @@ object ScaleBench {
     val recallJson = recalls.map { case (p, r) =>
       s"""{"nprobe":$p,"recall_at_5":${f"$r%.3f"}}""" }.mkString("[", ",", "]")
 
-    // streaming dedup at 10×, ten batches: per-batch latency must stay
+    // streaming dedup at 50×, ten batches: per-batch latency must stay
     // flat as the signature store accumulates the earlier batches
-    val streamReplicas = 10
+    val streamReplicas = 50
     val streamBatches = 10
     val streamDocs = Amplify.docs(baseDocs, streamReplicas)
       .localCheckpoint(true)
@@ -272,7 +342,8 @@ object ScaleBench {
         s""""probe8_touched_leaves":${sr.touchedLeaves},""" +
         s""""probe8_total_leaves":${sr.totalLeaves}}"""
     val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
-      s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson}"""
+      s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
+      s""""clustered":$clustered,"skew":$skew}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

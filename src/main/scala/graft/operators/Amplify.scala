@@ -68,6 +68,77 @@ object Amplify {
     (java.lang.Long.parseLong(hex, 16) % 1000) / 10000.0 - 0.05
   }
 
+  /** Replicate `events`-shaped rows (event_id, user_id, ts_ns, rest…)
+    * R× with optional HOT-KEY skew: an md5-selected `hotFrac` of all
+    * rows is reassigned to user_id 0 — the hot-user regime for the
+    * per-user windows (q69/q78), where one window partition holds
+    * `hotFrac` of the whole corpus and AQE's join-side skew handling
+    * does not apply. ts_ns is shifted by the replica index so replicas
+    * never tie on (user, ts). */
+  def events(base: DataFrame, replicas: Int, hotFrac: Double = 0.0): DataFrame = {
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    require(hotFrac >= 0.0 && hotFrac < 1.0, s"hotFrac in [0,1), got $hotFrac")
+    val rest = base.columns
+      .filterNot(c => Seq("event_id", "user_id", "ts_ns").contains(c)).map(col)
+    val hotCut = lit(math.round(hotFrac * 65536).max(0))
+    (0 until replicas).map { i =>
+      val hot = conv(substring(md5(concat(lit(s"h$i:"),
+        col("event_id").cast("string"))), 1, 4), 16, 10) < hotCut
+      base.select(Seq(
+        (col("event_id") + lit(i * IdStride)).as("event_id"),
+        when(hot, lit(0L))
+          .otherwise(col("user_id") + lit(i * IdStride)).as("user_id"),
+        (col("ts_ns") + lit(i.toLong)).as("ts_ns")) ++ rest: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** A giant duplicate cluster: `size` docs with IDENTICAL text (the
+    * first base doc's), ids above 2·IdStride — the worst-case hot LSH
+    * bucket: all `size` docs share every (band, bucket) key, so pair
+    * generation concentrates size² work on single join keys. */
+  def giantDupCluster(base: DataFrame, size: Int): DataFrame = {
+    require(size >= 1)
+    val seed = base.orderBy("doc_id").select("text").limit(1)
+    base.sparkSession.range(size)
+      .select((col("id") + lit(2L * IdStride)).as("doc_id"))
+      .crossJoin(broadcast(seed)) // single-row stat frame, broadcast
+  }
+
+  /** CLUSTERED vector generator — the regime the hierarchical coarse
+    * quantizer is designed for, which the replicated corpus can't
+    * produce (synthetic base embeddings are near-orthogonal, so pivot
+    * similarities carry no signal; see SimilaritySpec's documented
+    * agreement floor). Deterministic mixture of `centers` md5-seeded
+    * centers arranged on a ring in the (e0, e1) plane:
+    *
+    *   angle(v)  = 2π·(vec_id mod centers)/centers        (its center)
+    *             + jitter(vec_id)·(π/centers)/2           (±¼ spacing)
+    *   vector(v) = [cos angle, sin angle,
+    *                ±0.02 md5 noise in dims 2-9, 0…]
+    *
+    * Cosine between two vectors ≈ cos(Δangle): similarity is GRADED
+    * across centers (near centers are similar, far ones aren't), which
+    * is what makes a vector's nearest pivot predictive of its nearest
+    * centroid — real text/image embeddings behave this way, orthogonal
+    * clouds don't. Every value is md5-derived from vec_id alone, so
+    * repeated runs see bit-identical data. */
+  def clusteredVectors(spark: org.apache.spark.sql.SparkSession, n: Long,
+                       centers: Int = 64, dims: Int = 64): DataFrame = {
+    require(n >= 1 && centers >= 2 && dims >= 10)
+    def md5Frac(salt: String): Column = // [0, 1) from md5(salt:vec_id)
+      conv(substring(md5(concat(lit(s"$salt:"), col("vec_id").cast("string"))),
+        1, 15), 16, 10).cast("double") / math.pow(16, 15)
+    val spacing = 2 * math.Pi / centers
+    val angle = pmod(col("vec_id"), lit(centers.toLong)).cast("double") * spacing +
+      (md5Frac("j") - 0.5) * (spacing / 2)
+    val comps: Seq[Column] =
+      cos(angle) +: sin(angle) +:
+        (2 until 10).map(d => (md5Frac(s"n$d") - 0.5) * 0.04) ++:
+        Seq.fill(dims - 10)(lit(0.0))
+    spark.range(n).select(col("id").as("vec_id"))
+      .select(col("vec_id"), array(comps: _*).as("v"))
+  }
+
   /** Replicate `embeddings`-shaped rows (vec_id, embedding, rest...) R×:
     * replica i shifts every vector by a replica-specific constant offset
     * vector — neighborhood structure within a replica is preserved

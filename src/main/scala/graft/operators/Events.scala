@@ -15,6 +15,31 @@ import graft.streaming.Windows
   * DuckDB oracle can check their event-time semantics.
   */
 object Events {
+  /** q78's as-of chain over an arbitrary events frame (event_id,
+    * user_id, event_type, ts_ns) — extracted so the skew harness
+    * (`ScaleBench`) measures the EXACT shipped plan under a hot user,
+    * not a hand copy. One shuffle (the per-user window partitioning);
+    * see the q78 doc below for the union-window design. */
+  private[graft] def asofJoinOf(e: DataFrame): DataFrame = {
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(0).as("tag"),
+        col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
+    val w = W.partitionBy("user_id").orderBy("tus", "tag")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    views.unionByName(buys)
+      .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_view_tus",
+        last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+        col("asof_view_id").as("view_id"),
+        expr("(tus - asof_view_tus) DIV 1000").as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -247,28 +272,11 @@ object Events {
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       // µs precision on BOTH sides: DuckDB's parquet reader floors the
       // ns timestamps to µs, so the Spark side floors ts_ns identically
-      // (q38's epoch_us convention) — gap arithmetic stays exact-integer
-      val e = ev(s, dir)
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(0).as("tag"),
-          col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
-      val buys = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"), lit(1).as("tag"),
-          lit(null).cast("long").as("view_id"), col("event_id").as("purchase_id"))
-      // view sorts before a same-instant purchase (tag 0 < 1), so an
+      // (q38's epoch_us convention) — gap arithmetic stays exact-integer.
+      // View sorts before a same-instant purchase (tag 0 < 1), so an
       // exactly-simultaneous view is attributable — and the fixture has
-      // no (user, ts) ties anyway
-      val w = W.partitionBy("user_id").orderBy("tus", "tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      views.unionByName(buys)
-        .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
-        .withColumn("asof_view_tus",
-          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select(col("purchase_id").as("event_id"), col("user_id"),
-          col("asof_view_id").as("view_id"),
-          expr("(tus - asof_view_tus) DIV 1000").as("gap_ms"))
-        .orderBy("event_id")
+      // no (user, ts) ties anyway.
+      asofJoinOf(ev(s, dir))
     }
   )
 }

@@ -286,6 +286,8 @@ final class Scd2Store(spark: SparkSession, root: String,
       (s"live=$liveVersion" +: history.sorted.map("history=" + _)
         :+ Scd2Store.EndMarker).mkString("\n")
     val dest = new HPath(manifestDir(name), s"m$seq")
+    failpoint(s"$name:pre-publish") // the window between choosing a seq
+    // and publishing it — where a second writer's commit can land
     val out = fs.create(dest, false) // exclusive: fails if the name exists
     try out.write(content.getBytes(UTF_8)) finally out.close()
     failpoint(s"$name:post-commit")

@@ -19,14 +19,15 @@ import graft.operators.Dedup
   *   1. MinHash-band signatures of the batch docs (map-side per doc —
   *      `Dedup.minhashBandedSignatures`, identical arithmetic to q30, so
   *      batch and backfill classify identically);
-  *   2. LSH bucket join of batch signatures against a PARTITION-PRUNED
+  *   2. LSH bucket join of batch signatures against a RANGE-PRUNED
   *      read of the signature STORE plus the batch itself
   *      (earlier-id-wins within a batch). The store is laid out
-  *      exploded — one row per (doc, band) — and directory-partitioned
-  *      by (band_idx, bh = md5-hash of the bucket into
-  *      `BucketPartitions` sub-buckets), so the per-batch read touches
-  *      only the (band_idx, bh) directories the batch's own buckets
-  *      hash into: rows read ≈ store × min(1, touched/256), and the
+  *      exploded — one row per (doc, band) — in files SORTED and
+  *      range-split by (band_idx, bh = md5-hash of the bucket into
+  *      `BucketPartitions` sub-buckets), each file's key range
+  *      recorded in the manifest (a zone map). The per-batch read
+  *      selects only the files whose range intersects the batch's own
+  *      bucket keys: rows read ≈ store × min(1, touched/256), and the
   *      join itself then touches only matching (band, bucket) groups.
   *      Per-batch cost is O(batch × bucket collision rate) for the
   *      join and O(store × touched-fraction) for the scan — for
@@ -48,35 +49,47 @@ import graft.operators.Dedup
   * (rename-free, so commit atomicity holds on rename-as-copy stores
   * like S3A):
   * {{{
-  *   <store>/_m/m<SEQ>   manifest: the committed directory list, one
-  *                       name per line, trailing end-marker; published
-  *                       by a CREATE-EXCLUSIVE write of a never-reused
-  *                       seq — the close IS the commit
-  *   <store>/d<SEQ>/band_idx=B/bh=H/
+  *   <store>/_m/m<SEQ>   manifest: one committed FILE per line as
+  *                       "<relpath>\t<minKey>\t<maxKey>" (the zone
+  *                       map), trailing end-marker; published by a
+  *                       CREATE-EXCLUSIVE write of a never-reused seq
+  *                       — the close IS the commit
+  *   <store>/d<SEQ>/part-*.parquet
   *                       PROBE INDEX: immutable exploded rows (one per
-  *                       doc×band), partitioned by the LSH key — B ∈
-  *                       [0, bands), H ∈ [0, BucketPartitions); what
-  *                       the per-batch candidate join prunes on
-  *   <store>/r<SEQ>/dh=H/
+  *                       doc×band), sorted + range-split by the pid
+  *                       key band_idx·BucketPartitions + bh; what the
+  *                       per-batch candidate join prunes on
+  *   <store>/r<SEQ>/part-*.parquet
   *                       DOC REGISTRY: one row per doc (doc_id +
-  *                       signature), partitioned by a doc_id hash —
-  *                       what the replay / stale-re-ingest check
-  *                       prunes on (a doc_id lookup can't prune the
-  *                       bucket-keyed index, and scanning it per batch
-  *                       would re-introduce the O(store) cost the
-  *                       layout exists to kill)
+  *                       signature), sorted + range-split by the
+  *                       doc-hash dh — what the replay /
+  *                       stale-re-ingest check prunes on (a doc_id
+  *                       lookup can't prune the bucket-keyed index,
+  *                       and scanning it per batch would re-introduce
+  *                       the O(store) cost the layout exists to kill)
   * }}}
   * Both kinds are listed in the SAME manifest, so a batch's index
-  * append and registry append commit atomically.
+  * append and registry append commit atomically. The manifest IS the
+  * file index (Iceberg's manifest-list idea, reduced to one file): a
+  * reader never lists the filesystem, and pruning is an exact
+  * driver-side selection over the recorded key ranges. Files — not
+  * key=value directories — keep the small-batch write at ONE file per
+  * store kind instead of one per touched partition leaf, which is
+  * what keeps per-batch latency flat as batches accumulate (measured:
+  * the 256-leaf directory layout cost ~320 new files per batch and
+  * grew batch latency linearly with batch count).
+  *
   * Readers resolve the newest COMPLETE manifest (end-marker present);
   * a crash mid-publish leaves a detectably-partial file that readers
   * skip and the next commit supersedes and GCs. Data directories not
   * referenced by the newest or previous manifest are GC'd at commit
   * (one retained generation for lazy readers, as in `Scd2Store`).
   * Batch appends add one directory each; when the committed directory
-  * count passes `CompactThreshold` the store self-compacts (amortized
-  * O(1) per batch), keeping read fan-in bounded — same policy as the
-  * SCD2 segment log.
+  * count passes `CompactThreshold` the store self-compacts, keeping
+  * read fan-in bounded — same policy as the SCD2 segment log (a
+  * size-tiered policy would cut the rewrite amplification further;
+  * the fold here is rare enough that the simple policy wins on
+  * auditability).
   */
 object IncrementalDedup {
   /** q30's threshold: candidate pairs at ≥ half the signature agreeing. */
@@ -85,25 +98,26 @@ object IncrementalDedup {
   /** Committed directory count that triggers an automatic compaction. */
   val CompactThreshold = 64
 
-  /** Hash-partition count for `bucket` WITHIN each band directory —
-    * 4 bands × 64 = 256 prunable (band_idx, bh) leaves. Sized so a
-    * trickle batch (a handful of docs → a few dozen bucket keys) prunes
-    * to a few percent of the store, while a batch write never produces
-    * more than 256 files (rows are repartitioned onto the leaf key
-    * before writing). md5-derived like every other hash in the repo. */
+  /** Bucket-hash domain WITHIN each band — 4 bands × 64 = 256 prunable
+    * pid values. Sized so a trickle batch (a handful of docs → a few
+    * dozen bucket keys) prunes to a few percent of the store.
+    * md5-derived like every other hash in the repo. */
   val BucketPartitions = 64
 
-  /** Hash-partition count for doc_id in the registry — a batch of B docs
-    * touches ≤ min(B, 64) registry directories. */
+  /** Doc-hash domain for the registry's zone map — a batch of B docs
+    * touches ≤ min(B, 64) dh values. */
   val DocPartitions = 64
+
+  /** Target rows per written store file — the range-split granularity.
+    * Mutable ONLY as a test seam (specs shrink it to force multi-file
+    * stores at toy scale). */
+  private[graft] var TargetRowsPerFile: Long = 1_000_000L
 
   private val EndMarker = "end"
 
-  /** Exploded store row key: the partition id a (band_idx, bucket) row
-    * lives in — `band_idx * BucketPartitions + bh`. An expression over
-    * partition columns only, so a filter on it prunes DIRECTORIES at
-    * planning time (PartitionFilters in the scan), never touching
-    * non-matching files. */
+  /** Exploded store row key — `band_idx * BucketPartitions + bh`: the
+    * sort/range-split key of index files and the coordinate of their
+    * manifest zone map. */
   private def pidCol: org.apache.spark.sql.Column =
     col("band_idx") * BucketPartitions + col("bh")
 
@@ -131,7 +145,25 @@ object IncrementalDedup {
       .filter(_.getName.startsWith(prefix))
       .flatMap(q => q.getName.drop(prefix.length).toLongOption.map(_ -> q))
 
-  private case class StoreState(seq: Long, dirs: Seq[String])
+  /** One committed data file: ROOT-RELATIVE path plus its zone map —
+    * the [lo, hi] range of the file's pruning key (pid for `d` index
+    * files, dh for `r` registry files; files are SORTED by that key, so
+    * the range is tight). */
+  private case class FileEntry(path: String, lo: Int, hi: Int) {
+    def dir: String = path.takeWhile(_ != '/')
+    def line: String = s"$path\t$lo\t$hi"
+  }
+
+  private case class StoreState(seq: Long, files: Seq[FileEntry]) {
+    def dirs: Seq[String] = files.map(_.dir).distinct
+  }
+
+  private def parseEntry(line: String): Option[FileEntry] =
+    line.split('\t') match {
+      case Array(p, lo, hi) =>
+        for (l <- lo.toIntOption; h <- hi.toIntOption) yield FileEntry(p, l, h)
+      case _ => None
+    }
 
   /** Test-only read-race injection: invoked with the manifest path just
     * before open; a hook that deletes the file simulates a reader racing
@@ -158,7 +190,8 @@ object IncrementalDedup {
               try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
               finally in.close()
             if (lines.lastOption.contains(EndMarker))
-              Some(StoreState(seq, lines.dropRight(1).filter(_.nonEmpty)))
+              Some(StoreState(seq,
+                lines.dropRight(1).filter(_.nonEmpty).flatMap(parseEntry)))
             else None
           } catch {
             case _: java.io.FileNotFoundException => raced = true; None
@@ -182,21 +215,24 @@ object IncrementalDedup {
       listIds(fs, manifestDir(root), "m"))
       .map(_._1) :+ 0L).max + 1
 
-  /** Publish `dirs` as the committed store contents: create-exclusive
-    * manifest write, then GC of everything the new or PREVIOUS manifest
-    * doesn't reference. No renames anywhere. */
-  private def commit(spark: SparkSession, root: String, dirs: Seq[String]): Unit = {
+  /** Publish `files` (with their zone maps) as the committed store
+    * contents: create-exclusive manifest write, then GC of every data
+    * DIRECTORY the new or PREVIOUS manifest doesn't reference. No
+    * renames anywhere. */
+  private def commit(spark: SparkSession, root: String, files: Seq[FileEntry]): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(manifestDir(root))
     val prev = latestState(spark, root)
     val seq = nextId(fs, root)
     val dest = new HPath(manifestDir(root), s"m$seq")
     val out = fs.create(dest, false) // exclusive: fails if the name exists
-    try out.write((dirs :+ EndMarker).mkString("\n").getBytes(UTF_8))
+    try out.write((files.map(_.line) :+ EndMarker).mkString("\n").getBytes(UTF_8))
     finally out.close()
     // GC below only removes UNREFERENCED paths — a crash here leaves
-    // harmless garbage, cleaned by the next commit
-    val keepDirs = dirs.toSet ++ prev.fold(Set.empty[String])(_.dirs.toSet)
+    // harmless garbage, cleaned by the next commit. Granularity is the
+    // d<SEQ>/r<SEQ> directory: directories are immutable once committed.
+    val keepDirs = files.map(_.dir).toSet ++
+      prev.fold(Set.empty[String])(_.dirs.toSet)
     (listIds(fs, new HPath(root), "d") ++ listIds(fs, new HPath(root), "r"))
       .map(_._2)
       .filterNot(p => keepDirs.contains(p.getName))
@@ -207,24 +243,28 @@ object IncrementalDedup {
       .foreach { case (_, p) => fs.delete(p, false) }
   }
 
+  /** Committed file entries. */
+  private def committedFiles(spark: SparkSession, root: String): Seq[FileEntry] =
+    latestState(spark, root).fold(Seq.empty[FileEntry])(_.files)
+
   /** Committed directory names, for maintenance and tests. */
   private[streaming] def committedDirs(spark: SparkSession, root: String): Seq[String] =
     latestState(spark, root).fold(Seq.empty[String])(_.dirs)
 
-  private def readDirs(spark: SparkSession, storeDir: String,
-                       prefix: String): Option[DataFrame] = {
-    val dirs = committedDirs(spark, storeDir).filter(_.startsWith(prefix))
-    if (dirs.isEmpty) None
-    // one read per directory, unioned: each d<SEQ>/r<SEQ> is its own
-    // partition-discovery root (a single multi-root read trips
-    // "conflicting directory structures" because the d<SEQ> level isn't
-    // a partition column). Partition-filter pushdown crosses the union
-    // onto every child scan, so pruning is unaffected; the committed
-    // dir count is bounded by CompactThreshold, so so is the plan size.
-    else Some(dirs
-      .map(d => spark.read.parquet(new HPath(storeDir, d).toString))
-      .reduce(_ unionByName _))
+  /** Read a set of committed files as ONE scan — plain paths, uniform
+    * schema, NO filesystem listing anywhere on the read path: the
+    * manifest IS the file index. */
+  private def readFiles(spark: SparkSession, storeDir: String,
+                        files: Seq[FileEntry]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    Some(spark.read.parquet(
+      files.map(f => new HPath(storeDir, f.path).toString): _*))
   }
+
+  private def readDirs(spark: SparkSession, storeDir: String,
+                       prefix: String): Option[DataFrame] =
+    readFiles(spark, storeDir,
+      committedFiles(spark, storeDir).filter(_.path.startsWith(prefix)))
 
   /** The committed DOC REGISTRY as one DataFrame (None when empty): one
     * row per doc (doc_id, mh0..mh{k-1}, dh) — the per-doc signature
@@ -245,15 +285,42 @@ object IncrementalDedup {
     * partition columns alone, pruned at planning time. Exposed for the
     * spec and the scale harness to measure rows-read against store
     * size. */
+  /** Zone-map file selection: keep files whose [lo, hi] key range
+    * contains any wanted key. */
+  private def rangeHit(files: Seq[FileEntry], keys: Seq[Int]): Seq[FileEntry] = {
+    val sorted = keys.sorted
+    files.filter(f => {
+      // any key in [lo, hi]? — binary search for the first key ≥ lo
+      val i = java.util.Arrays.binarySearch(sorted.toArray, f.lo)
+      val at = if (i >= 0) i else -i - 1
+      at < sorted.length && sorted(at) <= f.hi
+    })
+  }
+
   private[graft] def storeProbe(spark: SparkSession, storeDir: String,
-                                pids: Seq[Int]): Option[DataFrame] =
-    storeIndex(spark, storeDir).map(_.filter(pidCol.isin(pids: _*)))
+                                pids: Seq[Int]): Option[DataFrame] = {
+    val hit = rangeHit(
+      committedFiles(spark, storeDir).filter(_.path.startsWith("d")), pids)
+    // zone maps select candidate FILES; the residual filter makes the
+    // row set exact (a file's range can cover keys the batch lacks)
+    readFiles(spark, storeDir, hit).map(_.filter(pidCol.isin(pids: _*)))
+  }
 
   /** The registry read a batch's replay/stale check performs: only the
-    * dh partition directories in `dhs`. */
+    * files whose dh range intersects the batch's (exact manifest-level
+    * selection). When the registry exists but no file matches, an EMPTY
+    * frame (not None) is returned — the distinction between "no store
+    * yet" (first batch: plain append) and "store present, these docs
+    * unseen". */
   private def registryProbe(spark: SparkSession, storeDir: String,
-                            dhs: Seq[Int]): Option[DataFrame] =
-    storeSigs(spark, storeDir).map(_.filter(col("dh").isin(dhs: _*)))
+                            dhs: Seq[Int]): Option[DataFrame] = {
+    val reg = committedFiles(spark, storeDir).filter(_.path.startsWith("r"))
+    if (reg.isEmpty) return None
+    val hit = rangeHit(reg, dhs)
+    readFiles(spark, storeDir, hit)
+      .map(_.filter(col("dh").isin(dhs: _*)))
+      .orElse(readFiles(spark, storeDir, reg.take(1)).map(_.limit(0)))
+  }
 
   /** Touched partition ids of a batch's exploded rows — bounded by the
     * 4×`BucketPartitions` = 256-value pid domain, so the collect is a
@@ -266,36 +333,50 @@ object IncrementalDedup {
   private def touchedDhs(docSigs: DataFrame): Seq[Int] =
     docSigs.select(col("dh")).distinct().collect().map(_.getInt(0)).toSeq
 
-  /** Write exploded index rows to a fresh immutable `d` directory
-    * partitioned by (band_idx, bh), returning its name. Rows are
-    * repartitioned onto the leaf key first so each (band_idx, bh) leaf
-    * is written by one task — at most 256 files per directory, never
-    * tasks×leaves — and sorted by bucket within files so row-group
-    * stats prune further inside a touched partition. The directory is
-    * invisible (unreferenced) until a manifest commit includes it;
-    * residue from crashed attempts is GC'd later. */
-  private def writeIndexDir(spark: SparkSession, root: String, df: DataFrame): String = {
-    val name = s"d${nextId(fsOf(spark, root), root)}"
-    df.repartition(col("band_idx"), col("bh"))
-      .sortWithinPartitions("bucket")
+  /** Write a frame to a fresh immutable directory as range-split sorted
+    * files and return its manifest entries: rows are range-partitioned
+    * on `key` into ceil(rows / TargetRowsPerFile) files (ONE file for a
+    * typical micro-batch — the flat-latency property; the 256-leaf
+    * directory layout this replaced wrote ~320 files per batch and
+    * made batch latency grow linearly with batch count), sorted by
+    * (`key`, `tiebreak`) within each file, and each file's [min, max]
+    * key is read back as its manifest zone map — ONE bounded read at
+    * WRITE time so the read path never lists or probes anything. The
+    * directory is invisible (unreferenced) until a manifest commit
+    * includes its files; residue from crashed attempts is GC'd later. */
+  private def writeSorted(spark: SparkSession, root: String, prefix: String,
+                          df: DataFrame, key: org.apache.spark.sql.Column,
+                          tiebreak: String): Seq[FileEntry] = {
+    val name = s"$prefix${nextId(fsOf(spark, root), root)}"
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + TargetRowsPerFile - 1) / TargetRowsPerFile).toInt
+    val dest = new HPath(root, name).toString
+    df.withColumn("_k", key)
+      .repartitionByRange(nFiles, col("_k"))
+      .sortWithinPartitions(col("_k"), col(tiebreak))
+      .drop("_k")
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("band_idx", "bh")
-      .parquet(new HPath(root, name).toString)
-    name
+      .parquet(dest)
+    // zone maps: per-file min/max of the key, one bounded job
+    val rootPath = new HPath(root).toUri.getPath
+    spark.read.parquet(dest)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(key).cast("int").as("lo"), max(key).cast("int").as("hi"))
+      .collect()
+      .map { r =>
+        val rel = new java.net.URI(r.getString(0)).getPath
+          .stripPrefix(rootPath).stripPrefix("/")
+        FileEntry(rel, r.getInt(1), r.getInt(2))
+      }.toSeq.sortBy(_.path)
   }
 
-  /** Write per-doc registry rows to a fresh immutable `r` directory
-    * partitioned by dh, returning its name. Same visibility contract as
-    * `writeIndexDir`. */
-  private def writeRegistryDir(spark: SparkSession, root: String, df: DataFrame): String = {
-    val name = s"r${nextId(fsOf(spark, root), root)}"
-    df.repartition(col("dh"))
-      .sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("dh")
-      .parquet(new HPath(root, name).toString)
-    name
-  }
+  /** Index write: exploded rows range-split by pid, bucket tiebreak. */
+  private def writeIndexDir(spark: SparkSession, root: String, df: DataFrame): Seq[FileEntry] =
+    writeSorted(spark, root, "d", df, pidCol, "bucket")
+
+  /** Registry write: per-doc rows range-split by dh, doc_id tiebreak. */
+  private def writeRegistryDir(spark: SparkSession, root: String, df: DataFrame): Seq[FileEntry] =
+    writeSorted(spark, root, "r", df, col("dh"), "doc_id")
 
   /** Process one micro-batch of (doc_id, text): emit duplicate verdicts
     * (doc_id, dup_of, est_jaccard) against the store and earlier batch
@@ -402,20 +483,19 @@ object IncrementalDedup {
           val newReg = storeSigs(spark, storeDir).get
             .join(stale, Seq("doc_id"), "left_anti")
             .unionByName(freshReg).localCheckpoint(true)
-          commit(spark, storeDir, Seq(
-            writeIndexDir(spark, storeDir, newIdx),
-            writeRegistryDir(spark, storeDir, newReg)))
+          commit(spark, storeDir,
+            writeIndexDir(spark, storeDir, newIdx) ++
+              writeRegistryDir(spark, storeDir, newReg))
         } else if (hasFresh) {
-          val added = Seq(
-            writeIndexDir(spark, storeDir, freshIdx),
-            writeRegistryDir(spark, storeDir, freshReg))
-          commit(spark, storeDir, committedDirs(spark, storeDir) ++ added)
+          val added = writeIndexDir(spark, storeDir, freshIdx) ++
+            writeRegistryDir(spark, storeDir, freshReg)
+          commit(spark, storeDir, committedFiles(spark, storeDir) ++ added)
         }
       case None =>
         if (!batchSigs.isEmpty)
-          commit(spark, storeDir, Seq(
-            writeIndexDir(spark, storeDir, xRows),
-            writeRegistryDir(spark, storeDir, batchReg)))
+          commit(spark, storeDir,
+            writeIndexDir(spark, storeDir, xRows) ++
+              writeRegistryDir(spark, storeDir, batchReg))
     }
     batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
@@ -440,8 +520,8 @@ object IncrementalDedup {
     val reg = storeSigs(spark, storeDir).map(_.localCheckpoint(true))
     if (idx.isDefined || reg.isDefined)
       commit(spark, storeDir,
-        idx.map(df => writeIndexDir(spark, storeDir, df)).toSeq ++
-          reg.map(df => writeRegistryDir(spark, storeDir, df)).toSeq)
+        idx.toSeq.flatMap(df => writeIndexDir(spark, storeDir, df)) ++
+          reg.toSeq.flatMap(df => writeRegistryDir(spark, storeDir, df)))
   }
 
   /** Measurement hook (spec + scale harness): the index rows a probe of

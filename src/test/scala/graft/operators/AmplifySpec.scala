@@ -58,6 +58,53 @@ class AmplifySpec extends SparkSpec {
     }
   }
 
+  test("event skew amplifier: hot user owns ≈hotFrac of rows, replicas never tie") {
+    val ev = Seq((1L, 10L, 1000L, "view"), (2L, 11L, 2000L, "purchase"),
+      (3L, 12L, 3000L, "view"), (4L, 13L, 4000L, "click"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val uni = Amplify.events(ev, 50)
+    assert(uni.count() === 200)
+    assert(uni.filter(col("user_id") === 0L).isEmpty, "hotFrac=0 → no hot rows")
+    assert(uni.select("event_id").distinct().count() === 200, "ids disjoint")
+    assert(uni.select("user_id", "ts_ns").distinct().count() === 200,
+      "(user, ts) never ties across replicas")
+    val hot = Amplify.events(ev, 50, hotFrac = 0.3)
+    val hotRows = hot.filter(col("user_id") === 0L).count()
+    assert(hotRows >= 40 && hotRows <= 80, // 0.3±tolerance of 200
+      s"expected ≈60 hot rows of 200, got $hotRows")
+    // deterministic: same call, same rows
+    assert(hot.except(Amplify.events(ev, 50, hotFrac = 0.3)).isEmpty)
+  }
+
+  test("giant dup cluster: identical texts, disjoint ids, LSH sees one component") {
+    val cluster = Amplify.giantDupCluster(base, 40)
+    assert(cluster.count() === 40)
+    assert(cluster.select("text").distinct().count() === 1, "all texts identical")
+    assert(cluster.select("doc_id").distinct().count() === 40)
+    val cand = Dedup.lshCandidatePairsOf(base.unionByName(cluster))
+      .filter(col("doc1") >= 2 * Amplify.IdStride)
+    assert(cand.count() === 40L * 39 / 2, "every cluster pair is a candidate")
+    val cc = Dedup.connectedComponents(cand.select("doc1", "doc2"))
+    assert(cc.filter(col("doc_id") >= 2 * Amplify.IdStride)
+      .select("canonical_id").distinct().count() === 1, "one component")
+  }
+
+  test("clustered vectors: deterministic, unit-plane ring, graded similarity") {
+    val v = Amplify.clusteredVectors(spark, 200L, centers = 8, dims = 16)
+    assert(v.count() === 200)
+    assert(v.select("vec_id").distinct().count() === 200)
+    assert(v.except(Amplify.clusteredVectors(spark, 200L, centers = 8, dims = 16)).isEmpty)
+    // same-center vectors are near-parallel; opposite-ring centers anti
+    val rows = v.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(rows(0L), rows(8L)) > 0.9, "same center ⇒ near-parallel")
+    assert(cos(rows(0L), rows(4L)) < -0.8, "opposite center ⇒ anti-parallel")
+  }
+
   test("embedding amplification: disjoint ids, deterministic, same dims, base verbatim") {
     val e = Seq((0L, Array(1.0f, 0.0f, 0.5f, -0.25f)), (1L, Array(0.0f, 1.0f, -0.5f, 0.25f)))
       .toDF("vec_id", "embedding")

@@ -286,6 +286,44 @@ class PipelineSpec extends SparkSpec {
       assert(pinned.select("name").collect().map(_.getString(0)).toSeq === Seq(s"v$last"))
     }
 
+  test("multi-writer manifest conflict: one commit wins, the loser fails LOUDLY") {
+    // The protocol's single-writer contract enforced mechanically: two
+    // writers that both resolve the same next seq cannot both publish —
+    // the manifest write is create-exclusive, so the second create
+    // throws instead of silently overwriting, and a reader only ever
+    // resolves one of the two COMPLETE generations, never a blend.
+    val root = tempDir("sds-conflict")
+    val a = new Scd2Store(spark, root)
+    val b = new Scd2Store(spark, root)
+    apply1(a, batch(1, "b1", Seq(Change(agentAddress(PublicKey), "SET",
+      container(agentJson(name = "v1"))))))
+    // B's whole commit lands inside A's publish window (after A chose
+    // its seq, before A's create-exclusive write)
+    var raced = false
+    a.failpoint = l =>
+      if (l == "agents:pre-publish" && !raced) {
+        raced = true
+        apply1(b, batch(3, "b3", Seq(Change(agentAddress(PublicKey), "SET",
+          container(agentJson(name = "v-winner"))))))
+      }
+    val ex = intercept[Exception] {
+      apply1(a, batch(2, "b2", Seq(Change(agentAddress(PublicKey), "SET",
+        container(agentJson(name = "v-loser"))))))
+    }
+    assert(raced)
+    assert(ex.toString.toLowerCase.contains("exist"),
+      s"loser must fail on the exclusive create, got: $ex")
+    // a fresh reader sees exactly B's committed generation — v-loser
+    // never became visible, and the state is a consistent SCD2 set
+    val names = new Scd2Store(spark, root).live("agents")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(names === Seq("v-winner"))
+    val spans = new Scd2Store(spark, root).table("agents")
+      .select("name", "start_block_num", "end_block_num")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(("v1", 1L, 3L), ("v-winner", 3L, MaxBlockNum)))
+  }
+
   test("reader racing manifest GC falls back to the retained generation (ADVICE r7)") {
     // the race: reader lists manifests, a concurrent commit GCs the
     // listed newest between list and open. The old readManifest crashed

@@ -96,54 +96,63 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!fs.exists(partial), "superseding commit must GC the partial manifest")
   }
 
-  test("probe read prunes to the batch's (band, bucket-hash) partitions") {
+  test("probe read prunes to the batch's (band, bucket-hash) key ranges") {
     val store = tempDir("inc-dedup-prune") + "/sigs"
-    // seed: 200 distinct docs spread across the 256 (band_idx, bh) leaves
-    val seed = (1L to 200L).map(i => i ->
-      (s"seed document number $i with alpha$i beta$i gamma$i delta$i " +
-        s"epsilon$i zeta$i eta$i theta$i"))
-    IncrementalDedup.processBatch(docsDf(seed: _*), store)
+    // force a realistic multi-file store at toy scale: ~16 rows per
+    // range-split file instead of 1M
+    val savedTarget = IncrementalDedup.TargetRowsPerFile
+    IncrementalDedup.TargetRowsPerFile = 16L
+    try {
+      // seed: 200 distinct docs spread across the 256 pid values
+      val seed = (1L to 200L).map(i => i ->
+        (s"seed document number $i with alpha$i beta$i gamma$i delta$i " +
+          s"epsilon$i zeta$i eta$i theta$i"))
+      IncrementalDedup.processBatch(docsDf(seed: _*), store)
 
-    // a one-doc probe touches ≤ 4 of the 256 leaves (one bucket per band)
-    val probe = docsDf(9001L -> base)
-    val fp = IncrementalDedup.probeFootprint(spark, store, probe)
-    assert(fp.rowsTotal === 200L * 4, "exploded index: 4 rows per doc")
-    assert(fp.touchedLeaves <= 4, s"one doc touches ≤4 leaves, got ${fp.touchedLeaves}")
-    assert(fp.rowsRead <= fp.rowsTotal / 16,
-      s"pruned read (${fp.rowsRead}) should be a small fraction of the " +
-        s"index (${fp.rowsTotal})")
+      // a one-doc probe touches ≤ 4 of the 256 pid values (one bucket
+      // per band)
+      val probe = docsDf(9001L -> base)
+      val fp = IncrementalDedup.probeFootprint(spark, store, probe)
+      assert(fp.rowsTotal === 200L * 4, "exploded index: 4 rows per doc")
+      assert(fp.touchedLeaves <= 4, s"one doc touches ≤4 keys, got ${fp.touchedLeaves}")
+      assert(fp.rowsRead <= fp.rowsTotal / 16,
+        s"pruned read (${fp.rowsRead}) should be a small fraction of the " +
+          s"index (${fp.rowsTotal})")
 
-    // the pruning happens at the SCAN (PartitionFilters), not post-read:
-    // the scan's file count is the touched directories, not the store's
-    val xr = IncrementalDedup.withBh(
-      graft.operators.Dedup.explodeBandBuckets(
-        graft.operators.Dedup.minhashBandedSignatures(probe)))
-    val pids = xr
-      .select((col("band_idx") * IncrementalDedup.BucketPartitions + col("bh"))
-        .cast("int").as("pid"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = IncrementalDedup.storeProbe(spark, store, pids).get
-    pruned.collect()
-    val scan = pruned.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.head
-    val filesRead = scan.metrics("numFiles").value
-    val indexFiles = IncrementalDedup.committedDirs(spark, store)
-      .filter(_.startsWith("d"))
-      .flatMap(d => parquetFilesUnder(new java.io.File(store, d))).size
-    assert(filesRead <= fp.touchedLeaves,
-      s"scan read $filesRead files — more than the touched leaves")
-    assert(filesRead < indexFiles / 16,
-      s"scan read $filesRead of $indexFiles index files — no real pruning")
+      // the pruning happens at FILE level (the manifest zone maps), not
+      // post-read: the scan opens only range-intersecting files
+      val xr = IncrementalDedup.withBh(
+        graft.operators.Dedup.explodeBandBuckets(
+          graft.operators.Dedup.minhashBandedSignatures(probe)))
+      val pids = xr
+        .select((col("band_idx") * IncrementalDedup.BucketPartitions + col("bh"))
+          .cast("int").as("pid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val pruned = IncrementalDedup.storeProbe(spark, store, pids).get
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val filesRead = scan.metrics("numFiles").value
+      val indexFiles = IncrementalDedup.committedDirs(spark, store)
+        .filter(_.startsWith("d"))
+        .flatMap(d => parquetFilesUnder(new java.io.File(store, d))).size
+      assert(indexFiles >= 20, s"seam should force a multi-file store, got $indexFiles")
+      // ≤ 2 files per touched key (a key can straddle a file boundary)
+      assert(filesRead <= 2L * fp.touchedLeaves,
+        s"scan read $filesRead files for ${fp.touchedLeaves} touched keys")
+      assert(filesRead < indexFiles / 4,
+        s"scan read $filesRead of $indexFiles index files — no real pruning")
 
-    // pruning loses no candidates: 9002 enters the store, then a later
-    // batch's near-copy must find it through the pruned probe
-    val v1 = IncrementalDedup.processBatch(docsDf(9002L -> base), store)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(v1 === Map.empty, s"base text matches nothing stored: $v1")
-    val v2 = IncrementalDedup.processBatch(docsDf(9003L -> nearCopy), store)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(v2(9003L) === 9002L, s"cross-batch near-dup through pruned probe: $v2")
+      // pruning loses no candidates: 9002 enters the store, then a later
+      // batch's near-copy must find it through the pruned probe
+      val v1 = IncrementalDedup.processBatch(docsDf(9002L -> base), store)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v1 === Map.empty, s"base text matches nothing stored: $v1")
+      val v2 = IncrementalDedup.processBatch(docsDf(9003L -> nearCopy), store)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v2(9003L) === 9002L, s"cross-batch near-dup through pruned probe: $v2")
+    } finally IncrementalDedup.TargetRowsPerFile = savedTarget
   }
 
   test("changed-text re-ingest replaces the stored signature (latest wins)") {
