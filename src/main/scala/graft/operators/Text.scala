@@ -17,12 +17,12 @@ import graft.core.{Q, Tables}
   */
 object Text {
 
-  /** Count of the most frequent element of a string array = the max run
-    * length over the SORTED array, folded by one `aggregate` with a
-    * (prev, run, best) struct state — a pure per-row expression, so the
-    * repetition metric costs no shuffle (q80, q82). */
-  def topWordCount(ws: Column): Column =
-    aggregate(array_sort(ws),
+  /** Longest run of consecutive EQUAL elements in a string array, folded
+    * by one `aggregate` with a (prev, run, best) struct state — a pure
+    * per-row expression (q86's stuck-key repetition signal, and the
+    * kernel under [[topWordCount]]). */
+  def maxRunLength(ws: Column): Column =
+    aggregate(ws,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (st, w) => {
         val run = when(w === st.getField("prev"), st.getField("run") + 1L)
@@ -31,6 +31,17 @@ object Text {
           greatest(st.getField("best"), run).as("best"))
       },
       st => st.getField("best"))
+
+  /** Count of the most frequent element of a string array = the max run
+    * length over the SORTED array — a pure per-row expression, so the
+    * repetition metric costs no shuffle (q80, q82). */
+  def topWordCount(ws: Column): Column = maxRunLength(array_sort(ws))
+
+  /** The doc's n-gram strings as a per-row array expression: n-1 …
+    * size(ws) joined windows, no explode anywhere (q86). */
+  private def ngrams(ws: Column, n: Int): Column =
+    transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " "))
 
   /** Per-document contamination stats against the `doc_id % benchMod = 0`
     * benchmark stand-in (q81, q82): (doc_id, n_shingles, n_hit,
@@ -441,6 +452,72 @@ object Text {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       contaminationStats(docs(s, dir))
         .filter(col("contaminated_frac") >= 0.2)
+        .orderBy("doc_id")
+    },
+
+    // ---- q86: within-document repetition filter (Gopher §A.1.1) ---------
+    // The repetition signals q80's word-level stats can't see: documents
+    // that loop — boilerplate, template spam, stuck generation — repeat
+    // PHRASES, not just words. Per doc: the most-frequent-2-gram
+    // fraction (top 2-gram count / total 2-grams), the duplicate-3-gram
+    // fraction (1 − distinct/total), and the longest run of consecutive
+    // IDENTICAL words (a stuck-key/stutter signal no bag-of-ngrams
+    // metric catches — order matters, so it needs the UNSORTED fold).
+    // Like q80, everything is a per-row HOF expression: n-gram arrays
+    // come from a windowed `transform`+`slice` (no explode), frequency
+    // counts from the sorted-run-length fold, so the gate is MAP-ONLY —
+    // the naive explode→groupBy(doc, gram) would shuffle every n-gram
+    // in the corpus, ~2× the corpus bytes at 100 TB (PlanSpec pins zero
+    // hash exchanges). Thresholds split this corpus ~65/35 so both
+    // branches are exercised; all fractions derive from exact integer
+    // counts, so Spark and DuckDB divide identically.
+    Q("q86_repetition_filter",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+        |top2 AS (SELECT doc_id, max(c) AS top2_c, sum(c) AS n2 FROM
+        |         (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t)),
+        |d3 AS (SELECT doc_id, count(*) - count(DISTINCT g) AS dup3_c,
+        |              count(*) AS n3 FROM g3 GROUP BY 1),
+        |wpos AS (SELECT doc_id, i, ws[i] AS w
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+        |runs AS (SELECT doc_id, max(cnt) AS max_run FROM
+        |         (SELECT doc_id, count(*) AS cnt FROM
+        |          (SELECT doc_id, i, w,
+        |             i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+        |           FROM wpos)
+        |          GROUP BY doc_id, w, grp) GROUP BY 1)
+        |SELECT doc_id,
+        |  round(top2_c / CAST(n2 AS DOUBLE), 6) AS top2_frac,
+        |  round(dup3_c / CAST(n3 AS DOUBLE), 6) AS dup3_frac,
+        |  CAST(max_run AS BIGINT) AS max_word_run,
+        |  CAST(CASE WHEN top2_c / CAST(n2 AS DOUBLE) < 0.045
+        |        AND dup3_c / CAST(n3 AS DOUBLE) < 0.02
+        |        AND max_run <= 2
+        |       THEN 1 ELSE 0 END AS INT) AS keep_flag
+        |FROM top2 JOIN d3 USING (doc_id) JOIN runs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("g2", ngrams(col("ws"), 2))
+        .withColumn("g3", ngrams(col("ws"), 3))
+        .withColumn("top2_frac",
+          topWordCount(col("g2")) / size(col("g2")).cast("double"))
+        .withColumn("dup3_frac",
+          (size(col("g3")) - size(array_distinct(col("g3"))))
+            / size(col("g3")).cast("double"))
+        .withColumn("max_word_run", maxRunLength(col("ws")))
+        .select(col("doc_id"),
+          round(col("top2_frac"), 6).as("top2_frac"),
+          round(col("dup3_frac"), 6).as("dup3_frac"),
+          col("max_word_run").cast("long").as("max_word_run"),
+          when(col("top2_frac") < 0.045 && col("dup3_frac") < 0.02 &&
+              col("max_word_run") <= 2, 1).otherwise(0)
+            .cast("int").as("keep_flag"))
         .orderBy("doc_id")
     }
   )

@@ -85,11 +85,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
-  test("q80: quality gate is map-only — no hash-partition exchange anywhere") {
-    // all metrics are per-row HOF expressions; the only exchange allowed
-    // is the presentation sort's range partitioning
-    val p = plan("q80_quality_filters")
-    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  test("q80/q86: quality and repetition gates are map-only — no hash exchange") {
+    // all metrics are per-row HOF expressions (q86's n-grams included:
+    // windowed transform+slice, never explode→groupBy); the only
+    // exchange allowed is the presentation sort's range partitioning
+    for (q <- Seq("q80_quality_filters", "q86_repetition_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n" + p.take(1500))
+    }
   }
 
   test("q79/q81: semantic dedup and contamination stay in equi-join land") {

@@ -35,6 +35,45 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("maxRunLength equals the reference longest-consecutive-run on random lists") {
+    val genWords: Gen[List[String]] = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd"))
+    } yield ws
+    val cases = samples(genWords, 60)
+    val df = cases.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("id", "ws")
+      .select(col("id"), Text.maxRunLength(col("ws")).as("run"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (ws, i) =>
+      // reference: fold the list counting consecutive equals
+      val expect = ws.foldLeft(("", 0, 0)) { case ((prev, run, best), w) =>
+        val r = if (w == prev) run + 1 else 1
+        (w, r, math.max(best, r))
+      }._3.toLong
+      assert(got(i.toLong) === expect, s"case $i: $ws")
+    }
+  }
+
+  test("q86 n-gram repetition metrics match a reference count on a crafted doc") {
+    // 'x y x y x y': 5 2-grams, top "x y" appears 3 -> 0.6; 4 3-grams,
+    // 2 distinct -> dup3 = 0.5; no consecutive repeats. 'a a a b':
+    // stuck-key run of 3. The clean doc needs >= 23 2-grams for
+    // top2 < 0.045 to be satisfiable, so it gets 30 distinct words.
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, "x y x y x y"), (2L, "a a a b"), (3L, clean))
+      .toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("q86").toString
+    d.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q86_repetition_filter")(spark, outDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(rows(1L) === ((0.6, 0.5, 1L, 0)), s"looping doc: ${rows(1L)}")
+    assert(rows(2L)._3 === 3L, "stuck-key run of 3")
+    assert(rows(2L)._4 === 0, "run of 3 fails the gate")
+    assert(rows(3L) === ((0.034483, 0.0, 1L, 1)), s"clean doc keeps: ${rows(3L)}")
+  }
+
   test("ImageCodec round-trips random dimensions through PNG/GIF/JPEG layouts") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
