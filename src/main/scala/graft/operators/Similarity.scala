@@ -41,6 +41,36 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 1000 / 500.0 - 1
   }
 
+  /** q87's projection width (64 → 16 dims, 4× smaller). */
+  private[operators] val RpOut = 16
+
+  /** Achlioptas ±1 sign for output dim `j`, input dim `i` — md5 parity,
+    * so DuckDB reproduces the matrix from the same string (q87). */
+  private[operators] def rpSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.take(1), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection map 64 → [[RpOut]] dims: y_j = Σ_i v_i·s(j,i) / √RpOut.
+    * The sign matrix is a driver-side LITERAL (1024 doubles) folded into
+    * codegen — zero hashing at runtime, map-only per row (q87 and any
+    * reduce-before-ANN pipeline). */
+  private[operators] def rpProject(v: Column): Column = {
+    val scale = math.sqrt(RpOut)
+    array((0 until RpOut).map { j =>
+      val row = typedLit(Array.tabulate(Dims)(i => rpSign(j, i)))
+      aggregate(zip_with(v, row, (x, p) => x * p),
+        lit(0.0d), (acc, x) => acc + x) / scale
+    }: _*)
+  }
+
+  /** Driver-side twin of [[rpProject]] for specs — same matrix, same
+    * arithmetic, no Spark. */
+  private[operators] def rpProjectLocal(v: Array[Double]): Array[Double] =
+    Array.tabulate(RpOut)(j =>
+      (0 until Dims).map(i => v(i) * rpSign(j, i)).sum / math.sqrt(RpOut))
+
   private val Dims = 64
 
   /** IVF coarse assignment: every vector to its nearest centroid, as a
@@ -564,6 +594,36 @@ object Similarity {
           array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec_csv"),
           round(when(col("scale") === 0, lit(0.0)).otherwise(err), 6).as("l1_err"))
         .orderBy("vec_id")
+    },
+
+    // ---- q87: random-projection dimensionality reduction -----------------
+    // Johnson-Lindenstrauss reduction before ANN: project 64-dim
+    // embeddings onto 16 Achlioptas ±1 directions (y_j = <v, s_j>/√16) —
+    // the standard cheap pre-index step that cuts every downstream
+    // distance computation and index byte 4×, at a bounded cosine
+    // distortion the spec measures. The sign matrix is md5-parity-seeded
+    // so DuckDB rebuilds it from the same strings, but on the Spark side
+    // it is a driver-side LITERAL folded into whole-stage codegen — the
+    // executor hashes NOTHING and the operator is map-only (the 100 TB
+    // plan is scan → project → sort, no exchange but the presentation
+    // sort). Output is exploded to (vec_id, dim, y) scalar rows for the
+    // driver's pandas hash (q64's array-cell lesson).
+    Q("q87_random_projection",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT e.vec_id, j.j AS dim,
+        |        round(list_sum(list_transform(range(0, 64), i ->
+        |          e.v[i + 1] * (CASE WHEN (('0x' || substr(md5('rp:' || CAST(j.j AS VARCHAR)
+        |                 || ':' || CAST(i AS VARCHAR)), 1, 1))::BIGINT) % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END))) / 4.0, 6) AS y
+        |      FROM e, (SELECT unnest(range(0, 16)) AS j) j)
+        |SELECT vec_id, CAST(dim AS INT) AS dim, y FROM p
+        |ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+      emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+        .select(col("vec_id"),
+          posexplode(transform(rpProject(col("v")), y => round(y, 6))))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"), col("col").as("y"))
+        .orderBy("vec_id", "dim")
     }
   )
 }

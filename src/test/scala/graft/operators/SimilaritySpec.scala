@@ -87,6 +87,31 @@ class SimilaritySpec extends SparkSpec {
     assert(frac >= 0.9, s"clustered-regime exact-agreement $frac below 0.9")
   }
 
+  test("q87 projection is linear and preserves cosine within JL distortion") {
+    // linearity is exact: proj(a·v) = a·proj(v), so colinear vectors
+    // keep cosine 1 exactly; general pairs stay within the JL bound for
+    // 16 output dims (measured, not assumed — mean |Δcos| over all
+    // clustered-vector pairs sampled below)
+    val vecs = Amplify.clusteredVectors(spark, 60L, centers = 6, dims = 64)
+      .withColumn("p", Similarity.rpProject(col("v")))
+    val rows = vecs.select("vec_id", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val diffs = for {
+      (i, vi, pi) <- rows; (j, vj, pj) <- rows if i < j
+    } yield math.abs(cos(vi, vj) - cos(pi, pj))
+    val mean = diffs.sum / diffs.length
+    assert(mean < 0.25, f"mean cosine distortion $mean%.3f exceeds JL budget")
+    // scaling a vector never moves its projected direction
+    val v0 = rows.head._2
+    val scaled = cos(Similarity.rpProjectLocal(v0),
+      Similarity.rpProjectLocal(v0.map(_ * 3.5)))
+    assert(math.abs(scaled - 1.0) < 1e-12, "linearity must be exact")
+  }
+
   test("multi-probe IVF: recall grows with nprobe; probing ALL clusters is exact") {
     val n = vectors(sf0001)
     val cent = centroids(sf0001)
