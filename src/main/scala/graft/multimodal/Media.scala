@@ -361,6 +361,256 @@ object Media {
     }
   }
 
+  /** Decoded GIF frame: grayscale intensities (the palette's R channel
+    * per pixel index). */
+  case class GifPixels(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL pure-JVM GIF codec: full LZW decode of the first image of a
+    * GIF87a/89a stream (reference renders media for certificate/org
+    * records only as opaque URLs — this is the driver-mandate multimodal
+    * extension, q88). The decoder is canonical variable-width GIF-LZW:
+    * code width starts minCodeSize+1 and bumps when the table reaches
+    * 2^width (cap 12 bits / 4096 entries); CLEAR resets table and
+    * width; the KwKwK case (code == next table slot) is handled. The
+    * paired encoder exists to synthesize byte-predictable fixtures: it
+    * compresses for real (dictionary growth, width bumps one entry
+    * after the decoder's boundary — giflib's RunningCode > MaxCode1
+    * rule — CLEAR at table-full), so encode→decode round-trips exercise
+    * every decoder path. Interlace and local color tables are out of
+    * scope → None (fall back to header-only metadata). */
+  object GifCodec {
+    private val MaxCodes = 4096
+
+    /** LSB-first bit reader over the concatenated sub-block payload. */
+    private final class BitReader(data: Array[Byte]) {
+      private var pos = 0
+      def read(width: Int): Int = {
+        if (pos + width > data.length * 8) return -1
+        var v = 0; var i = 0
+        while (i < width) {
+          val p = pos + i
+          if (((data(p >> 3) >> (p & 7)) & 1) == 1) v |= 1 << i
+          i += 1
+        }
+        pos += width
+        v
+      }
+    }
+
+    /** LSB-first bit writer that packages into ≤255-byte sub-blocks. */
+    private final class BitWriter {
+      private val bits = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var nBits = 0
+      def write(code: Int, width: Int): Unit = {
+        var i = 0
+        while (i < width) {
+          cur |= ((code >> i) & 1) << nBits
+          nBits += 1
+          if (nBits == 8) { bits.write(cur); cur = 0; nBits = 0 }
+          i += 1
+        }
+      }
+      def toSubBlocks: Array[Byte] = {
+        if (nBits > 0) { bits.write(cur); cur = 0; nBits = 0 }
+        val raw = bits.toByteArray
+        val out = new java.io.ByteArrayOutputStream()
+        var o = 0
+        while (o < raw.length) {
+          val n = math.min(255, raw.length - o)
+          out.write(n)
+          out.write(raw, o, n)
+          o += n
+        }
+        out.write(0) // block terminator
+        out.toByteArray
+      }
+    }
+
+    /** Decode `expected` pixel indices from a GIF-LZW stream. */
+    private def lzwDecode(minCode: Int, data: Array[Byte],
+                          expected: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val prefix = new Array[Int](MaxCodes)
+      val suffix = new Array[Byte](MaxCodes)
+      val stack = new Array[Byte](MaxCodes + 1)
+      val out = new Array[Byte](expected)
+      val r = new BitReader(data)
+      var width = minCode + 1
+      var avail = end + 1
+      var old = -1
+      var n = 0
+      while (n < expected) {
+        val code = r.read(width)
+        if (code < 0 || code == end) return None // truncated mid-image
+        if (code == clear) {
+          width = minCode + 1; avail = end + 1; old = -1
+        } else if (old == -1) {
+          if (code >= clear) return None // first code must be a root
+          out(n) = code.toByte; n += 1
+          old = code
+        } else {
+          if (code > avail) return None // gap in the code space
+          var sp = 0
+          var c = code
+          if (c == avail) { // KwKwK: string = old + head(old)
+            var h = old
+            while (h >= clear + 2) h = prefix(h)
+            stack(sp) = h.toByte; sp += 1
+            c = old
+          }
+          while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          stack(sp) = c.toByte; sp += 1 // the root
+          val head = stack(sp - 1)
+          while (sp > 0 && n < expected) { sp -= 1; out(n) = stack(sp); n += 1 }
+          if (sp > 0) return None // string overran w·h — malformed
+          if (avail < MaxCodes) {
+            prefix(avail) = old; suffix(avail) = head
+            avail += 1
+            if (avail == (1 << width) && width < 12) width += 1
+          }
+          old = code
+        }
+      }
+      Some(out)
+    }
+
+    /** Compress pixel indices as a real GIF-LZW stream (with CLEAR at
+      * table-full). Width bumps when `next` EXCEEDS 2^width — one entry
+      * after the decoder's `avail == 2^width` bump, which is what keeps
+      * the two in lock-step (the decoder learns each table entry one
+      * code later than the encoder defines it). */
+    private def lzwEncode(minCode: Int, pixels: Array[Byte]): Array[Byte] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val w = new BitWriter()
+      var width = minCode + 1
+      var next = end + 1
+      var dict = new java.util.HashMap[Integer, Integer]()
+      w.write(clear, width)
+      var cur = pixels(0) & 0xff
+      var i = 1
+      while (i < pixels.length) {
+        val c = pixels(i) & 0xff
+        val key = (cur << 8) | c
+        val hit = dict.get(key)
+        if (hit != null) cur = hit
+        else {
+          w.write(cur, width)
+          if (next < MaxCodes) {
+            dict.put(key, next)
+            next += 1
+            if (next > (1 << width) && width < 12) width += 1
+          } else { // table full: clear and restart
+            w.write(clear, width)
+            width = minCode + 1; next = end + 1
+            dict = new java.util.HashMap[Integer, Integer]()
+          }
+          cur = c
+        }
+        i += 1
+      }
+      w.write(cur, width)
+      w.write(end, width)
+      w.toSubBlocks
+    }
+
+    def decode(b: Array[Byte]): Option[GifPixels] = try {
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+      val packed = u8(10)
+      val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+      val gct = new Array[Byte](math.max(gctSize, 0))
+      var i = 13
+      if (gctSize > 0) {
+        if (i + gctSize * 3 > b.length) return None
+        var c = 0
+        while (c < gctSize) { gct(c) = b(i + c * 3); c += 1 } // R channel
+        i += gctSize * 3
+      }
+      // walk blocks to the first image descriptor
+      while (i < b.length) {
+        u8(i) match {
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case 0x2c =>
+            if (i + 10 > b.length) return None
+            val iw = le16(i + 5); val ih = le16(i + 7)
+            val ipacked = u8(i + 9)
+            if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
+            if ((ipacked & 0x80) != 0) return None // local color table: out of scope
+            if (gctSize == 0 || iw <= 0 || ih <= 0) return None
+            i += 10
+            val minCode = u8(i); i += 1
+            if (minCode < 2 || minCode > 8) return None
+            // concatenate the data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < b.length && u8(i) != 0) {
+              val n = u8(i)
+              if (i + 1 + n > b.length) return None
+              data.write(b, i + 1, n)
+              i += 1 + n
+            }
+            val idx = lzwDecode(minCode, data.toByteArray, iw * ih)
+              .getOrElse(return None)
+            val px = new Array[Byte](iw * ih)
+            var p = 0
+            while (p < px.length) {
+              val ci = idx(p) & 0xff
+              if (ci >= gctSize) return None // index outside the palette
+              px(p) = gct(ci)
+              p += 1
+            }
+            return Some(GifPixels(iw, ih, px))
+          case 0x3b => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+    /** Mean pixel intensity in [0, 1] — q85's integer-sum arithmetic. */
+    def meanIntensity(p: GifPixels): Double = {
+      var s = 0L; var i = 0
+      while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 1 }
+      s.toDouble / (p.pixels.length.toLong * 255.0)
+    }
+
+    /** ENCODE a grayscale image as a real GIF89a: 256-entry gray ramp
+      * GCT (palette i → (i,i,i), so index == intensity), one
+      * non-interlaced image, REAL LZW compression. Structurally valid
+      * end-to-end, pixel payload byte-predictable for the q88 oracle. */
+    def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+      out.write(0); out.write(0) // background, aspect
+      var c = 0
+      while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+      out.write(0x2c) // image descriptor
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0) // not interlaced, no local color table
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = (pixel(x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      out.write(8) // LZW minimum code size
+      out.write(lzwEncode(8, px))
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+  }
+
   /** Parsed header row — fixed-width, shuffle-friendly. */
   case class MediaHeader(media_id: Long, format: String, width: Int, height: Int)
 
@@ -423,6 +673,42 @@ object Media {
         (d, PngCodec.encodeStoredGray(w, h, (_, y) => a + y))
       }
     }.toDF("media_id", "content")
+  }
+
+  /** Deterministic VALID full GIFs from `documents`: every row gets a
+    * real GIF89a (256-entry gray-ramp palette, REAL LZW-compressed
+    * image data) whose pixel indices are arithmetic in doc_id —
+    * pixel(x, y) = doc_id%64 + x + y ≤ 63+34+18 < 256, no wrap. The
+    * q88 oracle predicts the decoded mean intensity in closed form, so
+    * the LZW decode + palette mapping is what's under test. The
+    * incrementing-pixel pattern builds real dictionary chains; the
+    * random round-trip property test covers the rest (KwKwK, width
+    * bumps, table-full CLEAR). */
+  def synthGifs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
+        val a = (d % 64).toInt
+        (d, GifCodec.encodeGray(w, h, (x, y) => a + x + y))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Decoded-GIF statistics row. */
+  case class GifStats(media_id: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** Full GIF pixel decode: partition-local mapPartitions, REAL LZW via
+    * `GifCodec`. Undecodable payloads map to (-1, -1, -1.0). */
+  def decodeGifs(media: DataFrame): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        GifCodec.decode(bytes) match {
+          case Some(p) => GifStats(id, p.width, p.height, GifCodec.meanIntensity(p))
+          case None => GifStats(id, -1, -1, -1.0)
+        }
+      })
   }
 
   /** Decoded-PNG statistics row. */

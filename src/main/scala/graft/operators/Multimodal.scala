@@ -79,6 +79,31 @@ object Multimodal {
       Media.decodePngs(pngs).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q88: REAL full GIF pixel decode. Every document row becomes a
+    // complete valid GIF89a — 256-entry gray-ramp palette, image data
+    // REAL-LZW-compressed (variable code width, dictionary growth) —
+    // whose pixel indices are arithmetic in doc_id (pixel(x,y) =
+    // doc_id%64 + x + y, gray-ramp palette makes index == intensity).
+    // The Spark side must actually run the LZW decoder and palette
+    // mapping (Media.GifCodec inside the partition-local codec shape);
+    // the oracle predicts the decoded mean intensity in closed form:
+    // sum(pixels) = w·h·a + h·w(w-1)/2 + w·h(h-1)/2, exact integers.
+    Q("q88_gif_pixel_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 32 + 4 AS INT) AS width,
+        |  CAST(doc_id % 16 + 4 AS INT) AS height,
+        |  round(CAST((doc_id % 32 + 4) * (doc_id % 16 + 4) * (doc_id % 64)
+        |      + (doc_id % 16 + 4) * ((doc_id % 32 + 4) * (doc_id % 32 + 3) / 2)
+        |      + (doc_id % 32 + 4) * ((doc_id % 16 + 4) * (doc_id % 16 + 3) / 2) AS DOUBLE)
+        |    / ((doc_id % 32 + 4) * (doc_id % 16 + 4) * 255.0), 6) AS mean_intensity
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val gifs = Media.synthGifs(Tables.load(s, dir, "documents"))
+      Media.decodeGifs(gifs).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }

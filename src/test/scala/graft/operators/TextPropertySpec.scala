@@ -74,6 +74,34 @@ class TextPropertySpec extends SparkSpec {
     assert(rows(3L) === ((0.034483, 0.0, 1L, 1)), s"clean doc keeps: ${rows(3L)}")
   }
 
+  test("GifCodec round-trips random images through real LZW, all decoder paths") {
+    // three regimes: tiny palettes (runs → KwKwK), full-range noise
+    // (dictionary growth + width bumps), and a big structured image
+    // (table-full → CLEAR mid-stream). Decode must invert encode
+    // byte-exactly in each.
+    val genCase: Gen[(Int, Int, Int)] = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 30)
+      palette <- Gen.oneOf(2, 4, 256)
+    } yield (w, h, palette)
+    samples(genCase, 40).zipWithIndex.foreach { case ((w, h, pal), k) =>
+      val rnd = new scala.util.Random(k)
+      val px = Array.fill(w * h)((rnd.nextInt(pal) & 0xff).toByte)
+      val gif = Media.GifCodec.encodeGray(w, h, (x, y) => px(y * w + x) & 0xff)
+      val got = Media.GifCodec.decode(gif)
+        .getOrElse(fail(s"case $k ($w x $h, palette $pal): decode failed"))
+      assert(got.width === w && got.height === h)
+      assert(got.pixels.toSeq === px.toSeq, s"case $k ($w x $h, palette $pal)")
+    }
+    // 300×200 noise: 60k pixels forces the 4096-entry table to fill and
+    // the encoder to CLEAR mid-stream; decoder must resync
+    val rnd = new scala.util.Random(99)
+    val big = Array.fill(300 * 200)((rnd.nextInt(256) & 0xff).toByte)
+    val gif = Media.GifCodec.encodeGray(300, 200, (x, y) => big(y * 300 + x) & 0xff)
+    val got = Media.GifCodec.decode(gif).getOrElse(fail("big image: decode failed"))
+    assert(got.pixels.toSeq === big.toSeq, "table-full CLEAR resync")
+  }
+
   test("ImageCodec round-trips random dimensions through PNG/GIF/JPEG layouts") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
