@@ -86,9 +86,12 @@ object Media {
     media.mapPartitions { rows =>
       // per-partition codec init would go here (expensive handle reuse)
       rows.map { m =>
-        // REAL codec first (PNG pixel decode); opaque payloads keep the
-        // deterministic stub so non-image media stay oracle-checkable
+        // REAL codecs first (PNG, GIF-LZW, baseline JPEG pixel decode);
+        // opaque payloads keep the deterministic stub so non-image
+        // media stay oracle-checkable
         val mean = PngCodec.decode(m.content).map(PngCodec.meanIntensity)
+          .orElse(GifCodec.decode(m.content).map(GifCodec.meanIntensity))
+          .orElse(JpegCodec.decode(m.content).map(JpegCodec.meanIntensity))
           .getOrElse {
             val px = StubCodec.decodeIntensities(m.content)
             if (px.isEmpty) 0.0 else px.sum / px.length
@@ -611,6 +614,418 @@ object Media {
     }
   }
 
+  /** Decoded JPEG frame: grayscale samples. */
+  case class JpegPixels(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL pure-JVM baseline JPEG codec (grayscale): the q89 pixel-decode
+    * path under the round-6 header parser. Decoder implements the full
+    * baseline pipeline — marker walk, DQT/DHT/SOF0/SOS parse, canonical
+    * Huffman decode built from the FILE's tables (spec F.2.2.3
+    * mincode/maxcode/valptr), byte-unstuffing, DC prediction +
+    * magnitude EXTEND, AC run/size with EOB and ZRL, dequantization,
+    * zigzag (generated, not transcribed), separable double IDCT, level
+    * shift + clamp, edge-block cropping. Out of scope → None (fall back
+    * to header-only metadata): progressive (SOF2), multi-component
+    * color, restart intervals, 12-bit precision. The paired encoder
+    * runs the real forward pipeline (replicate-pad, FDCT, quantize,
+    * zigzag, canonical Huffman, stuffing) with simple flat canonical
+    * tables — legal JPEG: any complete DHT spec is valid, and the
+    * decoder reads whatever the file declares. DC-only (block-constant)
+    * images survive FDCT→IDCT bit-exactly, which is what makes the q89
+    * oracle closed-form; noisy round-trips are bounded by quantization
+    * rounding only (all-ones quant table), property-tested at ±2. */
+  object JpegCodec {
+    /** zigzag[k] = natural (row-major) index of the k-th coefficient in
+      * zigzag scan order — generated by the diagonal walk. */
+    private val Zigzag: Array[Int] = {
+      val z = new Array[Int](64)
+      var k = 0
+      for (s <- 0 until 15) { // anti-diagonals, alternating direction
+        val range = math.max(0, s - 7) to math.min(7, s)
+        val diag = if (s % 2 == 0) range.reverse else range
+        for (y <- diag) { z(k) = y * 8 + (s - y); k += 1 }
+      }
+      z
+    }
+
+    /** Flat canonical Huffman specs (bits-per-length counts + symbol
+      * order). DC: 12 symbols, all 4-bit codes; AC: 162 symbols (EOB,
+      * ZRL, run 0-15 × size 1-10), all 8-bit codes. Deliberately NOT
+      * the Annex K tables: compression is irrelevant here and the
+      * decoder must work from the DHT bytes alone. */
+    private val DcBits: Array[Int] = Array.tabulate(17)(l => if (l == 4) 12 else 0)
+    private val DcVals: Array[Int] = (0 to 11).toArray
+    private val AcBits: Array[Int] = Array.tabulate(17)(l => if (l == 8) 162 else 0)
+    private val AcVals: Array[Int] = {
+      val syms = Array.newBuilder[Int]
+      syms += 0x00 // EOB
+      syms += 0xf0 // ZRL
+      for (run <- 0 to 15; size <- 1 to 10) syms += (run << 4) | size
+      syms.result()
+    }
+
+    /** Canonical code assignment (spec C.2): symbol → (code, length). */
+    private def buildEncodeTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+      val out = new Array[(Int, Int)](256)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < bits(len)) { out(vals(k)) = (code, len); code += 1; k += 1; i += 1 }
+        code <<= 1
+      }
+      out
+    }
+
+    /** Decoder-side canonical tables (spec F.2.2.3). */
+    private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17) // -1 = no codes at this length
+      val valPtr = new Array[Int](17)
+      private var code = 0; private var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len) == 0) maxCode(len) = -1
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len); k += bits(len)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+      def value(len: Int, codeVal: Int): Int = vals(valPtr(len) + codeVal - minCode(len))
+    }
+
+    /** MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+      * stops (returns -1) at any real marker. */
+    private final class JBitReader(b: Array[Byte], start: Int) {
+      private var pos = start
+      private var cur = 0; private var nBits = 0
+      private var eos = false
+      private def fill(): Unit = {
+        if (eos || pos >= b.length) { eos = true; return }
+        var v = b(pos) & 0xff
+        if (v == 0xff) {
+          if (pos + 1 < b.length && (b(pos + 1) & 0xff) == 0x00) pos += 1 // stuffed
+          else { eos = true; return } // a real marker terminates the scan
+        }
+        pos += 1
+        cur = (cur << 8) | v; nBits += 8
+      }
+      def bit(): Int = {
+        if (nBits == 0) fill()
+        if (nBits == 0) return -1
+        nBits -= 1
+        (cur >> nBits) & 1
+      }
+      /** `n` bits MSB-first, -1 on truncation. */
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { val x = bit(); if (x < 0) return -1; v = (v << 1) | x; i += 1 }
+        v
+      }
+      def decode(t: HuffTable): Int = {
+        var code = 0
+        var len = 0
+        while (len < 16) {
+          val x = bit(); if (x < 0) return -1
+          code = (code << 1) | x; len += 1
+          if (t.maxCode(len) >= 0 && code >= t.minCode(len) &&
+            code <= t.maxCode(len)) return t.value(len, code)
+        }
+        -1
+      }
+    }
+
+    /** MSB-first writer with byte stuffing; 1-fill on flush (spec). */
+    private final class JBitWriter(out: java.io.ByteArrayOutputStream) {
+      private var cur = 0; private var nBits = 0
+      def write(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((code >> i) & 1); nBits += 1
+          if (nBits == 8) {
+            out.write(cur)
+            if (cur == 0xff) out.write(0x00)
+            cur = 0; nBits = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Unit = if (nBits > 0) write((1 << (8 - nBits)) - 1, 8 - nBits)
+    }
+
+    /** Magnitude category decode (spec F.2.2.1 EXTEND). */
+    private def extend(v: Int, size: Int): Int =
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+
+    private def idct(coef: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      val c = (u: Int) => if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              s += c(u) * c(v) * coef(v * 8 + u) *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+              v += 1
+            }
+            u += 1
+          }
+          out(y * 8 + x) = s / 4.0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def fdct(px: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      val c = (u: Int) => if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s += px(y * 8 + x) *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+              x += 1
+            }
+            y += 1
+          }
+          out(v * 8 + u) = s * c(u) * c(v) / 4.0
+          u += 1
+        }
+        v += 1
+      }
+      out
+    }
+
+    def decode(b: Array[Byte]): Option[JpegPixels] = try {
+      def u8(i: Int) = b(i) & 0xff
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var w = 0; var h = 0
+      var qtId = -1 // the single component's quant table
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+        else {
+          val len = u16(i + 2)
+          val seg = i + 4
+          m match {
+            case 0xdb => // DQT: possibly several tables
+              var p = seg
+              while (p < seg + len - 2) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 15
+                if (pq != 0) return None // 16-bit tables out of scope
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) { t(k) = u8(p + 1 + k); k += 1 }
+                quant(tq) = t
+                p += 65
+              }
+            case 0xc4 => // DHT: possibly several tables
+              var p = seg
+              while (p < seg + len - 2) {
+                val tc = u8(p) >> 4; val th = u8(p) & 15
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) { bits(l) = u8(p + l); total += bits(l); l += 1 }
+                val vals = new Array[Int](total)
+                var k = 0
+                while (k < total) { vals(k) = u8(p + 17 + k); k += 1 }
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + total
+              }
+            case 0xc0 => // SOF0 baseline
+              if (u8(seg) != 8) return None // 12-bit precision out of scope
+              h = u16(seg + 1); w = u16(seg + 3)
+              if (u8(seg + 5) != 1) return None // grayscale only
+              if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+              qtId = u8(seg + 8)
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // non-baseline frame types out of scope
+            case 0xdd => return None // restart intervals out of scope
+            case 0xda => // SOS: entropy-coded data follows
+              if (u8(seg) != 1) return None
+              val dcId = u8(seg + 2) >> 4; val acId = u8(seg + 2) & 15
+              if (w <= 0 || h <= 0 || qtId < 0) return None
+              val qt = quant(qtId)
+              val dcT = dcTabs(dcId); val acT = acTabs(acId)
+              if (qt == null || dcT == null || acT == null) return None
+              val bw = (w + 7) / 8; val bh = (h + 7) / 8
+              val px = new Array[Byte](w * h)
+              val r = new JBitReader(b, seg + len - 2)
+              var dcPred = 0
+              val coef = new Array[Double](64)
+              var by = 0
+              while (by < bh) {
+                var bx = 0
+                while (bx < bw) {
+                  java.util.Arrays.fill(coef, 0.0)
+                  val s = r.decode(dcT)
+                  if (s < 0 || s > 11) return None
+                  val diffBits = if (s == 0) 0 else r.bits(s)
+                  if (diffBits < 0) return None
+                  dcPred += extend(diffBits, s)
+                  coef(0) = dcPred.toDouble * qt(0)
+                  var k = 1
+                  var open = true
+                  while (open && k < 64) {
+                    val rs = r.decode(acT)
+                    if (rs < 0) return None
+                    if (rs == 0x00) open = false // EOB
+                    else if (rs == 0xf0) k += 16 // ZRL
+                    else {
+                      k += rs >> 4
+                      val size = rs & 15
+                      if (k > 63) return None
+                      val vb = r.bits(size)
+                      if (vb < 0) return None
+                      coef(Zigzag(k)) = extend(vb, size).toDouble * qt(k)
+                      k += 1
+                    }
+                  }
+                  val block = idct(coef)
+                  var y = 0
+                  while (y < 8) {
+                    val py = by * 8 + y
+                    if (py < h) {
+                      var x = 0
+                      while (x < 8) {
+                        val pxx = bx * 8 + x
+                        if (pxx < w) {
+                          val v = math.round(block(y * 8 + x) + 128.0).toInt
+                          px(py * w + pxx) = math.max(0, math.min(255, v)).toByte
+                        }
+                        x += 1
+                      }
+                    }
+                    y += 1
+                  }
+                  bx += 1
+                }
+                by += 1
+              }
+              return Some(JpegPixels(w, h, px))
+            case 0xd9 => return None // EOI before SOS
+            case _ => () // APPn/COM/etc: skip
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+    /** Mean pixel intensity in [0, 1] — the shared integer-sum form. */
+    def meanIntensity(p: JpegPixels): Double = {
+      var s = 0L; var i = 0
+      while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 1 }
+      s.toDouble / (p.pixels.length.toLong * 255.0)
+    }
+
+    /** ENCODE grayscale baseline JPEG: real FDCT + quantize (all-ones
+      * table: near-lossless, rounding only) + zigzag + canonical
+      * Huffman + byte stuffing. Edge blocks replicate-pad. */
+    def encodeGrayBaseline(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Int]): Unit = {
+        marker(m)
+        val len = body.length + 2
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        body.foreach(v => out.write(v & 0xff))
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, 0 +: Array.fill(64)(1)) // DQT id 0, all ones
+      seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        1, 1, 0x11, 0)) // SOF0: 1 component, 1x1, qt 0
+      seg(0xc4, 0x00 +: (DcBits.drop(1) ++ DcVals)) // DHT DC 0
+      seg(0xc4, 0x10 +: (AcBits.drop(1) ++ AcVals)) // DHT AC 0
+      seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+      val dcEnc = buildEncodeTable(DcBits, DcVals)
+      val acEnc = buildEncodeTable(AcBits, AcVals)
+      val bwl = new JBitWriter(out)
+      def sizeOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      def writeMag(v: Int, size: Int): Unit =
+        if (size > 0) bwl.write(if (v < 0) v + (1 << size) - 1 else v, size)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var dcPred = 0
+      val blockPx = new Array[Double](64)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, w - 1) // replicate-pad edges
+              val sy = math.min(by * 8 + y, h - 1)
+              blockPx(y * 8 + x) = (pixel(sx, sy) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          val coef = fdct(blockPx)
+          // AC magnitudes clamp to ±1023: baseline SSSS tops out at 10
+          // bits, and the all-ones quant table doesn't shrink extreme
+          // coefficients the way a real table would. Unreachable for
+          // the synthetic fixtures; only adversarial blocks clip.
+          val q = Array.tabulate(64) { k =>
+            val v = math.round(coef(Zigzag(k))).toInt
+            if (k == 0) v else math.max(-1023, math.min(1023, v))
+          }
+          val diff = q(0) - dcPred; dcPred = q(0)
+          val ds = sizeOf(diff)
+          val (dc, dl) = dcEnc(ds)
+          bwl.write(dc, dl); writeMag(diff, ds)
+          var k = 1
+          var zeros = 0
+          while (k < 64) {
+            if (q(k) == 0) zeros += 1
+            else {
+              while (zeros > 15) { val (c, l) = acEnc(0xf0); bwl.write(c, l); zeros -= 16 }
+              val s = sizeOf(q(k))
+              val (c, l) = acEnc((zeros << 4) | s)
+              bwl.write(c, l); writeMag(q(k), s)
+              zeros = 0
+            }
+            k += 1
+          }
+          if (zeros > 0) { val (c, l) = acEnc(0x00); bwl.write(c, l) } // EOB
+          bx += 1
+        }
+        by += 1
+      }
+      bwl.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
   /** Parsed header row — fixed-width, shuffle-friendly. */
   case class MediaHeader(media_id: Long, format: String, width: Int, height: Int)
 
@@ -707,6 +1122,44 @@ object Media {
         GifCodec.decode(bytes) match {
           case Some(p) => GifStats(id, p.width, p.height, GifCodec.meanIntensity(p))
           case None => GifStats(id, -1, -1, -1.0)
+        }
+      })
+  }
+
+  /** Deterministic VALID baseline JPEGs from `documents`: every row gets
+    * a real grayscale JPEG whose pixels are CONSTANT PER 8×8 BLOCK —
+    * pixel in block (bx, by) = doc_id%128 + 3·bx + 5·by ≤ 127+9+5.
+    * Block-constant images are the one JPEG input that survives
+    * FDCT→quantize→IDCT bit-exactly (all AC coefficients are exactly
+    * zero; DC is an exact multiple of 8), so the q89 oracle can predict
+    * the decoded mean intensity in closed form even though the encoder
+    * runs the full lossy pipeline. Dimensions are multiples of 8
+    * (8..32 × 8..16) so every block is fully visible; the cropping path
+    * is covered by the round-trip property test instead. */
+  def synthJpegs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = ((d % 4 + 1) * 8).toInt; val h = ((d % 2 + 1) * 8).toInt
+        val a = (d % 128).toInt
+        (d, JpegCodec.encodeGrayBaseline(w, h,
+          (x, y) => a + 3 * (x / 8) + 5 * (y / 8)))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Decoded-JPEG statistics row. */
+  case class JpegStats(media_id: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** Full baseline JPEG decode: partition-local mapPartitions, REAL
+    * Huffman+IDCT via `JpegCodec`. Undecodable payloads → (-1,-1,-1). */
+  def decodeJpegs(media: DataFrame): Dataset[JpegStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        JpegCodec.decode(bytes) match {
+          case Some(p) => JpegStats(id, p.width, p.height, JpegCodec.meanIntensity(p))
+          case None => JpegStats(id, -1, -1, -1.0)
         }
       })
   }

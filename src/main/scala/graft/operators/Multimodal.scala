@@ -104,6 +104,33 @@ object Multimodal {
       Media.decodeGifs(gifs).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q89: REAL baseline JPEG pixel decode. Every document row becomes
+    // a complete valid grayscale JPEG through the encoder's FULL lossy
+    // pipeline (FDCT → quantize → zigzag → canonical Huffman → byte
+    // stuffing); the Spark side must run the full inverse (Huffman
+    // decode from the file's DHT, DC prediction, EXTEND, dequantize,
+    // IDCT). The fixtures are block-constant images — the one input
+    // class where the lossy pipeline is bit-exact (AC = 0 exactly,
+    // DC a multiple of 8) — so the oracle predicts the decoded mean in
+    // closed form: sum = 64·(W·H·a + 3H·W(W-1)/2 + 5W·H(H-1)/2) over
+    // W×H blocks with block pixel a+3bx+5by. The noisy/cropped paths
+    // are round-trip property-tested (±2 quantization bound) instead.
+    Q("q89_jpeg_pixel_decode",
+      """WITH m AS (SELECT doc_id, (doc_id % 4 + 1) AS bw, (doc_id % 2 + 1) AS bh,
+        |                  (doc_id % 128) AS a FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(bw * 8 AS INT) AS width,
+        |  CAST(bh * 8 AS INT) AS height,
+        |  round(CAST(64 * (bw * bh * a + 3 * bh * (bw * (bw - 1) / 2)
+        |      + 5 * bw * (bh * (bh - 1) / 2)) AS DOUBLE)
+        |    / (64 * bw * bh * 255.0), 6) AS mean_intensity
+        |FROM m ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val jpegs = Media.synthJpegs(Tables.load(s, dir, "documents"))
+      Media.decodeJpegs(jpegs).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }

@@ -102,6 +102,40 @@ class TextPropertySpec extends SparkSpec {
     assert(got.pixels.toSeq === big.toSeq, "table-full CLEAR resync")
   }
 
+  test("JpegCodec: block-constant images decode bit-exactly; noise within ±2") {
+    // block-constant: the lossy pipeline is exact (AC identically 0, DC
+    // an exact multiple of 8) — the q89 oracle's premise
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val bw = rnd.nextInt(4) + 1; val bh = rnd.nextInt(3) + 1
+      val w = bw * 8; val h = bh * 8
+      val vals = Array.fill(bh, bw)(rnd.nextInt(256))
+      val jpg = Media.JpegCodec.encodeGrayBaseline(w, h, (x, y) => vals(y / 8)(x / 8))
+      val got = Media.JpegCodec.decode(jpg)
+        .getOrElse(fail(s"seed $seed: decode failed"))
+      assert(got.width === w && got.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((got.pixels(y * w + x) & 0xff) === vals(y / 8)(x / 8),
+          s"seed $seed pixel ($x,$y)")
+    }
+    // arbitrary noise + non-multiple-of-8 dims (cropped edge blocks):
+    // the full AC path — Huffman run/size, ZRL, EOB, EXTEND, IDCT —
+    // with only quantization rounding as the error budget
+    for (seed <- 10 until 25) {
+      val rnd = new scala.util.Random(seed)
+      val w = rnd.nextInt(38) + 3; val h = rnd.nextInt(27) + 2
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val jpg = Media.JpegCodec.encodeGrayBaseline(w, h, (x, y) => px(y)(x))
+      val got = Media.JpegCodec.decode(jpg)
+        .getOrElse(fail(s"seed $seed: decode failed ($w x $h)"))
+      assert(got.width === w && got.height === h)
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w)
+        worst = math.max(worst, math.abs((got.pixels(y * w + x) & 0xff) - px(y)(x)))
+      assert(worst <= 2, s"seed $seed ($w x $h): worst pixel error $worst")
+    }
+  }
+
   test("ImageCodec round-trips random dimensions through PNG/GIF/JPEG layouts") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
