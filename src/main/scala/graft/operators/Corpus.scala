@@ -266,6 +266,37 @@ object Corpus {
           coalesce(sum(when(keepQ && keepD && !cont, col("nw"))), lit(0L))
             .cast("long").as("kept_tokens"))
         .orderBy("source")
+    },
+
+    // ---- q90: per-domain quota cap --------------------------------------
+    // The other half of data mixing (q60 thins by RATE; this caps by
+    // COUNT): no source may contribute more than `DomainQuota` docs,
+    // and under the cap we keep the LONGEST ones (n_words desc, doc_id
+    // desc tiebreak) — the standard web-corpus defense against a
+    // handful of giant domains dominating the mix. Planned through the
+    // custom TopKPerKey operator, not a window: per-partition bounded
+    // heaps mean the exchange carries at most quota·sources·partitions
+    // rows instead of the whole corpus, and a mega-domain costs O(quota)
+    // memory per task instead of a full per-domain sort — the window
+    // row_number formulation shuffles and sorts EVERYTHING, and one hot
+    // domain makes one straggler task. Oracle states the declarative
+    // row_number semantics over the same (n_words, doc_id) priority.
+    Q("q90_domain_quota",
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_words FROM documents),
+        |r AS (SELECT doc_id, source, n_words,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_words DESC, doc_id DESC) AS rn
+        |  FROM d)
+        |SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words
+        |FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_words"))
+      graft.plans.TopK.perKey(d, Seq("source"),
+        struct(col("n_words"), col("doc_id")), k = 15)
+        .select(col("doc_id"), col("source"), col("n_words").cast("long").as("n_words"))
+        .orderBy("doc_id")
     }
   )
 }

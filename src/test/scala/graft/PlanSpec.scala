@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q87: random projection is map-only — the sign matrix is a literal") {
+    val p = plan("q87_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("md5"), "sign matrix must be folded, not hashed per row")
+  }
+
+  test("q90: domain quota plans through TopKPerKey, not a window sort") {
+    // partial per-partition heaps → winner-only exchange; the window
+    // row_number formulation would shuffle + sort the whole corpus
+    val p = plan("q90_domain_quota")
+    assert(p.contains("TopKPerKey "), p.take(1500))
+    assert(!p.contains("Window"), "quota must not fall back to a window")
+  }
+
   test("q79/q81: semantic dedup and contamination stay in equi-join land") {
     for (q <- Seq("q79_semantic_dedup", "q81_contamination")) {
       val p = plan(q)
