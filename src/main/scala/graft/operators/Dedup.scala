@@ -594,6 +594,60 @@ object Dedup {
         .groupBy("doc1", "doc2")
         .agg(first(col("hamming")).as("hamming"))
         .orderBy("doc1", "doc2")
+    },
+
+    // ---- q91: corpus-level repeated-passage removal (C4-style) ----------
+    // The remaining dedup granularity: q28 drops whole-identical DOCS,
+    // q29/q30 near-identical docs — this finds repeated PASSAGES
+    // (boilerplate, licenses, navigation chrome) that recur across
+    // otherwise-distinct documents, C4's occurs-three-times line rule
+    // adapted to word streams. Passages are NON-OVERLAPPING 10-word
+    // chunks (alignment-sensitive by design: cheap, and C4's lines are
+    // alignment-sensitive too), hashed per-row to 60-bit md5 keys. The
+    // only corpus-scale shuffles are the global count groupBy and the
+    // count-back equi-join, both on 8-byte keys — never passage text;
+    // everything else is per-row HOF. Occurrences count every repeat
+    // (including within one doc), exactly like C4's global line counts.
+    // Reported per doc: chunk totals, chunks seen ≥2 and ≥3 times
+    // corpus-wide, and the C4 drop flag (any ≥3 chunk).
+    Q("q91_passage_dedup",
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
+        |           WHERE len(string_split($normSql, ' ')) >= 10),
+        |c AS (SELECT doc_id,
+        |        ('0x' || substr(md5(array_to_string(ws[b*10+1:b*10+10], ' ')), 1, 15))::BIGINT AS k
+        |      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS b FROM t)),
+        |g AS (SELECT k, count(*) AS cnt FROM c GROUP BY 1),
+        |d AS (SELECT c.doc_id, count(*) AS n_chunks,
+        |        sum(CASE WHEN g.cnt >= 2 THEN 1 ELSE 0 END) AS n_rep2,
+        |        sum(CASE WHEN g.cnt >= 3 THEN 1 ELSE 0 END) AS n_rep3
+        |      FROM c JOIN g USING (k) GROUP BY 1)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_rep2 AS BIGINT) AS n_rep2, CAST(n_rep3 AS BIGINT) AS n_rep3,
+        |  round(n_rep2 / CAST(n_chunks AS DOUBLE), 6) AS rep2_frac,
+        |  CAST(CASE WHEN n_rep3 > 0 THEN 1 ELSE 0 END AS INT) AS drop_flag
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = docs(s, dir)
+        .withColumn("ws", split(norm(col("text")), " "))
+        .filter(size(col("ws")) >= 10)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) DIV 10 - 1),
+            |  b -> cast(conv(substring(md5(array_join(
+            |         slice(ws, b * 10 + 1, 10), ' ')), 1, 15), 16, 10) as bigint))"""
+            .stripMargin)).as("k"))
+        .localCheckpoint(true) // read by the count side and the join side
+      val counts = chunks.groupBy("k").agg(count(lit(1)).as("cnt"))
+      chunks.join(counts, "k")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cnt") >= 2, 1).otherwise(0)).as("n_rep2"),
+          sum(when(col("cnt") >= 3, 1).otherwise(0)).as("n_rep3"))
+        .select(col("doc_id"),
+          col("n_chunks").cast("long").as("n_chunks"),
+          col("n_rep2").cast("long").as("n_rep2"),
+          col("n_rep3").cast("long").as("n_rep3"),
+          round(col("n_rep2") / col("n_chunks").cast("double"), 6).as("rep2_frac"),
+          when(col("n_rep3") > 0, 1).otherwise(0).cast("int").as("drop_flag"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -109,8 +109,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "quota must not fall back to a window")
   }
 
-  test("q79/q81: semantic dedup and contamination stay in equi-join land") {
-    for (q <- Seq("q79_semantic_dedup", "q81_contamination")) {
+  test("q79/q81/q91: semantic/contamination/passage dedup stay in equi-join land") {
+    for (q <- Seq("q79_semantic_dedup", "q81_contamination", "q91_passage_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q:\n" + p.take(1500))
