@@ -297,6 +297,128 @@ object Corpus {
         struct(col("n_words"), col("doc_id")), k = 15)
         .select(col("doc_id"), col("source"), col("n_words").cast("long").as("n_words"))
         .orderBy("doc_id")
+    },
+
+    // ---- q92: the full training-mix materialization ----------------------
+    // Everything a pre-training data pipeline runs, composed as ONE
+    // query — the pipeline a user of this engine would actually ship:
+    //   1. q80 quality gate           (per-row HOF, no shuffle)
+    //   2. q86 repetition gate        (per-row HOF, no shuffle)
+    //   3. q28 exact dedup            (one window shuffle on md5(text))
+    //   4. q91 passage dedup          (8-byte-key count + broadcast drop list)
+    //   5. q90 per-domain quota       (TopKPerKey winner-only exchange)
+    // and a per-source mix report: candidates surviving the four gates,
+    // the post-quota final count, and the final token budget. Gate
+    // attribution stays with q82; this is the MATERIALIZATION step —
+    // what the final mix looks like. Every stage is the already-proven
+    // operator's exact expression, so the composition is the only new
+    // surface under test.
+    Q("q92_training_mix", {
+      val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      s"""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tfc AS (SELECT doc_id, w, count(*) AS c FROM tf GROUP BY 1, 2),
+        |qm AS (SELECT doc_id, sum(c) AS nw, count(*) AS dw, max(c) AS tc FROM tfc GROUP BY 1),
+        |q AS (SELECT doc_id, nw,
+        |        (nw >= 20 AND tc / CAST(nw AS DOUBLE) < 0.12
+        |         AND dw / CAST(nw AS DOUBLE) > 0.35) AS quality_ok FROM qm),
+        |t3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t3)),
+        |top2 AS (SELECT doc_id, max(c) AS top2_c, sum(c) AS n2 FROM
+        |         (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t3)),
+        |d3 AS (SELECT doc_id, count(*) - count(DISTINCT g) AS dup3_c, count(*) AS n3
+        |       FROM g3 GROUP BY 1),
+        |wpos AS (SELECT doc_id, i, ws[i] AS w
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t3)),
+        |runs AS (SELECT doc_id, max(cnt) AS max_run FROM
+        |         (SELECT doc_id, count(*) AS cnt FROM
+        |          (SELECT doc_id, i, w,
+        |             i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+        |           FROM wpos) GROUP BY doc_id, w, grp) GROUP BY 1),
+        |rep AS (SELECT t3.doc_id,
+        |          (top2_c / CAST(n2 AS DOUBLE) < 0.045
+        |           AND dup3_c / CAST(n3 AS DOUBLE) < 0.02 AND max_run <= 2) AS rep_ok
+        |        FROM t3 JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
+        |        JOIN runs USING (doc_id)),
+        |d AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS dup_ok
+        |      FROM documents),
+        |t10 AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
+        |        WHERE len(string_split($normSql, ' ')) >= 10),
+        |ch AS (SELECT doc_id,
+        |         ('0x' || substr(md5(array_to_string(ws[b*10+1:b*10+10], ' ')), 1, 15))::BIGINT AS k
+        |       FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS b FROM t10)),
+        |gc AS (SELECT k, count(*) AS cnt FROM ch GROUP BY 1),
+        |pd AS (SELECT DISTINCT ch.doc_id FROM ch JOIN gc USING (k) WHERE gc.cnt >= 3),
+        |surv AS (SELECT doc.doc_id, doc.source, q.nw
+        |         FROM documents doc
+        |         JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN d USING (doc_id)
+        |         WHERE q.quality_ok AND rep.rep_ok AND d.dup_ok
+        |           AND doc.doc_id NOT IN (SELECT doc_id FROM pd)),
+        |quota AS (SELECT doc_id, source, nw FROM (
+        |  SELECT doc_id, source, nw,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY nw DESC, doc_id DESC) AS rn
+        |  FROM surv) WHERE rn <= 15)
+        |SELECT s.source,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(count(q.doc_id) AS BIGINT) AS n_final,
+        |  CAST(coalesce(sum(q.nw), 0) AS BIGINT) AS final_tokens
+        |FROM surv s LEFT JOIN quota q USING (doc_id)
+        |GROUP BY s.source ORDER BY s.source""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")).cast("long"))
+        .withColumn("quality_ok",
+          col("nw") >= 20 &&
+            Text.topWordCount(col("ws")) / col("nw").cast("double") < 0.12 &&
+            size(array_distinct(col("ws"))) / col("nw").cast("double") > 0.35)
+        .withColumn("g2", Text.ngrams(col("ws"), 2))
+        .withColumn("g3", Text.ngrams(col("ws"), 3))
+        .withColumn("rep_ok",
+          size(col("ws")) >= 3 &&
+            Text.topWordCount(col("g2")) / size(col("g2")).cast("double") < 0.045 &&
+            (size(col("g3")) - size(array_distinct(col("g3"))))
+              / size(col("g3")).cast("double") < 0.02 &&
+            Text.maxRunLength(col("ws")) <= 2)
+        .withColumn("dup_ok",
+          col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      // q91's corpus-wide ≥3-repeat chunk scan; the flagged set is tiny
+      val chunks = docs(s, dir)
+        .withColumn("ws", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .filter(size(col("ws")) >= 10)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) DIV 10 - 1),
+            |  b -> cast(conv(substring(md5(array_join(
+            |         slice(ws, b * 10 + 1, 10), ' ')), 1, 15), 16, 10) as bigint))"""
+            .stripMargin)).as("k"))
+        .localCheckpoint(true)
+      val hot = chunks.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+      val passageDrop = chunks.join(hot, "k")
+        .select("doc_id").distinct()
+        .withColumn("passage_drop", lit(true))
+      val surv = base
+        .join(broadcast(passageDrop), Seq("doc_id"), "left")
+        .filter(col("quality_ok") && col("rep_ok") && col("dup_ok") &&
+          col("passage_drop").isNull)
+        .select(col("doc_id"), col("source"), col("nw"))
+        .localCheckpoint(true) // read by the quota and the candidate count
+      val quota = graft.plans.TopK.perKey(surv, Seq("source"),
+        struct(col("nw"), col("doc_id")), k = 15)
+      val cand = surv.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_candidates"))
+      val fin = quota.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_final"),
+          sum(col("nw")).cast("long").as("final_tokens"))
+      cand.join(fin, Seq("source"), "left")
+        .select(col("source"), col("n_candidates"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("final_tokens"), lit(0L)).as("final_tokens"))
+        .orderBy("source")
     }
   )
 }

@@ -38,8 +38,8 @@ object Text {
   def topWordCount(ws: Column): Column = maxRunLength(array_sort(ws))
 
   /** The doc's n-gram strings as a per-row array expression: n-1 …
-    * size(ws) joined windows, no explode anywhere (q86). */
-  private def ngrams(ws: Column, n: Int): Column =
+    * size(ws) joined windows, no explode anywhere (q86, q92). */
+  private[operators] def ngrams(ws: Column, n: Int): Column =
     transform(sequence(lit(1), size(ws) - (n - 1)),
       i => array_join(slice(ws, i, lit(n)), " "))
 

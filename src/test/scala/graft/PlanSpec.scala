@@ -109,6 +109,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "quota must not fall back to a window")
   }
 
+  test("q92: training mix composes through TopKPerKey with no cartesian") {
+    val p = plan("q92_training_mix")
+    assert(p.contains("TopKPerKey "), "quota stage must use the custom operator")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("q79/q81/q91: semantic/contamination/passage dedup stay in equi-join land") {
     for (q <- Seq("q79_semantic_dedup", "q81_contamination", "q91_passage_dedup")) {
       val p = plan(q)
