@@ -219,12 +219,25 @@ object IncrementalDedup {
     * contents: create-exclusive manifest write, then GC of every data
     * DIRECTORY the new or PREVIOUS manifest doesn't reference. No
     * renames anywhere. */
+  /** Test seam: runs between seq resolution and the exclusive manifest
+    * create — the window where a concurrent writer's commit can land
+    * (mirrors `Scd2Store.failpoint`). */
+  private[streaming] var prePublish: () => Unit = () => ()
+
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry]): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(manifestDir(root))
     val prev = latestState(spark, root)
-    val seq = nextId(fs, root)
+    // Manifest seq from the MANIFEST listing alone (highest ever seen,
+    // complete or partial, +1 — Scd2Store's rule), NOT the shared
+    // dir/manifest counter: two concurrent writers must resolve the
+    // SAME next seq so the second create-exclusive write fails loudly.
+    // Under the shared counter each writer's fresh data dirs pushed its
+    // manifest seq past the other's and the older commit was silently
+    // superseded — a lost update, not a conflict error.
+    val seq = (listIds(fs, manifestDir(root), "m").map(_._1) :+ 0L).max + 1
     val dest = new HPath(manifestDir(root), s"m$seq")
+    prePublish()
     val out = fs.create(dest, false) // exclusive: fails if the name exists
     try out.write((files.map(_.line) :+ EndMarker).mkString("\n").getBytes(UTF_8))
     finally out.close()

@@ -32,6 +32,41 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.committedDirs(spark, store)
       .flatMap(d => parquetFilesUnder(new java.io.File(store, d)))
 
+  test("multi-writer manifest conflict: one commit wins, the loser fails LOUDLY") {
+    // Same single-writer contract as Scd2Store, enforced by the same
+    // mechanism: two writers resolving the same next seq cannot both
+    // publish — the second create-exclusive manifest write throws, and
+    // a reader only ever resolves the winner's COMPLETE generation.
+    val store = tempDir("inc-dedup-conflict") + "/sigs"
+    IncrementalDedup.processBatch(docsDf(1L -> base), store)
+    var raced = false
+    IncrementalDedup.prePublish = () =>
+      if (!raced) {
+        raced = true
+        // B's whole batch commits inside A's publish window (A has
+        // chosen its seq but not yet created the manifest)
+        IncrementalDedup.processBatch(docsDf(3L -> unrelated), store)
+      }
+    try {
+      val ex = intercept[Exception] {
+        IncrementalDedup.processBatch(docsDf(2L -> nearCopy), store)
+      }
+      assert(raced)
+      assert(ex.toString.toLowerCase.contains("exist"),
+        s"loser must fail on the exclusive create, got: $ex")
+    } finally IncrementalDedup.prePublish = () => ()
+    // a fresh reader sees exactly B's generation: doc 2 never became
+    // visible, doc 3 did, and the store is fully consistent
+    val ids = storeDf(store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), s"store must hold the winner's docs: $ids")
+    // the store still works: a retry of A's batch lands normally
+    val v = IncrementalDedup.processBatch(docsDf(2L -> nearCopy), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v(2L) === 1L, s"retried near-copy matches doc 1: $v")
+    assert(storeDf(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("cross-batch and within-batch near-dups detected; store appends are idempotent") {
     val store = tempDir("inc-dedup-store") + "/sigs"
 
