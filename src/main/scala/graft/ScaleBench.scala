@@ -150,8 +150,9 @@ object ScaleBench {
         nPairs = cand.count()
         val cc = Dedup.connectedComponents(cand).localCheckpoint(true)
         nGroups = cc.select("canonical_id").distinct().count()
+        // the exact shipped q67 apply: UNHINTED anti-join on the long id
         val drop = cc.filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
-        nKept = docs.join(broadcast(drop), Seq("doc_id"), "left_anti").count()
+        nKept = docs.join(drop, Seq("doc_id"), "left_anti").count()
       }
 
       // fixed-K IVF (r5's curve, kept for continuity): assign + probe
@@ -266,6 +267,33 @@ object ScaleBench {
         noop(Dedup.connectedComponents(cand))
       }
       spark.catalog.clearCache(); System.gc()
+
+      // the APPLY stage with a drop list past the broadcast threshold.
+      // At web-scale dup rates the drop list is GBs — far past any real
+      // threshold — so what matters is that the UNHINTED anti-join
+      // degrades to a shuffle join on the 8-byte key instead of forcing
+      // a driver-OOM broadcast. Locally the list is small, so the
+      // regime is reproduced by keeping the RATIO (list size ≫
+      // threshold): threshold lowered to 1 KB for this one measurement,
+      // then restored.
+      val ccSkew = Dedup.connectedComponents(
+        Dedup.lshCandidatePairsOf(skewDocs).select("doc1", "doc2"))
+        .localCheckpoint(true)
+      val dropSkew = ccSkew.filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id").localCheckpoint(true)
+      val dropRows = dropSkew.count()
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val applyDf = skewDocs.join(dropSkew, Seq("doc_id"), "left_anti")
+      var applyKept = 0L
+      val applySec = timed { applyKept = applyDf.count() }
+      val applyPlan = applyDf.queryExecution.executedPlan.toString
+      val applyShuffleAnti = (applyPlan.contains("SortMergeJoin") ||
+        applyPlan.contains("ShuffledHashJoin")) &&
+        !applyPlan.contains("BroadcastHashJoin")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.catalog.clearCache(); System.gc()
+
       s"""{"events":$nEv,"hot_frac":0.3,""" +
         s""""asof_uniform_sec":${f"$asofUniSec%.2f"},""" +
         s""""asof_hot_sec":${f"$asofHotSec%.2f"},""" +
@@ -274,7 +302,10 @@ object ScaleBench {
         s""""cluster_pairs":$clusterPairs,""" +
         s""""lshcc_uniform_sec":${f"$lshUniSec%.2f"},""" +
         s""""lshcc_cluster_sec":${f"$lshSkewSec%.2f"},""" +
-        s""""lshcc_ratio":${f"${lshSkewSec / math.max(lshUniSec, 1e-9)}%.2f"}}"""
+        s""""lshcc_ratio":${f"${lshSkewSec / math.max(lshUniSec, 1e-9)}%.2f"},""" +
+        s""""apply_drop_rows":$dropRows,"apply_bcast_threshold_bytes":1024,""" +
+        s""""apply_shuffle_anti":$applyShuffleAnti,""" +
+        s""""apply_sec":${f"$applySec%.2f"},"apply_kept":$applyKept}"""
     }
 
     // ANN recall@k: multi-probe IVF (q84's ivfProbeMulti) against the

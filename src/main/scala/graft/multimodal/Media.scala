@@ -54,6 +54,17 @@ object Media {
       mean_intensity: Double,   // stub-decoded pixel mean
       n_frames: Int)
 
+  /** Hard ceiling on DECODED bytes (w·h·channels) any codec will
+    * allocate from header-declared dimensions: 16 MiB ≈ 4096² gray /
+    * 2365² RGB. These decoders run over UNTRUSTED web media, and a
+    * ~100-byte crafted file declaring 40000×40000 would otherwise force
+    * a multi-GB allocation per row — an executor OOM the per-codec
+    * `catch Exception` cannot intercept. Above the cap (or on any
+    * dimension arithmetic that would overflow Int) decode returns None
+    * and the row falls back to metadata-only, like every other
+    * out-of-scope shape. */
+  private[multimodal] val MaxDecodedBytes: Long = 1L << 24
+
   /** Deterministic stand-in for the real codec layer. Every function is
     * pure on the payload bytes, so outputs are reproducible in tests. */
   object StubCodec {
@@ -219,6 +230,7 @@ object Media {
       }
       if (w <= 0 || h <= 0 || colorType < 0 || idat.size == 0) return None
       val channels = if (colorType == 0) 1 else 3
+      if (w.toLong * h * channels > MaxDecodedBytes) return None // alloc cap
       val stride = w * channels
       // inflate the zlib stream. The loop runs to finished() — not just
       // until the buffer fills — so the Inflater always reaches and
@@ -546,6 +558,7 @@ object Media {
             if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
             if ((ipacked & 0x80) != 0) return None // local color table: out of scope
             if (gctSize == 0 || iw <= 0 || ih <= 0) return None
+            if (iw.toLong * ih > MaxDecodedBytes) return None // alloc cap
             i += 10
             val minCode = u8(i); i += 1
             if (minCode < 2 || minCode > 8) return None
@@ -889,6 +902,7 @@ object Media {
               if (u8(seg) != 1) return None
               val dcId = u8(seg + 2) >> 4; val acId = u8(seg + 2) & 15
               if (w <= 0 || h <= 0 || qtId < 0) return None
+              if (w.toLong * h > MaxDecodedBytes) return None // alloc cap
               val qt = quant(qtId)
               val dcT = dcTabs(dcId); val acT = acTabs(acId)
               if (qt == null || dcT == null || acT == null) return None

@@ -73,8 +73,10 @@ object Amplify {
     * rows is reassigned to user_id 0 — the hot-user regime for the
     * per-user windows (q69/q78), where one window partition holds
     * `hotFrac` of the whole corpus and AQE's join-side skew handling
-    * does not apply. ts_ns is shifted by the replica index so replicas
-    * never tie on (user, ts). */
+    * does not apply. ts_ns is shifted by 1 µs (1000 ns) per replica so
+    * replicas never tie on (user, ts) EVEN AFTER the µs flooring that
+    * `Events.asofJoinOf` applies (ts_ns DIV 1000) — a raw +i ns shift
+    * would collapse back onto the same microsecond. */
   def events(base: DataFrame, replicas: Int, hotFrac: Double = 0.0): DataFrame = {
     require(replicas >= 1, s"replicas must be >= 1, got $replicas")
     require(hotFrac >= 0.0 && hotFrac < 1.0, s"hotFrac in [0,1), got $hotFrac")
@@ -88,7 +90,7 @@ object Amplify {
         (col("event_id") + lit(i * IdStride)).as("event_id"),
         when(hot, lit(0L))
           .otherwise(col("user_id") + lit(i * IdStride)).as("user_id"),
-        (col("ts_ns") + lit(i.toLong)).as("ts_ns")) ++ rest: _*)
+        (col("ts_ns") + lit(i.toLong * 1000L)).as("ts_ns")) ++ rest: _*)
     }.reduce(_ unionByName _)
   }
 

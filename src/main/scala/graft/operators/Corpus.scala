@@ -33,6 +33,52 @@ object Corpus {
   private val PackBudget = 256
   private val PackShards = 8
 
+  /** q92's survival set — quality × repetition × exact-dup gates, then
+    * the passage-dedup drop list applied as an UNHINTED anti-join on the
+    * 8-byte doc_id. Exposed un-checkpointed so PlanSpec can pin the
+    * anti-join shape the shipped query materializes (the query itself
+    * localCheckpoints this frame, which truncates the visible plan). */
+  private[graft] def trainingMixSurv(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("quality_ok",
+        col("nw") >= 20 &&
+          Text.topWordCount(col("ws")) / col("nw").cast("double") < 0.12 &&
+          size(array_distinct(col("ws"))) / col("nw").cast("double") > 0.35)
+      .withColumn("g2", Text.ngrams(col("ws"), 2))
+      .withColumn("g3", Text.ngrams(col("ws"), 3))
+      .withColumn("rep_ok",
+        size(col("ws")) >= 3 &&
+          Text.topWordCount(col("g2")) / size(col("g2")).cast("double") < 0.045 &&
+          (size(col("g3")) - size(array_distinct(col("g3"))))
+            / size(col("g3")).cast("double") < 0.02 &&
+          Text.maxRunLength(col("ws")) <= 2)
+      .withColumn("dup_ok",
+        col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    // q91's corpus-wide ≥3-repeat chunk scan. The flagged-doc set
+    // scales with the passage-duplication rate, not a fixed bound, so
+    // it is applied as an UNHINTED anti-join on the 8-byte doc_id —
+    // AQE broadcasts it when it fits, shuffles it when it doesn't.
+    val chunks = docs(s, dir)
+      .withColumn("ws", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) DIV 10 - 1),
+          |  b -> cast(conv(substring(md5(array_join(
+          |         slice(ws, b * 10 + 1, 10), ' ')), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("k"))
+      .localCheckpoint(true)
+    val hot = chunks.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+    val passageDrop = chunks.join(hot, "k")
+      .select("doc_id").distinct()
+    base
+      .filter(col("quality_ok") && col("rep_ok") && col("dup_ok"))
+      .join(passageDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("nw"))
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- q60: stratified deterministic hash sampling --------------------
     // Training-data mixing: keep each doc iff a uniform [0,1) draw derived
@@ -197,7 +243,9 @@ object Corpus {
     // (per-row HOF expressions, no shuffle), exact dedup (keep the
     // lowest doc_id per md5 fingerprint — one window shuffle), and the
     // q81 contamination check (shared Text.contaminationStats; the
-    // flagged set is tiny and broadcast back) — and the per-source
+    // flagged set joins back UNHINTED on the 8-byte doc_id — its size
+    // scales with the contamination rate, so AQE decides broadcast vs
+    // shuffle rather than a forced hint) — and the per-source
     // yield report attributes each rejection to its FIRST failing gate
     // (quality → dup → contamination), plus the surviving token budget.
     // Composition is the point: three operators, one pass over the
@@ -254,7 +302,7 @@ object Corpus {
       val flagged = Text.contaminationStats(docs(s, dir))
         .filter(col("contaminated_frac") >= 0.2)
         .select(col("doc_id"), lit(true).as("contaminated"))
-      base.join(broadcast(flagged), Seq("doc_id"), "left")
+      base.join(flagged, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(cont, lit(false)))
         .groupBy("source")
         .agg(
@@ -305,7 +353,7 @@ object Corpus {
     //   1. q80 quality gate           (per-row HOF, no shuffle)
     //   2. q86 repetition gate        (per-row HOF, no shuffle)
     //   3. q28 exact dedup            (one window shuffle on md5(text))
-    //   4. q91 passage dedup          (8-byte-key count + broadcast drop list)
+    //   4. q91 passage dedup          (8-byte-key count + unhinted anti-join)
     //   5. q90 per-domain quota       (TopKPerKey winner-only exchange)
     // and a per-source mix report: candidates surviving the four gates,
     // the post-quota final count, and the final token budget. Gate
@@ -369,43 +417,7 @@ object Corpus {
         |FROM surv s LEFT JOIN quota q USING (doc_id)
         |GROUP BY s.source ORDER BY s.source""".stripMargin
     }) { (s, dir) =>
-      val base = docs(s, dir)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("nw", size(col("ws")).cast("long"))
-        .withColumn("quality_ok",
-          col("nw") >= 20 &&
-            Text.topWordCount(col("ws")) / col("nw").cast("double") < 0.12 &&
-            size(array_distinct(col("ws"))) / col("nw").cast("double") > 0.35)
-        .withColumn("g2", Text.ngrams(col("ws"), 2))
-        .withColumn("g3", Text.ngrams(col("ws"), 3))
-        .withColumn("rep_ok",
-          size(col("ws")) >= 3 &&
-            Text.topWordCount(col("g2")) / size(col("g2")).cast("double") < 0.045 &&
-            (size(col("g3")) - size(array_distinct(col("g3"))))
-              / size(col("g3")).cast("double") < 0.02 &&
-            Text.maxRunLength(col("ws")) <= 2)
-        .withColumn("dup_ok",
-          col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
-      // q91's corpus-wide ≥3-repeat chunk scan; the flagged set is tiny
-      val chunks = docs(s, dir)
-        .withColumn("ws", split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
-        .filter(size(col("ws")) >= 10)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(ws) DIV 10 - 1),
-            |  b -> cast(conv(substring(md5(array_join(
-            |         slice(ws, b * 10 + 1, 10), ' ')), 1, 15), 16, 10) as bigint))"""
-            .stripMargin)).as("k"))
-        .localCheckpoint(true)
-      val hot = chunks.groupBy("k").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 3)
-      val passageDrop = chunks.join(hot, "k")
-        .select("doc_id").distinct()
-        .withColumn("passage_drop", lit(true))
-      val surv = base
-        .join(broadcast(passageDrop), Seq("doc_id"), "left")
-        .filter(col("quality_ok") && col("rep_ok") && col("dup_ok") &&
-          col("passage_drop").isNull)
-        .select(col("doc_id"), col("source"), col("nw"))
+      val surv = trainingMixSurv(s, dir)
         .localCheckpoint(true) // read by the quota and the candidate count
       val quota = graft.plans.TopK.perKey(surv, Seq("source"),
         struct(col("nw"), col("doc_id")), k = 15)

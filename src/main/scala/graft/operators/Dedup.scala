@@ -253,8 +253,12 @@ object Dedup {
     val labels: DataFrame =
       if (und.count() <= smallGraphThreshold) unionFindSingleTask(und)
       else propagateLabels(und)
+    // group-size join back is UNHINTED: the group count scales with the
+    // duplicate rate (one row per near-dup component), not a dim-table
+    // bound — AQE broadcasts it when it fits, shuffles on the long lbl
+    // when it doesn't
     val groups = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
-    labels.join(broadcast(groups), "lbl")
+    labels.join(groups, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
         col("group_size"))
   }
@@ -473,9 +477,12 @@ object Dedup {
     // ---- q67: dedup applied — the cleaned corpus ------------------------
     // The last step of the dedup story: drop every non-canonical member
     // of a near-dup group (q59's components) and keep the rest of the
-    // corpus untouched. One anti-join of the corpus against the (tiny)
-    // drop list — at 100 TB the drop list is a broadcast, so cleaning is
-    // a map-side filter over the full scan.
+    // corpus untouched. One anti-join of the corpus against the drop
+    // list on the 8-byte doc_id. No broadcast hint: the drop list scales
+    // with the DUPLICATE RATE (tens of % of all ids on web corpora), not
+    // a dim-table bound, so forcing a broadcast is a driver OOM at scale.
+    // AQE still picks a broadcast anti-join whenever the list actually
+    // fits; otherwise this is one cheap shuffle on a long key.
     Q("q67_dedup_apply",
       s"""WITH RECURSIVE $lshCandSqlCtes,
         |edges AS (
@@ -496,7 +503,7 @@ object Dedup {
         .filter(col("doc_id") =!= col("canonical_id"))
         .select("doc_id")
       docs(s, dir)
-        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },

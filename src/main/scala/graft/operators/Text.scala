@@ -38,10 +38,16 @@ object Text {
   def topWordCount(ws: Column): Column = maxRunLength(array_sort(ws))
 
   /** The doc's n-gram strings as a per-row array expression: n-1 …
-    * size(ws) joined windows, no explode anywhere (q86, q92). */
+    * size(ws) joined windows, no explode anywhere (q86, q92). Total for
+    * every input length: below n words the result is the empty array —
+    * `sequence(1, size-(n-1))` would otherwise count DOWN for short docs
+    * and make `slice` throw, so callers may not rely on an upstream
+    * size filter surviving optimizer conjunct reordering. */
   private[operators] def ngrams(ws: Column, n: Int): Column =
-    transform(sequence(lit(1), size(ws) - (n - 1)),
-      i => array_join(slice(ws, i, lit(n)), " "))
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Per-document contamination stats against the `doc_id % benchMod = 0`
     * benchmark stand-in (q81, q82): (doc_id, n_shingles, n_hit,

@@ -158,12 +158,20 @@ object IncrementalDedup {
     def dirs: Seq[String] = files.map(_.dir).distinct
   }
 
-  private def parseEntry(line: String): Option[FileEntry] =
-    line.split('\t') match {
+  /** Parse one manifest line, FAILING LOUDLY on malformed input: inside
+    * an end-marker-validated (i.e. complete) manifest, a line that isn't
+    * `path\tlo\thi` means corruption — silently dropping it would shrink
+    * the committed file set and re-accept previously-seen duplicates,
+    * the exact wrong-answer failure the store exists to prevent (same
+    * fail-loud rule as Scd2Store's complete-but-corrupt manifests). */
+  private def parseEntry(line: String): FileEntry =
+    (line.split('\t') match {
       case Array(p, lo, hi) =>
         for (l <- lo.toIntOption; h <- hi.toIntOption) yield FileEntry(p, l, h)
       case _ => None
-    }
+    }).getOrElse(throw new java.io.IOException(
+      s"corrupt line in complete (end-marker-present) dedup-store manifest: " +
+        s"'$line' is not path\\tlo\\thi"))
 
   /** Test-only read-race injection: invoked with the manifest path just
     * before open; a hook that deletes the file simulates a reader racing
@@ -191,7 +199,7 @@ object IncrementalDedup {
               finally in.close()
             if (lines.lastOption.contains(EndMarker))
               Some(StoreState(seq,
-                lines.dropRight(1).filter(_.nonEmpty).flatMap(parseEntry)))
+                lines.dropRight(1).filter(_.nonEmpty).map(parseEntry)))
             else None
           } catch {
             case _: java.io.FileNotFoundException => raced = true; None

@@ -116,6 +116,32 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q67/q82/q92: drop-list joins carry NO forced broadcast hint; anti key is the long id") {
+    // the drop/flag lists scale with the duplicate/contamination RATE,
+    // not a dim-table bound — a forced broadcast() is a driver OOM at
+    // web-scale dup rates. The hint must be absent (AQE may still
+    // broadcast when the list actually fits) and the anti-join must key
+    // on the 8-byte doc_id, never on text.
+    // q92 localCheckpoints its survival frame (truncating the visible
+    // plan), so its anti-join is pinned on the un-checkpointed
+    // Corpus.trainingMixSurv — the exact expression the query materializes
+    val frames = Seq(
+      "q67_dedup_apply" -> SparkEntry.queries("q67_dedup_apply")(spark, sf0001),
+      "q82_corpus_gate" -> SparkEntry.queries("q82_corpus_gate")(spark, sf0001),
+      "q92 surv" -> graft.operators.Corpus.trainingMixSurv(spark, sf0001))
+    for ((q, df) <- frames) {
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"$q carries a forced join-strategy hint")
+      if (q != "q82_corpus_gate") {
+        val p = df.queryExecution.executedPlan.toString
+        val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+        assert(anti.nonEmpty, s"$q: expected an anti-join:\n" + p.take(1500))
+        assert(anti.forall(_.matches(""".*doc_id#\d+L.*""")),
+          s"$q: anti-join must key on the long doc_id:\n" + anti.mkString("\n"))
+      }
+    }
+  }
+
   test("q79/q81/q91: semantic/contamination/passage dedup stay in equi-join land") {
     for (q <- Seq("q79_semantic_dedup", "q81_contamination", "q91_passage_dedup")) {
       val p = plan(q)
