@@ -159,6 +159,42 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Multi-probe coarse ASSIGNMENT for the corpus side: one row per
+    * (vector, probed cluster), probe ranks 1..nprobe, rank 1 ≡ the
+    * `ivfAssign` home cluster. Unlike `ivfProbeMulti` — whose window
+    * runs only over the SMALL query side — this expands every corpus
+    * vector, so a row_number window would shuffle the N·K scored cross
+    * product. Instead: nprobe sequential exclusion-argmax passes, each
+    * the same broadcast-K join + partial-agg `max_by` as `ivfAssign`,
+    * so every exchange carries N rows (one per vector) and P is a
+    * small constant multiplier on map-side compute only. The tie-break
+    * (cos DESC, c_id ASC) makes exclusion-argmax pass p identical to
+    * the p-th `row_number` rank, which is how the DuckDB oracle
+    * expresses it (q93). */
+  def ivfAssignMulti(vectors: DataFrame, centroids: DataFrame,
+                     nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    var cur = vectors.select(col("vec_id"), col("v"),
+      array().cast("array<long>").as("_probed"))
+    val rounds = Seq.newBuilder[DataFrame]
+    for (p <- 1 to nprobe) {
+      val pass = cur.join(broadcast(centroids))
+        .filter(!array_contains(col("_probed"), col("c_id")))
+        .withColumn("_csim", expr("cosine_sim(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+          first(col("v")).as("v"), first(col("_probed")).as("_probed"))
+      // intermediate passes are read twice (as output and as the next
+      // pass's input) — pin them; the last pass is read once
+      val a = if (p < nprobe) pass.localCheckpoint(true) else pass
+      rounds += a.select(col("vec_id"), lit(p).as("probe_rank"),
+        col("c_id"), col("v"))
+      cur = a.select(col("vec_id"), col("v"),
+        concat(col("_probed"), array(col("c_id"))).as("_probed"))
+    }
+    rounds.result().reduce(_ unionByName _)
+  }
+
   /** Two-level hierarchical coarse assignment — the flat `ivfAssign`
     * is O(N·K) dot products, which the 50× scaling measurement showed
     * dominating once K grows with the corpus; this drops per-vector
@@ -503,6 +539,56 @@ object Similarity {
       val cent = n.filter(col("vec_id") % 64 === 0)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       ivfProbeMulti(ivfAssign(n, cent), cent, nprobe = 2)
+    },
+
+    // ---- q93: multi-probe semantic dedup (SemDeDup × nprobe=2) ----------
+    // q79's one remaining recall gap: a near-duplicate pair that
+    // straddles a quantization-cell boundary is never compared, because
+    // single-probe only pairs vectors sharing a HOME cluster. Here every
+    // vector also probes its 2nd-nearest centroid's list
+    // (ivfAssignMulti — N-row exchanges, never the N·K window), and a
+    // pair is compared when either member's probe set covers the
+    // other's home cluster. The search join stays a cluster equi-join
+    // (candidates Σ|cluster|²·P, never corpus²), and the final groupBy
+    // is duplicate-insensitive (min/max), so the same unordered pair
+    // surfacing through two probe paths needs no pre-distinct. Output
+    // schema matches q79; rows are a superset (boundary pairs found).
+    Q("q93_semdedup_multiprobe",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |probe AS (
+        |  SELECT vec_id, v, nrm, c_id, crk FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk <= 2),
+        |home AS (SELECT vec_id, v, nrm, c_id FROM probe WHERE crk = 1),
+        |p AS (
+        |  SELECT least(a.vec_id, b.vec_id) AS i, greatest(a.vec_id, b.vec_id) AS j,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+        |  FROM probe a JOIN home b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT j AS vec_id, min(i) AS kept_id, round(max(cs), 6) AS max_cos
+        |FROM p GROUP BY j ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val probes = ivfAssignMulti(n, cent, nprobe = 2).localCheckpoint(true)
+      val a = probes.select(col("c_id"), col("vec_id").as("pi"),
+        col("v").as("vi"))
+      val b = probes.filter(col("probe_rank") === 1)
+        .select(col("c_id"), col("vec_id").as("pj"), col("v").as("vj"))
+      a.join(b, Seq("c_id")).filter(col("pi") =!= col("pj"))
+        .withColumn("cs", expr("cosine_sim(vi, vj)"))
+        .filter(col("cs") >= 0.4)
+        .select(least(col("pi"), col("pj")).as("i"),
+          greatest(col("pi"), col("pj")).as("j"), col("cs"))
+        .groupBy("j")
+        .agg(min("i").as("kept_id"), round(max("cs"), 6).as("max_cos"))
+        .select(col("j").as("vec_id"), col("kept_id"), col("max_cos"))
+        .orderBy("vec_id")
     },
 
     // ---- q83: hierarchical two-level IVF assignment (oracle-gated) ------
