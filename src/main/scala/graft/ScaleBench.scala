@@ -59,6 +59,11 @@ object ScaleBench {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def fsDelete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Fixed-K codebook: replica-0 vectors only (q54's every-64th seed) —
     * K does NOT grow with the corpus. */
   private def fixedCentroids(emb: DataFrame): DataFrame =
@@ -376,6 +381,59 @@ object ScaleBench {
         s"""{"nprobe":$p,"recall_at_5":${f"$r%.3f"}}""" }.mkString("[", ",", "]")
     }
 
+    // AS-OF depth flatness (Q2 on the SCD2 store): a synthetic entity
+    // table ingested batch-by-batch to a 500-block chain and then on to
+    // 5,000 blocks (10% of entities re-versioned per 50-block batch —
+    // history dirs accumulate 1:1 with batches). The measured claim is
+    // SURVEY §4's: near-head as-of latency is bounded by live + batches
+    // SINCE the queried block (manifest tag pruning), so it stays FLAT
+    // at 10× the chain depth; the deep-past number over the same
+    // un-compacted 5,000-block chain is reported alongside as the
+    // documented compactTo maintenance case, not a flat claim.
+    val asofDepth = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_depth")
+      val store = new graft.sds.Scd2Store(spark, tmp.toString)
+      val tbl = "organization" // any schema'd name; rows are synthetic
+      val nEnt = 2000L
+      val blocksPerBatch = 50L
+      var live = spark.range(nEnt)
+        .select(col("id").cast("string").as("organization_id"),
+          lit(0L).as("start_block_num"),
+          lit(graft.sds.Schemas.MaxBlockNum).as("end_block_num"))
+        .localCheckpoint(true)
+      def ingestTo(fromBatch: Int, toBatch: Int): Unit =
+        for (k <- fromBatch to toBatch) {
+          val tag = blocksPerBatch * k
+          val isUpd = col("organization_id").cast("long") % 10 === k % 10
+          val closed = live.filter(isUpd)
+            .withColumn("end_block_num", lit(tag))
+          val fresh = live.filter(isUpd)
+            .withColumn("start_block_num", lit(tag))
+          store.applyMerged(tbl,
+            live.filter(!isUpd).unionByName(fresh).unionByName(closed), tag)
+          live = live.filter(!isUpd).unionByName(fresh).localCheckpoint(true)
+        }
+      def asofCount(b: Long): Long = store.asOf(tbl, b).count()
+      ingestTo(1, 10) // chain = 500 blocks, 10 history dirs
+      val nearOff = 5L
+      val t500 = timed(asofCount(10 * blocksPerBatch - nearOff))
+      val (dirs500, read500) =
+        store.asOfFootprint(tbl, 10 * blocksPerBatch - nearOff)
+      ingestTo(11, 100) // chain = 5,000 blocks, 100 history dirs
+      val t5000 = timed(asofCount(100 * blocksPerBatch - nearOff))
+      val (dirs5000, read5000) =
+        store.asOfFootprint(tbl, 100 * blocksPerBatch - nearOff)
+      val tDeep = timed(asofCount(10 * blocksPerBatch - nearOff))
+      val (_, readDeep) = store.asOfFootprint(tbl, 10 * blocksPerBatch - nearOff)
+      fsDelete(spark, tmp.toString)
+      s"""{"entities":$nEnt,"blocks_per_batch":$blocksPerBatch,""" +
+        s""""near_asof_500_sec":${f"$t500%.2f"},""" +
+        s""""hist_dirs_500":$dirs500,"read_dirs_500":$read500,""" +
+        s""""near_asof_5000_sec":${f"$t5000%.2f"},""" +
+        s""""hist_dirs_5000":$dirs5000,"read_dirs_5000":$read5000,""" +
+        s""""deep_asof_5000_sec":${f"$tDeep%.2f"},"deep_read_dirs":$readDeep}"""
+    }
+
     // streaming dedup at 50×, ten batches: per-batch latency must stay
     // flat as the signature store accumulates the earlier batches
     val streamReplicas = 50
@@ -410,7 +468,7 @@ object ScaleBench {
     val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
       s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
       s""""ann_recall_clustered":$recallClustered,""" +
-      s""""clustered":$clustered,"skew":$skew}"""
+      s""""clustered":$clustered,"skew":$skew,"asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -26,10 +26,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     pass merges partial winners into the exact per-key top-k.
   *
   * Memory bound: keys-per-partition × k retained rows per phase — the
-  * same working-set shape as a hash-aggregate buffer. A production
-  * hardening would add a spill-to-sorter fallback past a key-count
-  * threshold (as HashAggregateExec does); documented, not needed at
-  * engine-bench scale.
+  * same working-set shape as a hash-aggregate buffer, BOUNDED at
+  * `maxKeysPerPartition` distinct keys:
+  *  - the PARTIAL phase flushes-and-clears its heap map at the cap
+  *    (emit every currently-retained row downstream, start fresh) —
+  *    graceful degradation: the exchange carries more partial winners,
+  *    memory never exceeds the cap, and the final merge keeps the
+  *    result exact because a key's flushed candidate sets are rejoined
+  *    after clustering;
+  *  - the FINAL phase needs all of a key's candidates resident to be
+  *    exact, so past the cap it FAILS LOUDLY (raise
+  *    spark.sql.shuffle.partitions so fewer keys land per partition)
+  *    instead of OOM-killing the executor — the HashAggregateExec
+  *    analogue of spilling, reduced to the guard this operator needs.
   *
   * Output contract: the top-k rows per key, row order unspecified —
   * callers add a presentation sort (exactly like the reference's
@@ -55,17 +64,25 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: SortOrder, k: Int,
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
+    val cap = TopKPerKeyExec.maxKeysPerPartition
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(Seq(sortOrder), childOutput)
       // heap head = WORST retained row (comparator reversed), so the
       // replace test is one compare against the head
       val worstFirst = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      it.foreach { row =>
+      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (!isPartial) require(heaps.size() < cap,
+            s"TopKPerKey final merge: more than $cap distinct keys in one " +
+              "clustered partition — all of a key's candidates must be " +
+              "resident for an exact merge. Raise spark.sql.shuffle.partitions " +
+              "so fewer keys land per partition (the partial phase stays " +
+              "bounded by flushing and needs no change).")
           heap = new java.util.PriorityQueue[UnsafeRow](limit, worstFirst)
           heaps.put(key.copy(), heap)
         }
@@ -77,12 +94,39 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: SortOrder, k: Int,
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+      def flush(): Iterator[InternalRow] = {
+        val vs = new java.util.ArrayList(heaps.values())
+        heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        vs.iterator().asScala.flatMap(_.iterator().asScala)
+      }
+      // lazy drive: rows stream through insert(); the partial phase
+      // emits a flush whenever the key map hits the cap, and both
+      // phases emit the terminal flush once input is exhausted
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && it.hasNext) {
+            insert(it.next())
+            if (isPartial && heaps.size() >= cap && it.hasNext) out = flush()
+          }
+          if (!out.hasNext && !it.hasNext && !heaps.isEmpty) out = flush()
+        }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
+      }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Distinct-key cap per partition, per phase (see class doc). The
+    * default bounds heap memory at cap × k rows — ~4M keys × small k
+    * fits comfortably in an executor's task memory; specs shrink it to
+    * force the flush / guard paths at toy scale. */
+  private[graft] var maxKeysPerPartition: Int = 4_000_000
 }
 
 /** Plans the logical node as partial→final; EnsureRequirements inserts

@@ -485,9 +485,43 @@ final class Scd2Store(spark: SparkSession, root: String,
     } finally full.unpersist()
   }
 
-  /** Point-in-time view (Q2): state as of block b. */
-  def asOf(name: String, block: Long): DataFrame =
-    table(name).filter(col("start_block_num") <= block && col("end_block_num") > block)
+  /** Point-in-time view (Q2): state as of block b, MANIFEST-BOUNDED:
+    * a history directory's name carries its batch tag (`b<T>` ingest
+    * append, `f<T>-v<N>` fork/compaction fold) and by construction only
+    * ever holds rows CLOSED by batch T — every row satisfies
+    * end_block_num ≤ T — so any directory with T ≤ b is pruned at PLAN
+    * TIME (all its rows fail the `end_block_num > b` predicate). As-of
+    * cost therefore follows live-set size + batches SINCE the queried
+    * block, not total chain depth: the near-head time travel a reporting
+    * store actually serves stays flat as the chain grows (measured in
+    * SCALING_LOCAL.json `asof_depth`). Deep-past as-of over a long
+    * un-compacted chain still reads every newer directory — that is the
+    * documented `compactTo` maintenance case. */
+  def asOf(name: String, block: Long): DataFrame = {
+    val m = latestManifest(name)
+    val hist = m.fold(Seq.empty[String])(_.history)
+      .filter(h => histTag(h).forall(_ > block))
+      .map(h => new HPath(historyDir(name), h).toString)
+    val base =
+      if (hist.isEmpty) liveOf(name, m)
+      else liveOf(name, m).unionByName(spark.read.parquet(hist: _*))
+    base.filter(col("start_block_num") <= block && col("end_block_num") > block)
+  }
+
+  /** Batch tag of a history directory name (`b<T>` or `f<T>-v<N>`);
+    * None — never pruned — for unrecognized names, so an unknown layout
+    * degrades to the full read, not a wrong answer. */
+  private def histTag(h: String): Option[Long] =
+    if (h.startsWith("b")) h.drop(1).toLongOption
+    else if (h.startsWith("f")) h.drop(1).takeWhile(_ != '-').toLongOption
+    else None
+
+  /** Measurement hook (scale harness): (total committed history dirs,
+    * dirs an `asOf(block)` plan actually reads after tag pruning). */
+  private[graft] def asOfFootprint(name: String, block: Long): (Int, Int) = {
+    val h = latestManifest(name).fold(Seq.empty[String])(_.history)
+    (h.size, h.count(n => histTag(n).forall(_ > block)))
+  }
 
   /** Highest stored block (catch-up cursor, `src/main.rs:57-63`). */
   def maxBlock(): Option[Long] = {

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
@@ -110,5 +111,70 @@ object StreamingQueries {
       }.reduce(_ unionByName _)
         .select(col("batch"), col("doc_id"), col("dup_of"), col("est_jaccard"))
         .orderBy("batch", "doc_id")
+    },
+
+    // ---- q95: streaming EXECUTION of the watermarked window family ------
+    // q36-q38 gate window SEMANTICS batch-side; this gates the streaming
+    // RUNTIME behavior — watermark advancement, late-data dropping, and
+    // append-mode emission — against a DuckDB oracle. The events table
+    // replays through a real MemoryStream in four deterministic batches
+    // keyed by event_id % 4 (each spans the full time range, so batches
+    // 2-4 are largely LATE relative to the watermark batch 1
+    // establishes), into `Windows.tumblingStream` (1 h tumbling windows,
+    // 30 min watermark) in append mode. Spark's acceptance rule — a row
+    // is aggregated iff its window has not expired, i.e. window_end >
+    // the watermark in force for its batch (max event time of EARLIER
+    // batches − 30 min); note rows older than the watermark still count
+    // when their window is alive — is recomputed declaratively by the
+    // oracle. A sentinel event 10 h past the data pushes the final
+    // watermark over every real window so append mode emits them all;
+    // the sentinel's own window stays open and never reaches the sink.
+    Q("q95_streaming_tumbling",
+      """WITH e AS (SELECT event_id, event_type, value, ts,
+        |    CAST(event_id % 4 AS INTEGER) AS b FROM events),
+        |mx AS (SELECT b, max(ts) AS mxts FROM e GROUP BY b),
+        |wmb AS (SELECT b, max(mxts) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - INTERVAL 30 MINUTE AS wm FROM mx),
+        |acc AS (
+        |  SELECT e.*,
+        |    make_timestamp((epoch_us(e.ts)//3600000000)*3600000000) AS window_start
+        |  FROM e JOIN wmb ON e.b = wmb.b
+        |  WHERE wmb.wm IS NULL
+        |     OR make_timestamp((epoch_us(e.ts)//3600000000)*3600000000
+        |          + 3600000000) > wmb.wm)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM acc GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .as[(Long, String, Double, java.sql.Timestamp)]
+        .collect() // replay harness only: the data re-enters via the stream
+      val source = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+      val agg = Windows.tumblingStream(
+        source.toDF().toDF("event_id", "event_type", "value", "ts"),
+        "1 hour", "30 minutes")
+      val sink = "q95_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        for (b <- 0 to 3) {
+          source.addData(rows.filter(r => (r._1 % 4).toInt == b).toSeq)
+          query.processAllAvailable() // ONE data micro-batch per replay step
+        }
+        val sentinelTs = new java.sql.Timestamp(
+          rows.iterator.map(_._4.getTime).max + 10L * 3600 * 1000)
+        source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     })
 }

@@ -60,4 +60,53 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (1L, 11L), (2L, 20L)))
   }
+
+  test("partial phase flushes at the key cap and stays EXACT") {
+    // cap far below the distinct-key count: every input partition's heap
+    // map flushes repeatedly (the bounded-memory path), and because the
+    // final merge rejoins a key's flushed candidate sets after
+    // clustering, the result must STILL equal the window formulation.
+    // Keys per FINAL partition (1500/32 ≈ 47… but the cap applies there
+    // too) — final partitions stay under the cap only if keys spread;
+    // with 200 shuffle partitions here keys-per-final ≈ 8 < 16.
+    val prev = TopKPerKeyExec.maxKeysPerPartition
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      TopKPerKeyExec.maxKeysPerPartition = 16
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      // AQE would coalesce the tiny shuffle back to a few partitions and
+      // push keys-per-final-partition over the cap again
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val got = TopK.perKey(orders.repartition(4), Seq("o_custkey"),
+        struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .select("o_custkey", "o_orderkey")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      val want = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("o_custkey", "o_orderkey")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally {
+      TopKPerKeyExec.maxKeysPerPartition = prev
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("final merge past the key cap fails loudly, not with an OOM") {
+    val prev = TopKPerKeyExec.maxKeysPerPartition
+    try {
+      TopKPerKeyExec.maxKeysPerPartition = 4
+      // ~1500 distinct custkeys over 32 final partitions ≈ 47 keys per
+      // clustered partition — far past the cap of 4
+      val df = TopK.perKey(orders, Seq("o_custkey"), col("o_totalprice"), 2)
+      val e = intercept[Exception](df.count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("TopKPerKey final merge")),
+        msgs(e).mkString(" | "))
+    } finally TopKPerKeyExec.maxKeysPerPartition = prev
+  }
 }
