@@ -289,14 +289,20 @@ object ScaleBench {
       val dropRows = dropSkew.count()
       val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
-      val applyDf = skewDocs.join(dropSkew, Seq("doc_id"), "left_anti")
       var applyKept = 0L
-      val applySec = timed { applyKept = applyDf.count() }
-      val applyPlan = applyDf.queryExecution.executedPlan.toString
-      val applyShuffleAnti = (applyPlan.contains("SortMergeJoin") ||
-        applyPlan.contains("ShuffledHashJoin")) &&
-        !applyPlan.contains("BroadcastHashJoin")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      var applySec = 0.0
+      var applyShuffleAnti = false
+      try {
+        val applyDf = skewDocs.join(dropSkew, Seq("doc_id"), "left_anti")
+        applySec = timed { applyKept = applyDf.count() }
+        val applyPlan = applyDf.queryExecution.executedPlan.toString
+        applyShuffleAnti = (applyPlan.contains("SortMergeJoin") ||
+          applyPlan.contains("ShuffledHashJoin")) &&
+          !applyPlan.contains("BroadcastHashJoin")
+      } finally
+        // restore unconditionally: a failure here must not leak the 1 KB
+        // threshold into every later measurement in the run
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.catalog.clearCache(); System.gc()
 
       s"""{"events":$nEv,"hot_frac":0.3,""" +

@@ -6,7 +6,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.unsafe.types.ByteArray
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator Catalyst extension (SURVEY.md §7.3 tier (c): custom
   * LogicalPlan + SparkStrategy + SparkPlan, injected through
@@ -27,7 +31,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Memory bound: keys-per-partition × k retained rows per phase — the
   * same working-set shape as a hash-aggregate buffer, BOUNDED at
-  * `maxKeysPerPartition` distinct keys:
+  * `spark.graft.topk.maxKeysPerPartition` distinct keys (session conf,
+  * default 4M — cap × k rows fits comfortably in task memory; specs
+  * shrink it to force the overflow paths at toy scale):
   *  - the PARTIAL phase flushes-and-clears its heap map at the cap
   *    (emit every currently-retained row downstream, start fresh) —
   *    graceful degradation: the exchange carries more partial winners,
@@ -35,10 +41,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *    result exact because a key's flushed candidate sets are rejoined
   *    after clustering;
   *  - the FINAL phase needs all of a key's candidates resident to be
-  *    exact, so past the cap it FAILS LOUDLY (raise
-  *    spark.sql.shuffle.partitions so fewer keys land per partition)
-  *    instead of OOM-killing the executor — the HashAggregateExec
-  *    analogue of spilling, reduced to the guard this operator needs.
+  *    exact, so past the cap it SPILLS to a sort-based merge — the
+  *    HashAggregateExec answer: retained rows plus the remaining input
+  *    go through Spark's disk-backed external row sorter ordered by
+  *    key bytes, and one streaming pass over the key-clustered output
+  *    re-runs the heap per key group with only a single group resident.
+  *    Exactness is unchanged; the `spillMerges` SQL metric counts how
+  *    often a partition took this path.
   *
   * Output contract: the top-k rows per key, row order unspecified —
   * callers add a presentation sort (exactly like the reference's
@@ -59,60 +68,148 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: SortOrder, k: Int,
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  override lazy val metrics: Map[String, SQLMetric] =
+    if (partial) Map.empty
+    else Map("spillMerges" ->
+      SQLMetrics.createMetric(sparkContext, "final-phase sort-merge spills"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val isPartial = partial
-    val cap = TopKPerKeyExec.maxKeysPerPartition
+    val cap = conf.getConfString(TopKPerKeyExec.CapKey,
+      TopKPerKeyExec.DefaultCap.toString).toInt
+    val schema = DataTypeUtils.fromAttributes(childOutput)
+    val pageSize = org.apache.spark.sql.GraftPlanBridge.pageSizeBytes
+    val spillMetric = if (isPartial) None else Some(longMetric("spillMerges"))
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(Seq(sortOrder), childOutput)
       // heap head = WORST retained row (comparator reversed), so the
       // replace test is one compare against the head
       val worstFirst = ord.reverse
-      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      def insert(row: InternalRow): Unit = {
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          if (!isPartial) require(heaps.size() < cap,
-            s"TopKPerKey final merge: more than $cap distinct keys in one " +
-              "clustered partition — all of a key's candidates must be " +
-              "resident for an exact merge. Raise spark.sql.shuffle.partitions " +
-              "so fewer keys land per partition (the partial phase stays " +
-              "bounded by flushing and needs no change).")
-          heap = new java.util.PriorityQueue[UnsafeRow](limit, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
+      import scala.jdk.CollectionConverters._
+      def newHeap() = new java.util.PriorityQueue[UnsafeRow](limit, worstFirst)
+      def heapInsert(heap: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit =
         if (heap.size < limit) {
           heap.add(row.asInstanceOf[UnsafeRow].copy())
         } else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.asInstanceOf[UnsafeRow].copy())
         }
-      }
-      import scala.jdk.CollectionConverters._
-      def flush(): Iterator[InternalRow] = {
-        val vs = new java.util.ArrayList(heaps.values())
-        heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-        vs.iterator().asScala.flatMap(_.iterator().asScala)
-      }
-      // lazy drive: rows stream through insert(); the partial phase
-      // emits a flush whenever the key map hits the cap, and both
-      // phases emit the terminal flush once input is exhausted
-      new Iterator[InternalRow] {
-        private var out: Iterator[InternalRow] = Iterator.empty
-        private def advance(): Unit = {
-          while (!out.hasNext && it.hasNext) {
-            insert(it.next())
-            if (isPartial && heaps.size() >= cap && it.hasNext) out = flush()
+
+      if (isPartial) {
+        var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        def insert(row: InternalRow): Unit = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = newHeap()
+            heaps.put(key.copy(), heap)
           }
-          if (!out.hasNext && !it.hasNext && !heaps.isEmpty) out = flush()
+          heapInsert(heap, row)
         }
-        override def hasNext: Boolean = { advance(); out.hasNext }
-        override def next(): InternalRow = { advance(); out.next() }
+        def flush(): Iterator[InternalRow] = {
+          val vs = new java.util.ArrayList(heaps.values())
+          heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+          vs.iterator().asScala.flatMap(_.iterator().asScala)
+        }
+        // lazy drive: rows stream through insert(); a flush is emitted
+        // whenever the key map hits the cap, plus the terminal flush
+        new Iterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              insert(it.next())
+              if (heaps.size() >= cap && it.hasNext) out = flush()
+            }
+            if (!out.hasNext && !it.hasNext && !heaps.isEmpty) out = flush()
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): InternalRow = { advance(); out.next() }
+        }
+      } else {
+        // FINAL phase: nothing can be emitted until the input is
+        // exhausted (a key's candidates may arrive anywhere in the
+        // clustered partition), so drive the hash path eagerly and
+        // switch to the sort-based merge the moment the key map would
+        // exceed the cap.
+
+        /** Key-clustering order: unsigned byte-lexicographic compare of
+          * the projected key rows (equal keys project to identical
+          * bytes). Two projection instances because each reuses its
+          * output buffer. The sorter's 8-byte binary prefix is
+          * order-consistent with this comparison. */
+        def sortMergeTopK(rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+          val projL = UnsafeProjection.create(keyExprs, childOutput)
+          val projR = UnsafeProjection.create(keyExprs, childOutput)
+          val keyOrd: Ordering[InternalRow] = new Ordering[InternalRow] {
+            override def compare(a: InternalRow, b: InternalRow): Int =
+              ByteArray.compareBinary(projL(a).getBytes, projR(b).getBytes)
+          }
+          val prefixProj = UnsafeProjection.create(keyExprs, childOutput)
+          val holder = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+            override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+              holder.isNull = false
+              holder.value =
+                PrefixComparators.BinaryPrefixComparator.computePrefix(
+                  prefixProj(row).getBytes)
+              holder
+            }
+          }
+          val sorter = UnsafeExternalRowSorter.create(
+            schema, keyOrd, PrefixComparators.BINARY, prefixComputer,
+            pageSize, false)
+          val sorted = sorter.sort(rows.map(_.asInstanceOf[UnsafeRow]))
+          // one group resident at a time over the key-clustered stream
+          new Iterator[InternalRow] {
+            private var out: Iterator[InternalRow] = Iterator.empty
+            private var curKey: UnsafeRow = null
+            private var heap = newHeap()
+            private def drain(): Iterator[InternalRow] = {
+              val h = heap; heap = newHeap()
+              h.iterator().asScala
+            }
+            private def advance(): Unit = {
+              while (!out.hasNext && sorted.hasNext) {
+                val row = sorted.next()
+                val key = projL(row)
+                if (curKey == null) curKey = key.copy()
+                else if (key != curKey) { out = drain(); curKey = key.copy() }
+                heapInsert(heap, row)
+              }
+              if (!out.hasNext && !sorted.hasNext && !heap.isEmpty) out = drain()
+            }
+            override def hasNext: Boolean = { advance(); out.hasNext }
+            override def next(): InternalRow = { advance(); out.next() }
+          }
+        }
+
+        def finalMerge(): Iterator[InternalRow] = {
+          val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+          while (it.hasNext) {
+            val row = it.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size() >= cap) {
+                spillMetric.foreach(_.add(1))
+                val pending = heaps.values().iterator().asScala
+                  .flatMap(_.iterator().asScala)
+                return sortMergeTopK(
+                  pending ++ Iterator(row.asInstanceOf[UnsafeRow].copy()) ++ it)
+              }
+              heap = newHeap()
+              heaps.put(key.copy(), heap)
+            }
+            heapInsert(heap, row)
+          }
+          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        }
+        finalMerge()
       }
     }
   }
@@ -122,11 +219,11 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: SortOrder, k: Int,
 }
 
 object TopKPerKeyExec {
-  /** Distinct-key cap per partition, per phase (see class doc). The
-    * default bounds heap memory at cap × k rows — ~4M keys × small k
-    * fits comfortably in an executor's task memory; specs shrink it to
-    * force the flush / guard paths at toy scale. */
-  private[graft] var maxKeysPerPartition: Int = 4_000_000
+  /** Session conf key for the distinct-key cap per partition, per phase
+    * (see class doc) — a session/query-tunable knob like every analogous
+    * Spark memory setting, not a JVM global. */
+  val CapKey = "spark.graft.topk.maxKeysPerPartition"
+  val DefaultCap = 4000000
 }
 
 /** Plans the logical node as partial→final; EnsureRequirements inserts

@@ -438,7 +438,15 @@ final class Scd2Store(spark: SparkSession, root: String,
         val target = new HPath(historyDir(name), histName)
         deleteRecursively(target) // partial write from a crashed attempt
         val closed = merged.filter(col("end_block_num") =!= MaxBlockNum)
-        if (!closed.isEmpty) {
+        // asOf prunes any history dir whose tag T satisfies T <= queried
+        // block, on the invariant that dir T only holds rows with
+        // end_block_num <= T. Enforce it at write time: a violation here
+        // would silently turn plan-time pruning into wrong answers.
+        val maxEnd = maxClosedEnd(closed)
+        maxEnd.foreach(e => require(e <= tag,
+          s"history dir b$tag would hold a row closed at block $e > $tag; " +
+        "as-of tag pruning requires end_block_num <= dir tag"))
+        if (maxEnd.isDefined) {
           closed.write.mode("overwrite").parquet(target.toString)
           newHist = prevHist :+ histName
         }
@@ -471,18 +479,32 @@ final class Scd2Store(spark: SparkSession, root: String,
     full.persist()
     try {
       val liveV = latestManifest(name).fold(-1)(_.liveVersion) + 1
-      val foldName = s"f$tag-v$liveV"
       val closed = full.filter(col("end_block_num") =!= MaxBlockNum)
-      val hasClosed = !closed.isEmpty
-      if (hasClosed)
+      // The fold dir's tag drives asOf plan-time pruning (dir tag T ⇒
+      // every row has end_block_num <= T). `tag` is caller-supplied on
+      // this public maintenance hook, so clamp the DIR tag up to the max
+      // closed end actually present — an under-tagged fold would be
+      // wrongly pruned and silently drop rows alive at the queried block.
+      val maxEnd = maxClosedEnd(closed)
+      val dirTag = maxEnd.fold(tag)(math.max(tag, _))
+      val foldName = s"f$dirTag-v$liveV"
+      if (maxEnd.isDefined)
         closed.write.mode("overwrite").parquet(
           new HPath(historyDir(name), foldName).toString)
       full.filter(col("end_block_num") === MaxBlockNum)
         .write.mode("overwrite").parquet(
           new HPath(dir(name), s"live/v$liveV").toString)
       failpoint(s"compactTo:$name:pre-commit")
-      commit(name, liveV, if (hasClosed) Seq(foldName) else Seq.empty)
+      commit(name, liveV, if (maxEnd.isDefined) Seq(foldName) else Seq.empty)
     } finally full.unpersist()
+  }
+
+  /** Max end_block_num among closed rows (None ⇔ no closed rows): one
+    * job replacing the previous isEmpty probe, and the value that the
+    * as-of tag-pruning invariant is checked against at write time. */
+  private def maxClosedEnd(closed: DataFrame): Option[Long] = {
+    val r = closed.agg(max("end_block_num")).collect()(0)
+    Option(r.get(0)).map(_.asInstanceOf[Long])
   }
 
   /** Point-in-time view (Q2): state as of block b, MANIFEST-BOUNDED:

@@ -32,6 +32,11 @@ import graft.core.{Q, Tables}
   * est, ties to the lowest dup_of.
   */
 object StreamingQueries {
+  /** Hard cap on rows a MemoryStream replay harness may pull through the
+    * driver — sf0.1 events is ~100k; anything past this belongs in a
+    * file-driven replay, not a driver-fed fixture. */
+  val MaxReplayRows = 5000000L
+
   private val K = 8
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -89,10 +94,12 @@ object StreamingQueries {
     Q("q94_incremental_dedup", q94Sql) { (s, dir) =>
       val base = Tables.load(s, dir, "documents").select("doc_id", "text")
       // fresh store per run — the query IS the store drive, so a rerun
-      // (Bench's min-of-2) must start from the same empty state
+      // (Bench's min-of-2) must start from the same empty state. The dir
+      // is keyed by applicationId so concurrent JVMs (parallel sbt
+      // test/bench) never clobber each other's store mid-run.
       val root = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-        "graft_q94_store")
+        s"graft_q94_store_${s.sparkContext.applicationId}")
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
       val batches = Seq(
@@ -149,10 +156,16 @@ object StreamingQueries {
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = Tables.load(s, dir, "events")
+      val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-        .as[(Long, String, Double, java.sql.Timestamp)]
-        .collect() // replay harness only: the data re-enters via the stream
+      // MemoryStream replay is inherently driver-fed, so the harness is
+      // loudly bounded: refuse rather than silently materialize a corpus.
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q95 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      // sentinel base computed distributed, not from a collected array
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
       val source = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
       val agg = Windows.tumblingStream(
         source.toDF().toDF("event_id", "event_type", "value", "ts"),
@@ -163,11 +176,16 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         for (b <- 0 to 3) {
-          source.addData(rows.filter(r => (r._1 % 4).toInt == b).toSeq)
+          // collected batch-wise: no full-corpus array pinned on the
+          // driver or riding into task closures (the round-9 1.6 MiB
+          // task-binary warnings came from the all-rows array)
+          val batch = ev.filter(col("event_id") % 4 === b)
+            .as[(Long, String, Double, java.sql.Timestamp)].collect()
+          source.addData(batch.toSeq)
           query.processAllAvailable() // ONE data micro-batch per replay step
         }
         val sentinelTs = new java.sql.Timestamp(
-          rows.iterator.map(_._4.getTime).max + 10L * 3600 * 1000)
+          maxTs.getTime + 10L * 3600 * 1000)
         source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
         query.processAllAvailable()
       } finally query.stop()

@@ -15,4 +15,10 @@ object GraftPlanBridge {
     * the node fully rather than wrapping it lazily). */
   def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Memory-manager page size for external sorters (what SortExec
+    * passes to UnsafeExternalRowSorter) — `private[spark]`, so exposed
+    * from inside the package tree. */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

@@ -69,11 +69,10 @@ class TopKPerKeySpec extends SparkSpec {
     // Keys per FINAL partition (1500/32 ≈ 47… but the cap applies there
     // too) — final partitions stay under the cap only if keys spread;
     // with 200 shuffle partitions here keys-per-final ≈ 8 < 16.
-    val prev = TopKPerKeyExec.maxKeysPerPartition
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     try {
-      TopKPerKeyExec.maxKeysPerPartition = 16
+      spark.conf.set(TopKPerKeyExec.CapKey, "16")
       spark.conf.set("spark.sql.shuffle.partitions", "200")
       // AQE would coalesce the tiny shuffle back to a few partitions and
       // push keys-per-final-partition over the cap again
@@ -88,25 +87,41 @@ class TopKPerKeySpec extends SparkSpec {
       assert(got.count() === want.count())
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     } finally {
-      TopKPerKeyExec.maxKeysPerPartition = prev
+      spark.conf.unset(TopKPerKeyExec.CapKey)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
   }
 
-  test("final merge past the key cap fails loudly, not with an OOM") {
-    val prev = TopKPerKeyExec.maxKeysPerPartition
+  test("final merge past the key cap SPILLS to the sort-based merge, stays exact") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
-      TopKPerKeyExec.maxKeysPerPartition = 4
+      // AQE wraps the executed plan in AdaptiveSparkPlanExec, which hides
+      // the node instances whose metric this test reads — plain plan here
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(TopKPerKeyExec.CapKey, "4")
       // ~1500 distinct custkeys over 32 final partitions ≈ 47 keys per
-      // clustered partition — far past the cap of 4
-      val df = TopK.perKey(orders, Seq("o_custkey"), col("o_totalprice"), 2)
-      val e = intercept[Exception](df.count())
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("TopKPerKey final merge")),
-        msgs(e).mkString(" | "))
-    } finally TopKPerKeyExec.maxKeysPerPartition = prev
+      // clustered partition — far past the cap of 4, so every final
+      // partition must take the external-sorter path, and the result
+      // must STILL equal the window formulation exactly.
+      val df = TopK.perKey(orders, Seq("o_custkey"),
+        struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .select("o_custkey", "o_orderkey")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      val want = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("o_custkey", "o_orderkey")
+      // collect() drives df's OWN queryExecution, so the spill metric can
+      // be read off that exact executed plan afterwards
+      assert(df.collect().length.toLong === want.count())
+      val spills = df.queryExecution.executedPlan.collect {
+        case t: TopKPerKeyExec if !t.partial => t.metrics("spillMerges").value
+      }.sum
+      assert(spills > 0, "expected at least one final-phase sort-merge spill")
+      assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
+    } finally {
+      spark.conf.unset(TopKPerKeyExec.CapKey)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
