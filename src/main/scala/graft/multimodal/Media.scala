@@ -844,7 +844,18 @@ object Media {
       out
     }
 
-    def decode(b: Array[Byte]): Option[JpegPixels] = try {
+    /** One frame component as declared by SOF0: id, sampling factors,
+      * quant-table selector. */
+    private final case class FrameComp(id: Int, hs: Int, vs: Int, tq: Int)
+
+    /** Core baseline decode to full-resolution sample planes: 1 plane
+      * (luma) for grayscale files, 3 planes (Y, Cb, Cr — chroma already
+      * upsampled to w×h by sample replication) for color. Handles the
+      * general interleaved-MCU scan for sampling factors 1–2 in each
+      * axis, which covers 4:4:4, 4:2:2, 4:4:0 and the web-dominant
+      * 4:2:0. Out of scope → None: progressive (SOF2), restart
+      * intervals, 12-bit precision, non-interleaved multi-scan. */
+    private def decodePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = try {
       def u8(i: Int) = b(i) & 0xff
       def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
       if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
@@ -852,7 +863,7 @@ object Media {
       val dcTabs = new Array[HuffTable](4)
       val acTabs = new Array[HuffTable](4)
       var w = 0; var h = 0
-      var qtId = -1 // the single component's quant table
+      var comps: Array[FrameComp] = null
       var i = 2
       while (i + 4 <= b.length) {
         if (u8(i) != 0xff) return None
@@ -891,76 +902,138 @@ object Media {
             case 0xc0 => // SOF0 baseline
               if (u8(seg) != 8) return None // 12-bit precision out of scope
               h = u16(seg + 1); w = u16(seg + 3)
-              if (u8(seg + 5) != 1) return None // grayscale only
-              if (u8(seg + 7) != 0x11) return None // 1x1 sampling
-              qtId = u8(seg + 8)
+              val nf = u8(seg + 5)
+              if (nf != 1 && nf != 3) return None // gray or YCbCr
+              comps = Array.tabulate(nf) { c =>
+                val p = seg + 6 + 3 * c
+                FrameComp(u8(p), u8(p + 1) >> 4, u8(p + 1) & 15, u8(p + 2))
+              }
+              if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2))
+                return None // sampling factors beyond 2 out of scope
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline frame types out of scope
             case 0xdd => return None // restart intervals out of scope
-            case 0xda => // SOS: entropy-coded data follows
-              if (u8(seg) != 1) return None
-              val dcId = u8(seg + 2) >> 4; val acId = u8(seg + 2) & 15
-              if (w <= 0 || h <= 0 || qtId < 0) return None
-              if (w.toLong * h > MaxDecodedBytes) return None // alloc cap
-              val qt = quant(qtId)
-              val dcT = dcTabs(dcId); val acT = acTabs(acId)
-              if (qt == null || dcT == null || acT == null) return None
-              val bw = (w + 7) / 8; val bh = (h + 7) / 8
-              val px = new Array[Byte](w * h)
+            case 0xda => // SOS: one interleaved scan of all components
+              val ns = u8(seg)
+              if (comps == null || ns != comps.length) return None
+              if (w <= 0 || h <= 0) return None
+              if (w.toLong * h * comps.length > MaxDecodedBytes) return None // alloc cap
+              val nc = comps.length
+              val scanDc = new Array[HuffTable](nc)
+              val scanAc = new Array[HuffTable](nc)
+              val qts = new Array[Array[Int]](nc)
+              var sc = 0
+              while (sc < ns) {
+                val cid = u8(seg + 1 + 2 * sc)
+                val ci = comps.indexWhere(_.id == cid)
+                if (ci < 0) return None
+                scanDc(ci) = dcTabs(u8(seg + 2 + 2 * sc) >> 4)
+                scanAc(ci) = acTabs(u8(seg + 2 + 2 * sc) & 15)
+                qts(ci) = quant(comps(ci).tq)
+                if (scanDc(ci) == null || scanAc(ci) == null || qts(ci) == null)
+                  return None
+                sc += 1
+              }
+              val maxH = comps.map(_.hs).max; val maxV = comps.map(_.vs).max
+              // component planes at their natural (subsampled) resolution
+              val cw = Array.tabulate(nc)(c => (w * comps(c).hs + maxH - 1) / maxH)
+              val ch = Array.tabulate(nc)(c => (h * comps(c).vs + maxV - 1) / maxV)
+              val planes = Array.tabulate(nc)(c => new Array[Byte](cw(c) * ch(c)))
+              val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+              val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
               val r = new JBitReader(b, seg + len - 2)
-              var dcPred = 0
+              val dcPred = new Array[Int](nc)
               val coef = new Array[Double](64)
-              var by = 0
-              while (by < bh) {
-                var bx = 0
-                while (bx < bw) {
-                  java.util.Arrays.fill(coef, 0.0)
-                  val s = r.decode(dcT)
-                  if (s < 0 || s > 11) return None
-                  val diffBits = if (s == 0) 0 else r.bits(s)
-                  if (diffBits < 0) return None
-                  dcPred += extend(diffBits, s)
-                  coef(0) = dcPred.toDouble * qt(0)
-                  var k = 1
-                  var open = true
-                  while (open && k < 64) {
-                    val rs = r.decode(acT)
-                    if (rs < 0) return None
-                    if (rs == 0x00) open = false // EOB
-                    else if (rs == 0xf0) k += 16 // ZRL
-                    else {
-                      k += rs >> 4
-                      val size = rs & 15
-                      if (k > 63) return None
-                      val vb = r.bits(size)
-                      if (vb < 0) return None
-                      coef(Zigzag(k)) = extend(vb, size).toDouble * qt(k)
-                      k += 1
-                    }
-                  }
-                  val block = idct(coef)
-                  var y = 0
-                  while (y < 8) {
-                    val py = by * 8 + y
-                    if (py < h) {
-                      var x = 0
-                      while (x < 8) {
-                        val pxx = bx * 8 + x
-                        if (pxx < w) {
-                          val v = math.round(block(y * 8 + x) + 128.0).toInt
-                          px(py * w + pxx) = math.max(0, math.min(255, v)).toByte
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  var c = 0
+                  while (c < nc) {
+                    val qt = qts(c); val dcT = scanDc(c); val acT = scanAc(c)
+                    var bv = 0
+                    while (bv < comps(c).vs) {
+                      var bhz = 0
+                      while (bhz < comps(c).hs) {
+                        java.util.Arrays.fill(coef, 0.0)
+                        val s = r.decode(dcT)
+                        if (s < 0 || s > 11) return None
+                        val diffBits = if (s == 0) 0 else r.bits(s)
+                        if (diffBits < 0) return None
+                        dcPred(c) += extend(diffBits, s)
+                        coef(0) = dcPred(c).toDouble * qt(0)
+                        var k = 1
+                        var open = true
+                        while (open && k < 64) {
+                          val rs = r.decode(acT)
+                          if (rs < 0) return None
+                          if (rs == 0x00) open = false // EOB
+                          else if (rs == 0xf0) k += 16 // ZRL
+                          else {
+                            k += rs >> 4
+                            val size = rs & 15
+                            if (k > 63) return None
+                            val vb = r.bits(size)
+                            if (vb < 0) return None
+                            coef(Zigzag(k)) = extend(vb, size).toDouble * qt(k)
+                            k += 1
+                          }
                         }
-                        x += 1
+                        val block = idct(coef)
+                        // block origin in the COMPONENT plane; edge-MCU
+                        // blocks can overhang — cropped by bounds checks
+                        val ox = (mx * comps(c).hs + bhz) * 8
+                        val oy = (my * comps(c).vs + bv) * 8
+                        var y = 0
+                        while (y < 8) {
+                          val py = oy + y
+                          if (py < ch(c)) {
+                            var x = 0
+                            while (x < 8) {
+                              val pxx = ox + x
+                              if (pxx < cw(c)) {
+                                val v = math.round(block(y * 8 + x) + 128.0).toInt
+                                planes(c)(py * cw(c) + pxx) =
+                                  math.max(0, math.min(255, v)).toByte
+                              }
+                              x += 1
+                            }
+                          }
+                          y += 1
+                        }
+                        bhz += 1
                       }
+                      bv += 1
+                    }
+                    c += 1
+                  }
+                  mx += 1
+                }
+                my += 1
+              }
+              // upsample subsampled planes to full resolution (sample
+              // replication — with the encoder's box-downsampled chroma
+              // this is the standard nearest-neighbor reconstruction)
+              val full = Array.tabulate(nc) { c =>
+                if (cw(c) == w && ch(c) == h) planes(c)
+                else {
+                  val o = new Array[Byte](w * h)
+                  var y = 0
+                  while (y < h) {
+                    val sy = math.min(y * comps(c).vs / maxV, ch(c) - 1)
+                    var x = 0
+                    while (x < w) {
+                      val sx = math.min(x * comps(c).hs / maxH, cw(c) - 1)
+                      o(y * w + x) = planes(c)(sy * cw(c) + sx)
+                      x += 1
                     }
                     y += 1
                   }
-                  bx += 1
+                  o
                 }
-                by += 1
               }
-              return Some(JpegPixels(w, h, px))
+              return Some((w, h, full))
             case 0xd9 => return None // EOI before SOS
             case _ => () // APPn/COM/etc: skip
           }
@@ -969,6 +1042,44 @@ object Media {
       }
       None
     } catch { case _: Exception => None }
+
+    /** Grayscale decode — 1-component files only (the q89 contract);
+      * color files go through `decodeColor`. */
+    def decode(b: Array[Byte]): Option[JpegPixels] =
+      decodePlanes(b).collect {
+        case (w, h, planes) if planes.length == 1 => JpegPixels(w, h, planes(0))
+      }
+
+    /** Decoded color frame: full-resolution R/G/B sample planes. */
+    case class JpegColor(width: Int, height: Int,
+                         r: Array[Byte], g: Array[Byte], b: Array[Byte])
+
+    /** Color decode: 3-component YCbCr (any supported sampling, incl.
+      * 4:2:0) → RGB via the JFIF/CCIR-601 conversion, rounded then
+      * clamped per channel; grayscale files map to R=G=B=Y. */
+    def decodeColor(bytes: Array[Byte]): Option[JpegColor] =
+      decodePlanes(bytes).map { case (w, h, planes) =>
+        if (planes.length == 1) JpegColor(w, h, planes(0), planes(0), planes(0))
+        else {
+          val yP = planes(0); val cbP = planes(1); val crP = planes(2)
+          val n = w * h
+          val r = new Array[Byte](n)
+          val g = new Array[Byte](n)
+          val bl = new Array[Byte](n)
+          def clamp(v: Long): Byte = math.max(0L, math.min(255L, v)).toByte
+          var i = 0
+          while (i < n) {
+            val yv = (yP(i) & 0xff).toDouble
+            val cb = ((cbP(i) & 0xff) - 128).toDouble
+            val cr = ((crP(i) & 0xff) - 128).toDouble
+            r(i) = clamp(math.round(yv + 1.402 * cr))
+            g(i) = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr))
+            bl(i) = clamp(math.round(yv + 1.772 * cb))
+            i += 1
+          }
+          JpegColor(w, h, r, g, bl)
+        }
+      }
 
     /** Mean pixel intensity in [0, 1] — the shared integer-sum form. */
     def meanIntensity(p: JpegPixels): Double = {
@@ -999,9 +1110,6 @@ object Media {
       val dcEnc = buildEncodeTable(DcBits, DcVals)
       val acEnc = buildEncodeTable(AcBits, AcVals)
       val bwl = new JBitWriter(out)
-      def sizeOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-      def writeMag(v: Int, size: Int): Unit =
-        if (size > 0) bwl.write(if (v < 0) v + (1 << size) - 1 else v, size)
       val bw = (w + 7) / 8; val bh = (h + 7) / 8
       var dcPred = 0
       val blockPx = new Array[Double](64)
@@ -1020,36 +1128,125 @@ object Media {
             }
             y += 1
           }
-          val coef = fdct(blockPx)
-          // AC magnitudes clamp to ±1023: baseline SSSS tops out at 10
-          // bits, and the all-ones quant table doesn't shrink extreme
-          // coefficients the way a real table would. Unreachable for
-          // the synthetic fixtures; only adversarial blocks clip.
-          val q = Array.tabulate(64) { k =>
-            val v = math.round(coef(Zigzag(k))).toInt
-            if (k == 0) v else math.max(-1023, math.min(1023, v))
-          }
-          val diff = q(0) - dcPred; dcPred = q(0)
-          val ds = sizeOf(diff)
-          val (dc, dl) = dcEnc(ds)
-          bwl.write(dc, dl); writeMag(diff, ds)
-          var k = 1
-          var zeros = 0
-          while (k < 64) {
-            if (q(k) == 0) zeros += 1
-            else {
-              while (zeros > 15) { val (c, l) = acEnc(0xf0); bwl.write(c, l); zeros -= 16 }
-              val s = sizeOf(q(k))
-              val (c, l) = acEnc((zeros << 4) | s)
-              bwl.write(c, l); writeMag(q(k), s)
-              zeros = 0
-            }
-            k += 1
-          }
-          if (zeros > 0) { val (c, l) = acEnc(0x00); bwl.write(c, l) } // EOB
+          dcPred = writeBlock(bwl, blockPx, dcPred, dcEnc, acEnc)
           bx += 1
         }
         by += 1
+      }
+      bwl.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** FDCT → quantize (all-ones table: rounding only) → zigzag →
+      * canonical Huffman for one level-shifted 8×8 block; returns the
+      * block's quantized DC (the next block's predictor). AC magnitudes
+      * clamp to ±1023: baseline SSSS tops out at 10 bits, and the
+      * all-ones quant table doesn't shrink extreme coefficients the way
+      * a real table would — unreachable for the synthetic fixtures. */
+    private def writeBlock(bwl: JBitWriter, blockPx: Array[Double], dcPred: Int,
+                           dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)]): Int = {
+      def sizeOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      def writeMag(v: Int, size: Int): Unit =
+        if (size > 0) bwl.write(if (v < 0) v + (1 << size) - 1 else v, size)
+      val coef = fdct(blockPx)
+      val q = Array.tabulate(64) { k =>
+        val v = math.round(coef(Zigzag(k))).toInt
+        if (k == 0) v else math.max(-1023, math.min(1023, v))
+      }
+      val diff = q(0) - dcPred
+      val ds = sizeOf(diff)
+      val (dc, dl) = dcEnc(ds)
+      bwl.write(dc, dl); writeMag(diff, ds)
+      var k = 1
+      var zeros = 0
+      while (k < 64) {
+        if (q(k) == 0) zeros += 1
+        else {
+          while (zeros > 15) { val (c, l) = acEnc(0xf0); bwl.write(c, l); zeros -= 16 }
+          val s = sizeOf(q(k))
+          val (c, l) = acEnc((zeros << 4) | s)
+          bwl.write(c, l); writeMag(q(k), s)
+          zeros = 0
+        }
+        k += 1
+      }
+      if (zeros > 0) { val (c, l) = acEnc(0x00); bwl.write(c, l) } // EOB
+      q(0)
+    }
+
+    /** ENCODE a 3-component 4:2:0 YCbCr baseline JPEG — the web-dominant
+      * layout: Y sampled 2×2 per MCU, chroma 1×1 (quarter resolution),
+      * separate luma/chroma quant (0/1, both all-ones) and Huffman
+      * (DC0/AC0, DC1/AC1) tables, one interleaved scan of
+      * [Y₀Y₁Y₂Y₃ Cb Cr] MCUs with per-component DC prediction. Luma is
+      * per-pixel; chroma is CONSTANT per image (`cb`/`cr`) — the
+      * fixture-generator simplification that keeps the decoded output
+      * closed-form: a constant plane is invariant under box
+      * downsampling, survives FDCT→IDCT bit-exactly, and makes the
+      * reconstruction independent of the upsampling kernel. Dimensions
+      * must be multiples of 16 so every block is fully visible. */
+    def encodeColor420Baseline(w: Int, h: Int, yPix: (Int, Int) => Int,
+                               cb: Int, cr: Int): Array[Byte] = {
+      require(w % 16 == 0 && h % 16 == 0,
+        s"fixture encoder: dimensions must be multiples of 16, got ${w}x$h")
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Int]): Unit = {
+        marker(m)
+        val len = body.length + 2
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        body.foreach(v => out.write(v & 0xff))
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, 0 +: Array.fill(64)(1)) // DQT 0 (luma), all ones
+      seg(0xdb, 1 +: Array.fill(64)(1)) // DQT 1 (chroma), all ones
+      seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        3, // SOF0: 3 components
+        1, 0x22, 0, // Y: 2x2 sampling, qt 0
+        2, 0x11, 1, // Cb: 1x1, qt 1
+        3, 0x11, 1)) // Cr: 1x1, qt 1
+      seg(0xc4, 0x00 +: (DcBits.drop(1) ++ DcVals)) // DHT DC 0 (luma)
+      seg(0xc4, 0x10 +: (AcBits.drop(1) ++ AcVals)) // DHT AC 0
+      seg(0xc4, 0x01 +: (DcBits.drop(1) ++ DcVals)) // DHT DC 1 (chroma)
+      seg(0xc4, 0x11 +: (AcBits.drop(1) ++ AcVals)) // DHT AC 1
+      seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+      val dcEnc = buildEncodeTable(DcBits, DcVals)
+      val acEnc = buildEncodeTable(AcBits, AcVals)
+      val bwl = new JBitWriter(out)
+      val blockPx = new Array[Double](64)
+      val cbBlock = Array.fill(64)((cb & 0xff) - 128.0)
+      val crBlock = Array.fill(64)((cr & 0xff) - 128.0)
+      var predY = 0; var predCb = 0; var predCr = 0
+      val mcusX = w / 16; val mcusY = h / 16
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var bv = 0
+          while (bv < 2) { // 4 luma blocks, raster order within the MCU
+            var bhz = 0
+            while (bhz < 2) {
+              val ox = mx * 16 + bhz * 8; val oy = my * 16 + bv * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  blockPx(y * 8 + x) = (yPix(ox + x, oy + y) & 0xff) - 128.0
+                  x += 1
+                }
+                y += 1
+              }
+              predY = writeBlock(bwl, blockPx, predY, dcEnc, acEnc)
+              bhz += 1
+            }
+            bv += 1
+          }
+          predCb = writeBlock(bwl, cbBlock, predCb, dcEnc, acEnc)
+          predCr = writeBlock(bwl, crBlock, predCr, dcEnc, acEnc)
+          mx += 1
+        }
+        my += 1
       }
       bwl.flush()
       marker(0xd9) // EOI
@@ -1179,8 +1376,37 @@ object Media {
     }.toDF("media_id", "content")
   }
 
+  /** Deterministic VALID 4:2:0 color baseline JPEGs from `documents`:
+    * luma is CONSTANT PER 8×8 BLOCK (Y in block (bx,by) =
+    * doc_id%128 + 3·bx + 5·by, same pattern as the grayscale fixtures),
+    * chroma is constant per image (Cb = doc_id%96+80,
+    * Cr = (7·doc_id)%96+80). Block-constant planes survive the lossy
+    * pipeline bit-exactly AND make the reconstruction independent of
+    * the chroma upsampling kernel, so the q96 oracle predicts the
+    * decoded per-channel means in closed form even though decode runs
+    * the full interleaved-MCU + YCbCr→RGB pipeline. Dimensions are
+    * multiples of 16 (16/32 × 16) so every luma and chroma block is
+    * fully visible. */
+  def synthColorJpegs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = ((d % 2 + 1) * 16).toInt; val h = 16
+        val a = (d % 128).toInt
+        val cb = (d % 96 + 80).toInt
+        val cr = ((d * 7) % 96 + 80).toInt
+        (d, JpegCodec.encodeColor420Baseline(w, h,
+          (x, y) => a + 3 * (x / 8) + 5 * (y / 8), cb, cr))
+      }
+    }.toDF("media_id", "content")
+  }
+
   /** Decoded-JPEG statistics row. */
   case class JpegStats(media_id: Long, width: Int, height: Int, mean_intensity: Double)
+
+  /** Decoded-color-JPEG statistics row: per-channel mean in [0,1]. */
+  case class JpegColorStats(media_id: Long, width: Int, height: Int,
+                            mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Full baseline JPEG decode: partition-local mapPartitions, REAL
     * Huffman+IDCT via `JpegCodec`. Undecodable payloads → (-1,-1,-1). */
@@ -1191,6 +1417,27 @@ object Media {
         JpegCodec.decode(bytes) match {
           case Some(p) => JpegStats(id, p.width, p.height, JpegCodec.meanIntensity(p))
           case None => JpegStats(id, -1, -1, -1.0)
+        }
+      })
+  }
+
+  /** Full color JPEG decode (4:2:0 path): partition-local
+    * mapPartitions, REAL interleaved-MCU Huffman+IDCT + chroma
+    * upsample + YCbCr→RGB via `JpegCodec.decodeColor`. Undecodable
+    * payloads → (-1, -1, -1, -1, -1). */
+  def decodeColorJpegs(media: DataFrame): Dataset[JpegColorStats] = {
+    import media.sparkSession.implicits._
+    def mean(p: Array[Byte]): Double = {
+      var s = 0L; var i = 0
+      while (i < p.length) { s += p(i) & 0xff; i += 1 }
+      s.toDouble / (p.length.toLong * 255.0)
+    }
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        JpegCodec.decodeColor(bytes) match {
+          case Some(p) =>
+            JpegColorStats(id, p.width, p.height, mean(p.r), mean(p.g), mean(p.b))
+          case None => JpegColorStats(id, -1, -1, -1.0, -1.0, -1.0)
         }
       })
   }

@@ -131,6 +131,49 @@ object Multimodal {
       Media.decodeJpegs(jpegs).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q96: REAL COLOR (3-component 4:2:0 YCbCr) baseline JPEG decode —
+    // the web-dominant layout. Every document row becomes a complete
+    // valid color JPEG (interleaved [4×Y Cb Cr] MCUs, separate
+    // luma/chroma quant + Huffman tables, per-component DC prediction)
+    // through the encoder's full lossy pipeline; the Spark side must
+    // run the full inverse — interleaved-MCU entropy decode, per-plane
+    // dequantize+IDCT, chroma upsample, YCbCr→RGB with round-then-clamp
+    // per channel. Fixtures are block-constant in every plane (the
+    // bit-exact input class, ALSO upsampling-kernel-independent), so
+    // the oracle predicts the per-channel means in closed form over the
+    // 8×8 luma block grid, mirroring the JFIF conversion and the
+    // sum/(n·255) mean arithmetic exactly (floor(x+0.5) = JVM
+    // Math.round; sum over blocks ×64 = sum over pixels).
+    Q("q96_jpeg_color_decode",
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) * 2 AS bw,
+        |                  doc_id % 128 AS a,
+        |                  doc_id % 96 + 80 AS cb, (doc_id * 7) % 96 + 80 AS cr
+        |           FROM documents),
+        |g AS (SELECT m.*, bx.range AS bx, by.range AS by
+        |      FROM m, range(0, 4) bx, range(0, 2) by
+        |      WHERE bx.range < m.bw),
+        |px AS (SELECT doc_id, bw,
+        |  LEAST(255, GREATEST(0, CAST(floor(a + 3*bx + 5*by
+        |    + 1.402 * (cr - 128) + 0.5) AS INT))) AS r,
+        |  LEAST(255, GREATEST(0, CAST(floor(a + 3*bx + 5*by
+        |    - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5) AS INT))) AS g,
+        |  LEAST(255, GREATEST(0, CAST(floor(a + 3*bx + 5*by
+        |    + 1.772 * (cb - 128) + 0.5) AS INT))) AS b
+        |  FROM g)
+        |SELECT doc_id AS media_id,
+        |  CAST(bw * 8 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  round(CAST(64 * sum(r) AS DOUBLE) / (bw * 8 * 16 * 255.0), 6) AS mean_r,
+        |  round(CAST(64 * sum(g) AS DOUBLE) / (bw * 8 * 16 * 255.0), 6) AS mean_g,
+        |  round(CAST(64 * sum(b) AS DOUBLE) / (bw * 8 * 16 * 255.0), 6) AS mean_b
+        |FROM px GROUP BY doc_id, bw ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val jpegs = Media.synthColorJpegs(Tables.load(s, dir, "documents"))
+      Media.decodeColorJpegs(jpegs).toDF()
+        .withColumn("mean_r", round(col("mean_r"), 6))
+        .withColumn("mean_g", round(col("mean_g"), 6))
+        .withColumn("mean_b", round(col("mean_b"), 6))
+        .orderBy("media_id")
     }
   )
 }

@@ -136,6 +136,55 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec color 4:2:0: block-constant planes decode bit-exactly") {
+    def conv(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def clamp(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      (clamp(math.round(yv + 1.402 * (cr - 128))),
+        clamp(math.round(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        clamp(math.round(yv + 1.772 * (cb - 128))))
+    }
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val mw = rnd.nextInt(3) + 1; val mh = rnd.nextInt(2) + 1
+      val w = mw * 16; val h = mh * 16
+      val yVals = Array.fill(h / 8, w / 8)(rnd.nextInt(256))
+      val cb = rnd.nextInt(256); val cr = rnd.nextInt(256)
+      val jpg = Media.JpegCodec.encodeColor420Baseline(w, h,
+        (x, y) => yVals(y / 8)(x / 8), cb, cr)
+      val got = Media.JpegCodec.decodeColor(jpg)
+        .getOrElse(fail(s"seed $seed: color decode failed"))
+      assert(got.width === w && got.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = conv(yVals(y / 8)(x / 8), cb, cr)
+        val i = y * w + x
+        assert((got.r(i) & 0xff) === er, s"seed $seed R ($x,$y)")
+        assert((got.g(i) & 0xff) === eg, s"seed $seed G ($x,$y)")
+        assert((got.b(i) & 0xff) === eb, s"seed $seed B ($x,$y)")
+      }
+    }
+    // noisy luma through the full interleaved AC path: quantization
+    // rounding (±2 on Y) propagates through the conversion — small bound
+    val rnd = new scala.util.Random(42)
+    val w = 48; val h = 32
+    val px = Array.fill(h, w)(rnd.nextInt(256))
+    val jpg = Media.JpegCodec.encodeColor420Baseline(w, h, (x, y) => px(y)(x), 90, 160)
+    val got = Media.JpegCodec.decodeColor(jpg).getOrElse(fail("noisy color decode"))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = conv(px(y)(x), 90, 160)
+      val i = y * w + x
+      worst = math.max(worst, math.abs((got.r(i) & 0xff) - er))
+      worst = math.max(worst, math.abs((got.g(i) & 0xff) - eg))
+      worst = math.max(worst, math.abs((got.b(i) & 0xff) - eb))
+    }
+    assert(worst <= 4, s"worst channel error $worst")
+    // a grayscale file through the color API: R = G = B = Y
+    val gray = Media.JpegCodec.encodeGrayBaseline(16, 8, (x, y) => (x * 16 + y * 8) % 256)
+    val gc = Media.JpegCodec.decodeColor(gray).getOrElse(fail("gray via color API"))
+    assert(gc.r.toSeq === gc.g.toSeq && gc.g.toSeq === gc.b.toSeq)
+    assert(gc.r.toSeq === Media.JpegCodec.decode(gray).get.pixels.toSeq)
+  }
+
   test("ImageCodec round-trips random dimensions through PNG/GIF/JPEG layouts") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
