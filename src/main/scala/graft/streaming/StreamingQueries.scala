@@ -194,5 +194,81 @@ object StreamingQueries {
           col("sum_value"))
         .orderBy("window_start", "event_type")
         .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
+    // ---- q97: streaming EXECUTION of watermarked SESSION windows --------
+    // q38 gates merge-gap session SEMANTICS batch-side; this gates the
+    // streaming session_window RUNTIME — watermark-driven late-row
+    // dropping against the row's initial [ts, ts+gap) window, in-batch
+    // session merging, cross-batch state retention, and append-mode
+    // eviction — against a DuckDB oracle. The replay is split by
+    // user_id % 4 (NOT by event id): every user's events arrive in ONE
+    // batch, so a session in state is never extended by a later batch
+    // and the state machine's output provably equals a global
+    // recomputation over the accepted rows — which is exactly what the
+    // oracle computes (per-batch watermark from earlier batches' max
+    // event time − 30 min, acceptance ts+gap > wm in integer micros,
+    // then the q38 lag/cumsum sessionization over accepted rows).
+    // Batches 2-4 are late-heavy (each user's history spans the full
+    // time range, but the watermark already sits 30 min below the
+    // global max), so the row-level drop path does real work; the
+    // sentinel (+10 h, its own session never emitted) pushes the final
+    // watermark past every real session so append mode flushes them.
+    Q("q97_streaming_session",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(user_id % 4 AS INTEGER) AS b FROM events),
+        |mx AS (SELECT b, max(epoch_us(ts)) AS mxus FROM e GROUP BY b),
+        |wmb AS (SELECT b, max(mxus) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - 1800000000 AS wmus FROM mx),
+        |acc AS (SELECT e.* FROM e JOIN wmb ON e.b = wmb.b
+        |  WHERE wmb.wmus IS NULL OR epoch_us(e.ts) + 600000000 > wmb.wmus),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  make_timestamp(max(epoch_us(ts)) + 600000000) AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q97 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val source = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val agg = Windows.sessionStream(
+        source.toDF().toDF("event_id", "user_id", "ts"),
+        "10 minutes", "30 minutes")
+      val sink = "q97_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        for (b <- 0 to 3) {
+          val batch = ev.filter(col("user_id") % 4 === b)
+            .as[(Long, Long, java.sql.Timestamp)].collect()
+          source.addData(batch.toSeq)
+          query.processAllAvailable() // ONE data micro-batch per replay step
+        }
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + 10L * 3600 * 1000)
+        source.addData(Seq((-1L, -1L, sentinelTs)))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .select(col("session_start"), col("session_end"), col("user_id"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     })
 }
