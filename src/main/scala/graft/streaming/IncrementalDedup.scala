@@ -421,9 +421,12 @@ object IncrementalDedup {
   /** Process one micro-batch of (doc_id, text): emit duplicate verdicts
     * (doc_id, dup_of, est_jaccard) against the store and earlier batch
     * docs, then append the batch's signatures to the store. Callable
-    * directly (batch mode) or from `stream`'s foreachBatch. */
+    * directly (batch mode) or from `stream`'s foreachBatch.
+    * `compactAfter` overrides the auto-compaction trigger — the q98
+    * gate shrinks it so a short drive crosses real fold boundaries. */
   def processBatch(batchDocs: DataFrame, storeDir: String,
-                   threshold: Double = DefaultThreshold): DataFrame = {
+                   threshold: Double = DefaultThreshold,
+                   compactAfter: Int = CompactThreshold): DataFrame = {
     val spark = batchDocs.sparkSession
     val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
     // the batch in store-row shapes: exploded index rows + registry rows
@@ -540,7 +543,7 @@ object IncrementalDedup {
     batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)
-    if (committedDirs(spark, storeDir).size > CompactThreshold)
+    if (committedDirs(spark, storeDir).size > compactAfter)
       compactStore(spark, storeDir)
     out
   }

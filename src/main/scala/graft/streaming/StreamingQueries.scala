@@ -90,34 +90,64 @@ object StreamingQueries {
       |ORDER BY batch, doc_id""".stripMargin
   }
 
+  /** The shared 5-batch store drive behind q94/q98 (see q94Sql doc):
+    * fresh store per run — the query IS the store drive, so a rerun
+    * (Bench's min-of-2) must start from the same empty state. The dir
+    * is keyed by applicationId so concurrent JVMs (parallel sbt
+    * test/bench) never clobber each other's store mid-run. */
+  private def incrementalDedupDrive(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, storeName: String,
+                                    compactAfter: Int): org.apache.spark.sql.DataFrame = {
+    val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
+      s"${storeName}_${s.sparkContext.applicationId}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val batches = Seq(
+      1 -> base.filter(col("doc_id") % 3 === 0),
+      2 -> base.filter(col("doc_id") % 3 === 1),
+      3 -> base.filter(col("doc_id") % 3 === 2),
+      4 -> base.filter(col("doc_id") % 10 === 0)
+        .withColumn("text",
+          concat(col("text"), lit(" reingested update v2 content")))
+        .unionByName(base.filter(col("doc_id") % 10 === 5)),
+      5 -> base.filter(col("doc_id") % 10 === 1))
+    val out = batches.map { case (i, b) =>
+      // strict: each processBatch runs (and commits) before the next
+      IncrementalDedup.processBatch(b, root.toString,
+        compactAfter = compactAfter)
+        .withColumn("batch", lit(i))
+    }.reduce(_ unionByName _)
+      .select(col("batch"), col("doc_id"), col("dup_of"), col("est_jaccard"))
+      .orderBy("batch", "doc_id")
+    if (compactAfter < IncrementalDedup.CompactThreshold) {
+      // the fold-boundary gate is only a gate if folds actually ran:
+      // with compactAfter=3 the drive must end freshly compacted
+      val dirs = IncrementalDedup.committedDirs(s, root.toString).size
+      require(dirs <= compactAfter + 1,
+        s"expected a compacted store (<= ${compactAfter + 1} dirs), got $dirs")
+    }
+    out
+  }
+
   val defs: Seq[Q] = Seq(
     Q("q94_incremental_dedup", q94Sql) { (s, dir) =>
-      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-      // fresh store per run — the query IS the store drive, so a rerun
-      // (Bench's min-of-2) must start from the same empty state. The dir
-      // is keyed by applicationId so concurrent JVMs (parallel sbt
-      // test/bench) never clobber each other's store mid-run.
-      val root = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-        s"graft_q94_store_${s.sparkContext.applicationId}")
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(root, true)
-      val batches = Seq(
-        1 -> base.filter(col("doc_id") % 3 === 0),
-        2 -> base.filter(col("doc_id") % 3 === 1),
-        3 -> base.filter(col("doc_id") % 3 === 2),
-        4 -> base.filter(col("doc_id") % 10 === 0)
-          .withColumn("text",
-            concat(col("text"), lit(" reingested update v2 content")))
-          .unionByName(base.filter(col("doc_id") % 10 === 5)),
-        5 -> base.filter(col("doc_id") % 10 === 1))
-      batches.map { case (i, b) =>
-        // strict: each processBatch runs (and commits) before the next
-        IncrementalDedup.processBatch(b, root.toString)
-          .withColumn("batch", lit(i))
-      }.reduce(_ unionByName _)
-        .select(col("batch"), col("doc_id"), col("dup_of"), col("est_jaccard"))
-        .orderBy("batch", "doc_id")
+      incrementalDedupDrive(s, dir, "graft_q94_store",
+        IncrementalDedup.CompactThreshold)
+    },
+
+    // q98: the SAME drive and the SAME oracle as q94, but with the
+    // auto-compaction trigger shrunk to 3 committed directories, so the
+    // five batches cross THREE real fold boundaries (after batches 2, 3
+    // and 5 — batch 4's stale rewrite replaces the file set wholesale).
+    // Compaction's contract is "store contents unchanged, detection
+    // identical": if a fold dropped, duplicated, or resurrected any
+    // index/registry row, later batches' verdicts (computed against the
+    // folded store — including the post-re-ingest probes) would diverge
+    // from the declarative recomputation and fail the hash.
+    Q("q98_incremental_dedup_compaction", q94Sql) { (s, dir) =>
+      incrementalDedupDrive(s, dir, "graft_q98_store", compactAfter = 3)
     },
 
     // ---- q95: streaming EXECUTION of the watermarked window family ------
