@@ -200,7 +200,15 @@ final class Scd2Store(spark: SparkSession, root: String,
 
   // ---- manifest: the single source of committed truth ------------------
 
-  private case class Manifest(seq: Long, liveVersion: Int, history: Seq[String])
+  /** `liveFiles`: per-file zone map of the current live version —
+    * (fileName, lo, hi) over the `_k` key-bucket column — carried in
+    * the manifest so a PK point lookup selects its one file without
+    * listing or footer-probing anything at read time. Empty for
+    * manifests written before the zone maps existed (or for tables
+    * without a registered scope key): readers degrade to the full live
+    * read, never a wrong answer. */
+  private case class Manifest(seq: Long, liveVersion: Int, history: Seq[String],
+                              liveFiles: Seq[(String, Int, Int)] = Seq.empty)
 
   private def manifestSeq(p: HPath): Option[Long] = {
     val n = p.getName
@@ -231,9 +239,17 @@ final class Scd2Store(spark: SparkSession, root: String,
       val liveV = lines.collectFirst { case l if l.startsWith("live=") =>
         l.stripPrefix("live=").toInt }.getOrElse(throw new java.io.IOException(
         s"corrupt manifest $p: no live= line (content: ${lines.mkString("\\n").take(200)})"))
+      val liveFiles = lines.collect { case l if l.startsWith("livefile=") =>
+        l.stripPrefix("livefile=").split(",", 3) match {
+          case Array(n, lo, hi) => (n, lo.toInt, hi.toInt)
+          case _ => throw new java.io.IOException(
+            s"corrupt manifest $p: malformed livefile line ($l)")
+        }
+      }
       Some(Manifest(seq, liveV,
         lines.collect { case l if l.startsWith("history=") =>
-          l.stripPrefix("history=") }))
+          l.stripPrefix("history=") },
+        liveFiles))
     }
   }
 
@@ -273,7 +289,8 @@ final class Scd2Store(spark: SparkSession, root: String,
     * lazy readers that resolved paths before this commit
     * `retainGenerations` full batches to materialize (see the reader
     * contract in the class doc). */
-  private def commit(name: String, liveVersion: Int, history: Seq[String]): Unit = {
+  private def commit(name: String, liveVersion: Int, history: Seq[String],
+                     liveFiles: Seq[(String, Int, Int)] = Seq.empty): Unit = {
     fs.mkdirs(manifestDir(name))
     val entries = manifestEntries(name)
     val seq = entries.headOption.fold(0L)(_._1) + 1
@@ -283,7 +300,8 @@ final class Scd2Store(spark: SparkSession, root: String,
         catch { case _: java.io.FileNotFoundException => None } // racing GC: skip
       }.take(retainGenerations)
     val content =
-      (s"live=$liveVersion" +: history.sorted.map("history=" + _)
+      ((s"live=$liveVersion" +: history.sorted.map("history=" + _)) ++
+        liveFiles.sortBy(_._1).map { case (n, lo, hi) => s"livefile=$n,$lo,$hi" }
         :+ Scd2Store.EndMarker).mkString("\n")
     val dest = new HPath(manifestDir(name), s"m$seq")
     failpoint(s"$name:pre-publish") // the window between choosing a seq
@@ -309,13 +327,78 @@ final class Scd2Store(spark: SparkSession, root: String,
     m match {
       case Some(mf) =>
         val p = new HPath(dir(name), s"live/v${mf.liveVersion}")
-        if (hasParquet(p)) spark.read.parquet(p.toString) else empty(name)
+        // _k is the write-side sort/zone-map bucket, not entity data
+        if (hasParquet(p)) spark.read.parquet(p.toString).drop("_k")
+        else empty(name)
       case None => empty(name)
     }
 
   /** Live-state view (Q1): one row per entity, read from the live set
     * alone — cost independent of history depth. */
   def live(name: String): DataFrame = liveOf(name, latestManifest(name))
+
+  /** PK point lookup on the live set, MANIFEST-BOUNDED: the live write
+    * range-splits rows by `_k` = hash-bucket of the scope key and the
+    * manifest carries each file's exact [lo, hi] `_k` range (read once
+    * from the parquet footers at write time), so a lookup opens the ONE
+    * file whose range covers the key's bucket — not the whole live
+    * partition. At a 1000-executor store with thousands of live files,
+    * that is the difference between a point read and a full scan.
+    * Manifests without zone maps degrade to the filtered full read. */
+  def pointLookup(name: String, keyValue: String): DataFrame = {
+    val m = latestManifest(name)
+    val keyCol = Schemas.tables(name)._2.head
+    val base = m match {
+      case Some(mf) if mf.liveFiles.nonEmpty =>
+        val k = Scd2Store.liveKeyBucket(keyValue)
+        val hit = mf.liveFiles.filter { case (_, lo, hi) => lo <= k && k <= hi }
+        if (hit.isEmpty) liveOf(name, m).limit(0) // bucket absent: no such key
+        else spark.read.parquet(hit.map { case (n, _, _) =>
+          new HPath(dir(name), s"live/v${mf.liveVersion}/$n").toString }: _*)
+          .drop("_k")
+      case _ => liveOf(name, m)
+    }
+    base.filter(col(keyCol) === keyValue)
+  }
+
+  /** Measurement hook (spec + scale harness): (total live files in the
+    * committed zone map, files a `pointLookup(keyValue)` actually
+    * reads). */
+  private[graft] def pointLookupFootprint(name: String, keyValue: String): (Int, Int) = {
+    val files = latestManifest(name).fold(Seq.empty[(String, Int, Int)])(_.liveFiles)
+    val k = Scd2Store.liveKeyBucket(keyValue)
+    (files.size, files.count { case (_, lo, hi) => lo <= k && k <= hi })
+  }
+
+  /** Write the live set for version `liveV` as range-split sorted files
+    * keyed by the `_k` bucket of the table's scope key, and return the
+    * per-file [lo, hi] zone map (one bounded footer read per file at
+    * write time — the read path never probes anything). Tables without
+    * a single registered scope key get a plain write and no zone map. */
+  private def writeLive(name: String, liveRows: DataFrame, liveV: Int): Seq[(String, Int, Int)] = {
+    val dest = new HPath(dir(name), s"live/v$liveV")
+    val keyCols = Schemas.tables.get(name).map(_._2).getOrElse(Seq.empty)
+    if (keyCols.length != 1) {
+      liveRows.write.mode("overwrite").parquet(dest.toString)
+      Seq.empty
+    } else {
+      val rows = liveRows.count()
+      val nFiles = math.max(1L, (rows + Scd2Store.LiveTargetRowsPerFile - 1) /
+        Scd2Store.LiveTargetRowsPerFile).toInt
+      liveRows
+        .withColumn("_k", pmod(xxhash64(col(keyCols.head)),
+          lit(Scd2Store.LiveKeyBuckets)).cast("int"))
+        .repartitionByRange(nFiles, col("_k"))
+        .sortWithinPartitions(col("_k"), col(keyCols.head))
+        .write.mode("overwrite").parquet(dest.toString)
+      val conf = spark.sparkContext.hadoopConfiguration
+      listDir(dest)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .flatMap(p => graft.core.Footers.intRange(p, conf, "_k")
+          .map { case (lo, hi) => (p.getName, lo, hi) })
+    }
+  }
 
   /** Full SCD2 view: live + closed history. Resolves ONE manifest per
     * call, so the live and history halves always come from the same
@@ -452,11 +535,10 @@ final class Scd2Store(spark: SparkSession, root: String,
         }
       }
       val liveV = m.fold(-1)(_.liveVersion) + 1
-      merged.filter(col("end_block_num") === MaxBlockNum)
-        .write.mode("overwrite").parquet(
-          new HPath(dir(name), s"live/v$liveV").toString)
+      val lf = writeLive(name,
+        merged.filter(col("end_block_num") === MaxBlockNum), liveV)
       failpoint(s"applyMerged:$name:pre-commit")
-      commit(name, liveV, newHist)
+      commit(name, liveV, newHist, lf)
     } finally merged.unpersist()
   }
 
@@ -491,11 +573,11 @@ final class Scd2Store(spark: SparkSession, root: String,
       if (maxEnd.isDefined)
         closed.write.mode("overwrite").parquet(
           new HPath(historyDir(name), foldName).toString)
-      full.filter(col("end_block_num") === MaxBlockNum)
-        .write.mode("overwrite").parquet(
-          new HPath(dir(name), s"live/v$liveV").toString)
+      val lf = writeLive(name,
+        full.filter(col("end_block_num") === MaxBlockNum), liveV)
       failpoint(s"compactTo:$name:pre-commit")
-      commit(name, liveV, if (maxEnd.isDefined) Seq(foldName) else Seq.empty)
+      commit(name, liveV,
+        if (maxEnd.isDefined) Seq(foldName) else Seq.empty, lf)
     } finally full.unpersist()
   }
 
@@ -579,4 +661,27 @@ object Scd2Store {
     * during a crash-overlap window. 2^20 attempts of headroom per tag
     * keeps ranks collision-free up to ~2^43 blocks. */
   val SegRankStride: Long = 1L << 20
+
+  /** `_k` zone-map bucket domain for live-file point-lookup pruning.
+    * Wide enough that files of a many-thousand-file live set carry
+    * narrow disjoint ranges; small enough that the per-file manifest
+    * line stays tiny. */
+  val LiveKeyBuckets = 4096
+
+  /** Target rows per live file — the range-split granularity. Mutable
+    * ONLY as a test seam (specs shrink it to force multi-file live sets
+    * at toy scale). */
+  private[graft] var LiveTargetRowsPerFile: Long = 1_000_000L
+
+  /** Driver-side `_k` bucket of a scope-key value — the SAME function
+    * the live write computes with `xxhash64` (XxHash64, seed 42), so
+    * manifest range selection and file contents can never disagree. */
+  def liveKeyBucket(value: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % LiveKeyBuckets) + LiveKeyBuckets) % LiveKeyBuckets).toInt
+  }
 }

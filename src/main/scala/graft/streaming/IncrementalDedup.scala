@@ -388,26 +388,11 @@ object IncrementalDedup {
       .write.mode(SaveMode.Overwrite)
       .parquet(destPath.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    import scala.jdk.CollectionConverters._
     fs.listStatus(destPath).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-      .flatMap { p =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          if (blocks.map(_.getRowCount).sum == 0) None // empty range slice
-          else {
-            val stats = blocks.flatMap(_.getColumns.asScala
-              .find(_.getPath.toDotString == "_k").map(_.getStatistics))
-            require(stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue),
-              s"no _k statistics in parquet footer of $p — cannot build zone map")
-            Some(FileEntry(s"$name/${p.getName}",
-              stats.map(_.genericGetMin.asInstanceOf[Number].intValue()).min,
-              stats.map(_.genericGetMax.asInstanceOf[Number].intValue()).max))
-          }
-        } finally reader.close()
-      }.sortBy(_.path)
+      .flatMap(p => graft.core.Footers.intRange(p, conf, "_k")
+        .map { case (lo, hi) => FileEntry(s"$name/${p.getName}", lo, hi) })
+      .sortBy(_.path)
   }
 
   /** Index write: exploded rows range-split by pid, bucket tiebreak. */
