@@ -195,71 +195,32 @@ object Media {
 
   /** REAL PNG pixel decode — pure JVM (`java.util.zip.Inflater` + the
     * five T.81→RFC-2083 scanline filters), so it runs in any executor
-    * with no native image libraries. Scope: non-interlaced 8-bit
-    * greyscale (color type 0) and RGB (color type 2) — the formats a
-    * training-data pipeline normalizes to; anything else returns None
-    * and falls back to the metadata-only path. This retires
-    * `StubCodec.decodeIntensities` for PNG payloads. */
+    * with no native image libraries. Scope: 8-bit greyscale (color type
+    * 0) and RGB (color type 2), non-interlaced OR Adam7-interlaced —
+    * the formats a training-data pipeline normalizes to; anything else
+    * returns None and falls back to the metadata-only path. This
+    * retires `StubCodec.decodeIntensities` for PNG payloads. */
   object PngCodec {
-    def decode(b: Array[Byte]): Option[PngPixels] = try {
-      def u8(i: Int) = b(i) & 0xff
-      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-      if (b.length < 8 || u8(0) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
-        return None
-      var i = 8
-      var w = 0; var h = 0; var colorType = -1
-      val idat = new java.io.ByteArrayOutputStream()
-      var end = false
-      while (!end && i + 8 <= b.length) {
-        val len = be32(i)
-        if (len < 0 || i + 12 + len > b.length) return None // truncated chunk
-        val typ = new String(b, i + 4, 4, "US-ASCII")
-        typ match {
-          case "IHDR" =>
-            if (len < 13) return None
-            w = be32(i + 8); h = be32(i + 12)
-            val bitDepth = u8(i + 16); colorType = u8(i + 17)
-            val interlace = u8(i + 20)
-            if (bitDepth != 8 || (colorType != 0 && colorType != 2) || interlace != 0)
-              return None // out of scope: fall back to metadata-only
-          case "IDAT" => idat.write(b, i + 8, len)
-          case "IEND" => end = true
-          case _ => () // ancillary chunks skipped
-        }
-        i += 12 + len
-      }
-      if (w <= 0 || h <= 0 || colorType < 0 || idat.size == 0) return None
-      val channels = if (colorType == 0) 1 else 3
-      if (w.toLong * h * channels > MaxDecodedBytes) return None // alloc cap
-      val stride = w * channels
-      // inflate the zlib stream. The loop runs to finished() — not just
-      // until the buffer fills — so the Inflater always reaches and
-      // VERIFIES the adler32 trailer (DataFormatException → None);
-      // stopping at the expected byte count would accept corrupt pixel
-      // data whose damage sits before the trailer.
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((stride + 1) * h)
-      val overflow = new Array[Byte](1)
-      var off = 0
-      while (!inf.finished()) {
-        val n =
-          if (off < raw.length) inf.inflate(raw, off, raw.length - off)
-          else inf.inflate(overflow, 0, 1)
-        if (off >= raw.length && n > 0) return None // longer than w·h — malformed
-        if (off < raw.length) off += n
-        if (n == 0 && !inf.finished() &&
-            (inf.needsInput() || inf.needsDictionary())) return None // truncated
-      }
-      inf.end()
-      if (off < raw.length) return None // short pixel stream
-      // undo the per-scanline filter (type byte leads each row)
-      val px = new Array[Byte](stride * h)
+    /** Adam7 pass grid: (xStart, yStart, xStep, yStep). Each pass is an
+      * independent sub-image — filtered against its own rows — whose
+      * pixels scatter back onto the full grid; passes with zero pixels
+      * contribute NO bytes at all (not even filter bytes, per spec). */
+    private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Undo per-scanline filters of one (sub-)image: `ph` rows of `pw`
+      * pixels at `off` in `raw`, each row led by its filter byte. None
+      * on an unknown filter type. */
+    private def unfilter(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+                         channels: Int): Option[Array[Byte]] = {
+      val stride = pw * channels
+      val px = new Array[Byte](stride * ph)
       val bpp = channels
       var y = 0
-      while (y < h) {
-        val f = raw(y * (stride + 1)) & 0xff
-        val rs = y * (stride + 1) + 1
+      while (y < ph) {
+        val f = raw(off + y * (stride + 1)) & 0xff
+        val rs = off + y * (stride + 1) + 1
         val os = y * stride
         var x = 0
         while (x < stride) {
@@ -283,6 +244,91 @@ object Media {
         }
         y += 1
       }
+      Some(px)
+    }
+
+    def decode(b: Array[Byte]): Option[PngPixels] = try {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (b.length < 8 || u8(0) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+        return None
+      var i = 8
+      var w = 0; var h = 0; var colorType = -1; var interlace = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end && i + 8 <= b.length) {
+        val len = be32(i)
+        if (len < 0 || i + 12 + len > b.length) return None // truncated chunk
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (len < 13) return None
+            w = be32(i + 8); h = be32(i + 12)
+            val bitDepth = u8(i + 16); colorType = u8(i + 17)
+            interlace = u8(i + 20)
+            if (bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+                interlace > 1)
+              return None // out of scope: fall back to metadata-only
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => end = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (w <= 0 || h <= 0 || colorType < 0 || idat.size == 0) return None
+      val channels = if (colorType == 0) 1 else 3
+      if (w.toLong * h * channels > MaxDecodedBytes) return None // alloc cap
+      // the 1×1 "pass grid" makes non-interlaced a degenerate Adam7
+      val passes = if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy) }
+      val rawLen = passDims.map { case (pw, ph) =>
+        if (pw <= 0 || ph <= 0) 0 else ph * (pw * channels + 1) }.sum
+      // inflate the zlib stream. The loop runs to finished() — not just
+      // until the buffer fills — so the Inflater always reaches and
+      // VERIFIES the adler32 trailer (DataFormatException → None);
+      // stopping at the expected byte count would accept corrupt pixel
+      // data whose damage sits before the trailer.
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](rawLen)
+      val overflow = new Array[Byte](1)
+      var off = 0
+      while (!inf.finished()) {
+        val n =
+          if (off < raw.length) inf.inflate(raw, off, raw.length - off)
+          else inf.inflate(overflow, 0, 1)
+        if (off >= raw.length && n > 0) return None // longer than w·h — malformed
+        if (off < raw.length) off += n
+        if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary())) return None // truncated
+      }
+      inf.end()
+      if (off < raw.length) return None // short pixel stream
+      val px = new Array[Byte](w * h * channels)
+      var rawOff = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val (pw, ph) = passDims(pi)
+        if (pw > 0 && ph > 0) {
+          val sub = unfilter(raw, rawOff, pw, ph, channels).getOrElse(return None)
+          rawOff += ph * (pw * channels + 1)
+          var py = 0
+          while (py < ph) {
+            var sx = 0
+            while (sx < pw) {
+              val dst = ((y0 + py * dy) * w + (x0 + sx * dx)) * channels
+              val src = (py * pw + sx) * channels
+              var c = 0
+              while (c < channels) { px(dst + c) = sub(src + c); c += 1 }
+              sx += 1
+            }
+            py += 1
+          }
+        }
+        pi += 1
+      }
       Some(PngPixels(w, h, channels, px))
     } catch { case _: Exception => None } // corrupt deflate/adler → not decodable
 
@@ -301,38 +347,55 @@ object Media {
       * Each scanline is forward-filtered with `filterOf(y)` cycling
       * through all four non-trivial filters, making the decoder's
       * unfilter path the thing under test. */
-    def encodeStoredGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
-      val stride = w
-      // forward-filter the scanlines (type byte + filtered bytes per row)
-      val raw = new Array[Byte]((stride + 1) * h)
-      val cur = new Array[Int](stride)
-      val prev = new Array[Int](stride)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < stride) { cur(x) = pixel(x, y) & 0xff; x += 1 }
-        val f = if (y == 0) 1 else (y % 4) + 1 // Sub, then Up/Avg/Paeth/Sub…
-        raw(y * (stride + 1)) = f.toByte
-        x = 0
-        while (x < stride) {
-          val left = if (x > 0) cur(x - 1) else 0
-          val up = if (y > 0) prev(x) else 0
-          val ul = if (y > 0 && x > 0) prev(x - 1) else 0
-          val pred = f match {
-            case 1 => left
-            case 2 => up
-            case 3 => (left + up) / 2
-            case 4 =>
-              val p = left + up - ul
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    def encodeStoredGray(w: Int, h: Int, pixel: (Int, Int) => Int,
+                         interlaced: Boolean = false): Array[Byte] = {
+      // forward-filter one (sub-)image's scanlines (type byte +
+      // filtered bytes per row), cycling all four non-trivial filters
+      def filterPass(pw: Int, ph: Int, at: (Int, Int) => Int): Array[Byte] = {
+        val stride = pw
+        val out = new Array[Byte]((stride + 1) * ph)
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < stride) { cur(x) = at(x, y) & 0xff; x += 1 }
+          val f = if (y == 0) 1 else (y % 4) + 1 // Sub, then Up/Avg/Paeth/Sub…
+          out(y * (stride + 1)) = f.toByte
+          x = 0
+          while (x < stride) {
+            val left = if (x > 0) cur(x - 1) else 0
+            val up = if (y > 0) prev(x) else 0
+            val ul = if (y > 0 && x > 0) prev(x - 1) else 0
+            val pred = f match {
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+            out(y * (stride + 1) + 1 + x) = ((cur(x) - pred) & 0xff).toByte
+            x += 1
           }
-          raw(y * (stride + 1) + 1 + x) = ((cur(x) - pred) & 0xff).toByte
-          x += 1
+          System.arraycopy(cur, 0, prev, 0, stride)
+          y += 1
         }
-        System.arraycopy(cur, 0, prev, 0, stride)
-        y += 1
+        out
       }
+      val raw =
+        if (!interlaced) filterPass(w, h, pixel)
+        else {
+          // Adam7: each non-empty pass filtered as its own sub-image
+          val bos = new java.io.ByteArrayOutputStream()
+          for ((x0, y0, dx, dy) <- Adam7) {
+            val pw = (w - x0 + dx - 1) / dx; val ph = (h - y0 + dy - 1) / dy
+            if (pw > 0 && ph > 0)
+              bos.write(filterPass(pw, ph, (x, y) => pixel(x0 + x * dx, y0 + y * dy)))
+          }
+          bos.toByteArray
+        }
       // zlib wrapper with stored deflate blocks + adler32
       val z = new java.io.ByteArrayOutputStream()
       z.write(0x78); z.write(0x01)
@@ -368,7 +431,8 @@ object Media {
       }
       val ihdr = java.nio.ByteBuffer.allocate(13)
       ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grey
-        .put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte)
+        .put((if (interlaced) 1 else 0).toByte)
       chunk("IHDR", ihdr.array())
       chunk("IDAT", z.toByteArray)
       chunk("IEND", Array.emptyByteArray)
@@ -391,8 +455,9 @@ object Media {
     * compresses for real (dictionary growth, width bumps one entry
     * after the decoder's boundary — giflib's RunningCode > MaxCode1
     * rule — CLEAR at table-full), so encode→decode round-trips exercise
-    * every decoder path. Interlace and local color tables are out of
-    * scope → None (fall back to header-only metadata). */
+    * every decoder path. A per-image local color table takes precedence
+    * over the global one; interlace is out of scope → None (fall back
+    * to header-only metadata). */
   object GifCodec {
     private val MaxCodes = 4096
 
@@ -556,10 +621,22 @@ object Media {
             val iw = le16(i + 5); val ih = le16(i + 7)
             val ipacked = u8(i + 9)
             if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
-            if ((ipacked & 0x80) != 0) return None // local color table: out of scope
-            if (gctSize == 0 || iw <= 0 || ih <= 0) return None
+            if (iw <= 0 || ih <= 0) return None
             if (iw.toLong * ih > MaxDecodedBytes) return None // alloc cap
             i += 10
+            // a local color table takes precedence over the global one
+            // for this image (GIF89a §20); R channel, like the GCT
+            var pal = gct; var palSize = gctSize
+            if ((ipacked & 0x80) != 0) {
+              val n = 2 << (ipacked & 7)
+              if (i + n * 3 > b.length) return None
+              val lct = new Array[Byte](n)
+              var c = 0
+              while (c < n) { lct(c) = b(i + c * 3); c += 1 }
+              pal = lct; palSize = n
+              i += n * 3
+            }
+            if (palSize == 0) return None // no palette at all
             val minCode = u8(i); i += 1
             if (minCode < 2 || minCode > 8) return None
             // concatenate the data sub-blocks
@@ -576,8 +653,8 @@ object Media {
             var p = 0
             while (p < px.length) {
               val ci = idx(p) & 0xff
-              if (ci >= gctSize) return None // index outside the palette
-              px(p) = gct(ci)
+              if (ci >= palSize) return None // index outside the palette
+              px(p) = pal(ci)
               p += 1
             }
             return Some(GifPixels(iw, ih, px))
@@ -596,23 +673,32 @@ object Media {
     }
 
     /** ENCODE a grayscale image as a real GIF89a: 256-entry gray ramp
-      * GCT (palette i → (i,i,i), so index == intensity), one
+      * palette (entry i → (i,i,i), so index == intensity), one
       * non-interlaced image, REAL LZW compression. Structurally valid
-      * end-to-end, pixel payload byte-predictable for the q88 oracle. */
-    def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      * end-to-end, pixel payload byte-predictable for the q88 oracle.
+      * `localPalette` moves the ramp from the global color table to a
+      * per-image LOCAL color table (no GCT at all) — the layout real
+      * multi-image GIFs use, exercising the decoder's LCT-precedence
+      * path. */
+    def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int,
+                   localPalette: Boolean = false): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       out.write("GIF89a".getBytes("US-ASCII"))
       out.write(w & 0xff); out.write((w >> 8) & 0xff)
       out.write(h & 0xff); out.write((h >> 8) & 0xff)
-      out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+      out.write(if (localPalette) 0x70 else 0xf7) // GCT present unless local
       out.write(0); out.write(0) // background, aspect
       var c = 0
-      while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+      if (!localPalette)
+        while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
       out.write(0x2c) // image descriptor
       out.write(0); out.write(0); out.write(0); out.write(0) // left, top
       out.write(w & 0xff); out.write((w >> 8) & 0xff)
       out.write(h & 0xff); out.write((h >> 8) & 0xff)
-      out.write(0) // not interlaced, no local color table
+      out.write(if (localPalette) 0x87 else 0) // LCT 256 | plain
+      c = 0
+      if (localPalette)
+        while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
       val px = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
@@ -1313,7 +1399,11 @@ object Media {
       ids.map { d =>
         val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
         val a = (d % 200).toInt
-        (d, PngCodec.encodeStoredGray(w, h, (_, y) => a + y))
+        // every third PNG is Adam7-interlaced: same pixels (the oracle
+        // is layout-independent), so the deinterlace path runs inside
+        // the oracle-gated q85 pipeline, exact-pixel-gated in the spec
+        (d, PngCodec.encodeStoredGray(w, h, (_, y) => a + y,
+          interlaced = d % 3 == 0))
       }
     }.toDF("media_id", "content")
   }
@@ -1333,7 +1423,11 @@ object Media {
       ids.map { d =>
         val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
         val a = (d % 64).toInt
-        (d, GifCodec.encodeGray(w, h, (x, y) => a + x + y))
+        // every third GIF carries its palette as a LOCAL color table
+        // (no GCT), so the LCT-precedence path runs inside the
+        // oracle-gated q88 pipeline
+        (d, GifCodec.encodeGray(w, h, (x, y) => a + x + y,
+          localPalette = d % 3 == 0))
       }
     }.toDF("media_id", "content")
   }

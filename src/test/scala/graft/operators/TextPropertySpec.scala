@@ -136,6 +136,47 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("PngCodec: Adam7-interlaced images deinterlace to the exact pixels") {
+    // random images across dims from 1×1 (six of seven passes empty) to
+    // larger-than-8 grids (every pass populated); the decoded image must
+    // equal the source EXACTLY — any scatter/offset/filter bug shows as
+    // a pixel mismatch, which the permutation-invariant q85 mean can't
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val w = rnd.nextInt(36) + 1; val h = rnd.nextInt(24) + 1
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val png = Media.PngCodec.encodeStoredGray(w, h, (x, y) => px(y)(x),
+        interlaced = true)
+      val got = Media.PngCodec.decode(png)
+        .getOrElse(fail(s"seed $seed: interlaced decode failed ($w x $h)"))
+      assert(got.width === w && got.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((got.pixels(y * w + x) & 0xff) === px(y)(x),
+          s"seed $seed pixel ($x,$y) of ${w}x$h")
+      // and the interlaced bytes differ from the plain layout (i.e. the
+      // encoder really wrote Adam7, not a pass-through)
+      if (w > 1 && h > 1)
+        assert(!png.sameElements(
+          Media.PngCodec.encodeStoredGray(w, h, (x, y) => px(y)(x))))
+    }
+  }
+
+  test("GifCodec: a local color table takes precedence and round-trips") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val w = rnd.nextInt(30) + 2; val h = rnd.nextInt(20) + 2
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val gif = Media.GifCodec.encodeGray(w, h, (x, y) => px(y)(x),
+        localPalette = true)
+      val got = Media.GifCodec.decode(gif)
+        .getOrElse(fail(s"seed $seed: LCT decode failed"))
+      assert(got.width === w && got.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((got.pixels(y * w + x) & 0xff) === px(y)(x),
+          s"seed $seed pixel ($x,$y)")
+    }
+  }
+
   test("JpegCodec color 4:2:0: block-constant planes decode bit-exactly") {
     def conv(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
       def clamp(v: Long) = math.max(0L, math.min(255L, v)).toInt
