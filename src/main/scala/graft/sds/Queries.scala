@@ -20,11 +20,20 @@ final class Queries(store: Scd2Store) {
   private def view(name: String, at: Option[Long]): DataFrame =
     at.fold(store.live(name))(b => store.asOf(name, b))
 
+  /** PK-equality view: live reads go through the store's zone-mapped
+    * `pointLookup` (1-of-N live files); as-of reads filter the pruned
+    * temporal view. All SDS tables are scoped by a single key column,
+    * so the lookup key IS the scope key. */
+  private def pointView(name: String, keyValue: String, at: Option[Long]): DataFrame =
+    at.fold(store.pointLookup(name, keyValue))(b =>
+      store.asOf(name, b)
+        .filter(col(Schemas.tables(name)._2.head) === keyValue))
+
   /** Q1/Q2/Q4: an organization with its child records joined in. */
   def organizationProfile(orgId: String, at: Option[Long] = None): DataFrame = {
-    val orgs = view("organizations", at).filter(col("organization_id") === orgId)
+    val orgs = pointView("organizations", orgId, at)
     def child(name: String, cols: Seq[String]): DataFrame =
-      view(name, at).filter(col("organization_id") === orgId)
+      pointView(name, orgId, at)
         .groupBy("organization_id")
         .agg(collect_list(struct(cols.map(col): _*)).as(name))
     orgs
@@ -64,6 +73,12 @@ final class Queries(store: Scd2Store) {
   /** Q7: requests counted by status. */
   def requestCountsByStatus(at: Option[Long] = None): DataFrame =
     view("requests", at).groupBy("status").count().orderBy("status")
+
+  /** Q1 point read: one entity's live row(s) by scope key — the
+    * REST API's single-entity GET, served 1-of-N-files by the store's
+    * manifest zone map. */
+  def byKey(table: String, keyValue: String): DataFrame =
+    store.pointLookup(table, keyValue)
 
   /** Q3: full version history of one entity, version-numbered. */
   def history(table: String, pkCol: String, pkValue: String): DataFrame = {

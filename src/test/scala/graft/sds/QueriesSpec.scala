@@ -38,6 +38,20 @@ class QueriesSpec extends SparkSpec {
     assert(row.getAs[Seq[Any]]("addresses") === null) // cert body has no address
   }
 
+  test("Q1 point read: byKey serves one live entity through the zone map") {
+    val rows = q.byKey("organizations", FactoryId).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("name") === "renamed")
+    assert(q.byKey("organizations", "no-such-org").isEmpty)
+  }
+
+  test("Q1/Q2: organizationProfile point reads resolve live and as-of") {
+    val live = q.organizationProfile(FactoryId).collect().head
+    assert(live.getAs[String]("name") === "renamed")
+    val asOf1 = q.organizationProfile(FactoryId, at = Some(1)).collect().head
+    assert(asOf1.getAs[String]("name") === "test")
+  }
+
   test("Q2: as-of view sees the pre-rename factory") {
     val asOf1 = q.searchFactories("test", at = Some(1))
     assert(asOf1.select("name").as[String].collect().toSeq === Seq("test"))
