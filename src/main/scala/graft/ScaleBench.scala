@@ -431,13 +431,35 @@ object ScaleBench {
         store.asOfFootprint(tbl, 100 * blocksPerBatch - nearOff)
       val tDeep = timed(asofCount(10 * blocksPerBatch - nearOff))
       val (_, readDeep) = store.asOfFootprint(tbl, 10 * blocksPerBatch - nearOff)
+
+      // Q1 PK point lookup through the zone-mapped live write, on the
+      // same 100-batch store: re-split live at a small per-file target
+      // so the manifest carries a many-file zone map (at scale the 1M
+      // default yields thousands of files), then count the files a
+      // lookup actually opens vs the live total and time it against
+      // the pre-zone-map full-partition scan.
+      val prevTarget = graft.sds.Scd2Store.LiveTargetRowsPerFile
+      val (lkFiles, lkRead, lkSec, scanSec) =
+        try {
+          graft.sds.Scd2Store.LiveTargetRowsPerFile = 100L
+          ingestTo(101, 101) // rewrites live as ~20 range-split files
+          val key = (nEnt / 2).toString
+          val (total, read) = store.pointLookupFootprint(tbl, key)
+          val tLk = timed(store.pointLookup(tbl, key).count())
+          val tScan = timed(
+            store.live(tbl).filter(col("organization_id") === key).count())
+          (total, read, tLk, tScan)
+        } finally graft.sds.Scd2Store.LiveTargetRowsPerFile = prevTarget
       fsDelete(spark, tmp.toString)
       s"""{"entities":$nEnt,"blocks_per_batch":$blocksPerBatch,""" +
         s""""near_asof_500_sec":${f"$t500%.2f"},""" +
         s""""hist_dirs_500":$dirs500,"read_dirs_500":$read500,""" +
         s""""near_asof_5000_sec":${f"$t5000%.2f"},""" +
         s""""hist_dirs_5000":$dirs5000,"read_dirs_5000":$read5000,""" +
-        s""""deep_asof_5000_sec":${f"$tDeep%.2f"},"deep_read_dirs":$readDeep}"""
+        s""""deep_asof_5000_sec":${f"$tDeep%.2f"},"deep_read_dirs":$readDeep,""" +
+        s""""live_files":$lkFiles,"lookup_files_read":$lkRead,""" +
+        s""""point_lookup_sec":${f"$lkSec%.2f"},""" +
+        s""""live_full_scan_sec":${f"$scanSec%.2f"}}"""
     }
 
     // streaming dedup at 50×, ten batches: per-batch latency must stay
