@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the synthetic star-schema tables (TESTDATA.md).
   *
@@ -21,19 +21,27 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as LongType ns.
-    * Convert to TimestampType (micro precision, truncating) so that
-    * window/date functions work; keep `ts_ns` for exact arithmetic.
-    */
-  private def normalizeEvents(df: DataFrame): DataFrame = {
-    if (df.schema("ts").dataType == LongType) {
-      // integer DIV, not `/`: ns-since-epoch (~1.8e18) exceeds double's
-      // 2^53 mantissa, so float division would round the microsecond.
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    } else df
-  }
+  /** events.ts arrives in one of three parquet encodings depending on
+    * the testdata generation: TIMESTAMP(NANOS) (LongType ns under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS) without
+    * UTC adjustment (TimestampNTZType), or plain TimestampType. All
+    * are normalized to the same engine contract: `ts` TimestampType
+    * (UTC session — the same instant DuckDB reads from the naive
+    * micros) plus `ts_ns` LongType ns-since-epoch for exact integer
+    * arithmetic. Column-level, codegen'd — no shuffle, no UDF. */
+  private def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV, not `/`: ns-since-epoch (~1.8e18) exceeds double's
+        // 2^53 mantissa, so float division would round the microsecond.
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   /** Register every table as a temp view named after the file. */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -28,6 +28,18 @@ object Similarity {
   private val TopK = 5
   private val LshBits = 4
 
+  /** q99 product-quantization geometry: 64 dims = [[PqM]] subspaces ×
+    * [[PqSub]] dims, [[PqKs]] centroids per subspace (4-bit codes), seeds
+    * drawn from every [[PqSeedStep]]-th vector (≥ PqKs at every SF). */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqKs = 16
+  private val PqSeedStep = 32
+
+  /** q100 binary-quantization rerank depth: Hamming top-R candidates per
+    * query survive to the exact-cosine rerank (R = 4×[[TopK]]). */
+  private val BqR = 20
+
   private def asDouble: Column = transform(col("embedding"), x => x.cast("double"))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
@@ -710,6 +722,211 @@ object Similarity {
           posexplode(transform(rpProject(col("v")), y => round(y, 6))))
         .select(col("vec_id"), col("pos").cast("int").as("dim"), col("col").as("y"))
         .orderBy("vec_id", "dim")
+    },
+
+    // ---- q99: product quantization + ADC scan ---------------------------
+    // The memory path past int8 (q64): split the 64-dim vector into
+    // M=8 subspaces of 8 dims, learn Ks=16 centroids per subspace
+    // (seeded deterministically — the 16 smallest vec_id % 32 = 0
+    // vectors' subvectors; q76 shows how Lloyd refinement would pin
+    // rounds), and store each vector as 8 four-bit codes: 8 bytes
+    // instead of 256 — a 100 TB embedding corpus becomes ~3 TB of
+    // codes. Search is the classic ADC scan: each query precomputes an
+    // M×Ks table of subspace L2² distances to every centroid, and a
+    // corpus row's approximate distance is EIGHT TABLE LOOKUPS — no
+    // per-pair float math at all. Plan shape: encode is a broadcast-K
+    // join + partial-agg min_by (N·M rows through one exchange, same
+    // shape as ivfAssign); the scan joins the corpus codes against the
+    // BROADCAST per-query tables (Q·M·Ks longs) and sums lookups
+    // map-side, so the only corpus-sized exchange is the per-query
+    // top-k window — identical to the q33 baseline it replaces.
+    // Determinism: distance-table entries are quantized to integer
+    // MICRO-UNITS (floor(d2·1e6 + 0.5) as long) so the cross-subspace
+    // sum is exact integer arithmetic — engine-independent regardless
+    // of addition order; the raw d2 doubles feeding floor() are
+    // left-to-right folds of identical inputs on both engines.
+    Q("q99_pq_adc",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+        |seeds AS (SELECT v, rk FROM (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
+        |  FROM e WHERE vec_id % $PqSeedStep = 0) WHERE rk <= $PqKs),
+        |cent AS (SELECT ms.m, CAST(s.rk - 1 AS INT) AS k,
+        |    list_transform(range(1, ${PqSub + 1}), i -> s.v[ms.m * $PqSub + i]) AS cv
+        |  FROM seeds s, ms),
+        |sub AS (SELECT e.vec_id, ms.m,
+        |    list_transform(range(1, ${PqSub + 1}), i -> e.v[ms.m * $PqSub + i]) AS sv
+        |  FROM e, ms),
+        |enc AS (SELECT vec_id, m, k FROM (
+        |  SELECT sub.vec_id, sub.m, cent.k,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.m
+        |      ORDER BY list_sum(list_transform(range(0, $PqSub),
+        |        i -> (sv[i + 1] - cv[i + 1]) * (sv[i + 1] - cv[i + 1]))) ASC,
+        |        cent.k) AS rr
+        |  FROM sub JOIN cent ON cent.m = sub.m) WHERE rr = 1),
+        |dtab AS (SELECT q.vec_id AS query_id, c.m, c.k,
+        |    CAST(floor(list_sum(list_transform(range(0, $PqSub),
+        |      i -> (q.sv[i + 1] - c.cv[i + 1]) * (q.sv[i + 1] - c.cv[i + 1])))
+        |      * 1000000 + 0.5) AS BIGINT) AS d2u
+        |  FROM sub q JOIN cent c ON c.m = q.m WHERE q.$QueryFilter),
+        |scored AS (SELECT d.query_id, enc.vec_id AS neighbor_id,
+        |    CAST(sum(d.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN dtab d ON d.m = enc.m AND d.k = enc.k
+        |  WHERE enc.vec_id <> d.query_id
+        |  GROUP BY d.query_id, enc.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, d2u,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u ASC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, neighbor_id, round(d2u / 1000000.0, 6) AS approx_d2
+        |FROM ranked WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      // one row per (vector, subspace); slice is 1-based like DuckDB's v[i]
+      val sub = n.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+        .select(col("vec_id"), col("m"),
+          slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+      val seeds = n.filter(col("vec_id") % PqSeedStep === 0)
+        // K-sized seed set: the global window runs over ~N/step rows
+        .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
+        .filter(col("rk") <= PqKs)
+      val cent = seeds.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+        .select(col("m"), (col("rk") - 1).cast("int").as("k"),
+          slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
+        .localCheckpoint(true) // read by encode AND both distance tables
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x)
+      // encode: argmin centroid per (vector, subspace) — broadcast-K join,
+      // partial-agg min_by, tie-break smallest k (= the oracle's row_number)
+      val enc = sub.join(broadcast(cent), Seq("m"))
+        .withColumn("_d2", d2(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("k"), struct(col("_d2"), col("k"))).as("code"))
+      // codes: the 8-byte storage row — array dense over m
+      val codes = enc.groupBy("vec_id").agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p.getField("code")).as("codes"))
+      // per-query distance tables, micro-unit longs, nested dense [m][k]
+      val dflat = sub.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+        .join(broadcast(cent), Seq("m"))
+        .withColumn("d2u",
+          floor(d2(col("sv"), col("cv")) * 1e6 + 0.5).cast("long"))
+      val dtab = dflat.groupBy("query_id", "m")
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("d2u")))),
+          p => p.getField("d2u")).as("dk"))
+        .groupBy("query_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("dk")))),
+          p => p.getField("dk")).as("dt"))
+      // the ADC scan: broadcast tables, eight lookups per corpus row,
+      // exact long sum — map-side until the per-query top-k window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2u").asc, col("neighbor_id"))
+      codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+        .join(broadcast(dtab), col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2u", aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)), (c, mm) =>
+            element_at(element_at(col("dt"), mm + 1), c + 1)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("d2u") / 1e6, 6).as("approx_d2"))
+        .orderBy("query_id", "rk")
+    },
+
+    // ---- q100: binary sign quantization + exact rerank ------------------
+    // The cheapest vector signature there is: one SIGN BIT per
+    // dimension — 64 dims pack into two 32-bit halves (8 bytes, same
+    // footprint as q99's codes, zero training). Candidate generation
+    // is Hamming distance over the packed words: two XORs + two
+    // popcounts per pair, integer-only — the form a columnar scan
+    // vectorizes to ~1 ns/pair, which is why binary prefilter + exact
+    // rerank is the standard serving layout for billion-vector
+    // corpora. Per query: Hamming top-R (R=$BqR) over the signature
+    // scan, THEN fetch only those R full vectors and rerank by exact
+    // cosine for the final top-k — the corpus-sized stage touches
+    // 8-byte signatures; 64-dim floats are read for R rows per query.
+    // Determinism: Hamming is integer; packing uses power-of-two
+    // doubles (exact to 2^31) cast to long identically on both
+    // engines; ties broken by neighbor_id at BOTH windows.
+    Q("q100_binary_quant_rerank",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN v[i + 1] > 0 THEN CAST(power(2.0, i) AS BIGINT)
+        |           ELSE 0 END)) AS BIGINT) AS b1,
+        |    CAST(list_sum(list_transform(range(32, 64), i ->
+        |      CASE WHEN v[i + 1] > 0 THEN CAST(power(2.0, i - 32) AS BIGINT)
+        |           ELSE 0 END)) AS BIGINT) AS b2
+        |  FROM e),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    bit_count(xor(q.b1, c.b1)) + bit_count(xor(q.b2, c.b2)) AS hamming
+        |  FROM b q JOIN b c ON c.vec_id <> q.vec_id
+        |  WHERE q.$QueryFilter),
+        |cand AS (SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, neighbor_id) AS hrk
+        |  FROM h),
+        |rr AS (SELECT c.query_id, c.neighbor_id, c.hamming,
+        |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos_sim
+        |  FROM cand c
+        |  JOIN b q ON q.vec_id = c.query_id
+        |  JOIN b n ON n.vec_id = c.neighbor_id
+        |  WHERE c.hrk <= $BqR),
+        |ranked AS (SELECT query_id, neighbor_id, hamming, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |  FROM rr)
+        |SELECT query_id, rk, neighbor_id, CAST(hamming AS INT) AS hamming,
+        |  round(cos_sim, 6) AS cos_sim
+        |FROM ranked WHERE rk <= $TopK
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      // sign-pack 32 dims starting at `off` into one long: bit i set iff
+      // v[off+i] > 0. power-of-two doubles are exact to 2^31, so the
+      // cast-to-long sum is the identical integer on both engines.
+      def packBits(off: Int): Column = aggregate(
+        zip_with(slice(col("v"), off + 1, 32), sequence(lit(0), lit(31)),
+          (x, i) => when(x > 0, pow(lit(2.0d), i).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val b = n.select(col("vec_id"), col("v"),
+        packBits(0).as("b1"), packBits(32).as("b2"))
+      // the corpus-sized scan carries ONLY (vec_id, b1, b2) — 8 signature
+      // bytes per row; full 64-float vectors never enter the Hamming stage
+      val sig = b.select(col("vec_id"), col("b1"), col("b2"))
+      val qs = b.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("b1").as("qb1"), col("b2").as("qb2"))
+      val hw = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("neighbor_id"))
+      val cand = sig.withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(qs.select(col("query_id"), col("qb1"), col("qb2"))),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          bit_count(col("qb1").bitwiseXOR(col("b1"))) +
+            bit_count(col("qb2").bitwiseXOR(col("b2"))))
+        .withColumn("hrk", row_number().over(hw))
+        .filter(col("hrk") <= BqR)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      // rerank: only Q×R candidate rows fetch their full vector (equi-join
+      // against the broadcast candidate list), then exact cosine top-k
+      val rw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      n.select(col("vec_id").as("neighbor_id"), col("v"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qv"))), Seq("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("rk", row_number().over(rw).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          col("hamming").cast("int").as("hamming"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rk")
     }
   )
 }

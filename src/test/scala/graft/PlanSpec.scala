@@ -162,4 +162,21 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q should have no join: ${p.take(800)}")
     }
   }
+
+  test("q99: PQ encode and ADC scan are broadcast equi-joins, no cartesian") {
+    val p = plan("q99_pq_adc")
+    assert(!p.contains("CartesianProduct"), "corpus×corpus leaked into PQ")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "codebook / distance tables should broadcast:\n" + p.take(1500))
+  }
+
+  test("q100: Hamming scan touches signatures only; vectors read post-filter") {
+    val df = SparkEntry.queries("q100_binary_quant_rerank")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query signatures / candidate list should broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "all-pairs over full vectors")
+    assert(!p.contains("SortMergeJoin"),
+      "rerank fetch must stay broadcast — candidates are Q×R rows:\n" + p.take(1500))
+  }
 }
