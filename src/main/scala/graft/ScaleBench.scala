@@ -417,7 +417,14 @@ object ScaleBench {
             .withColumn("start_block_num", lit(tag))
           store.applyMerged(tbl,
             live.filter(!isUpd).unionByName(fresh).unionByName(closed), tag)
-          live = live.filter(!isUpd).unionByName(fresh).localCheckpoint(true)
+          // coalesce BEFORE the checkpoint: filter∪fresh carries 2× the
+          // parent's partitions, and localCheckpoint pins that count —
+          // without this the loop doubles partitions per batch (32·2^k
+          // empty tasks by batch k: the DAG scheduler, not the data,
+          // becomes the bottleneck and batch ~13 never finishes)
+          live = live.filter(!isUpd).unionByName(fresh)
+            .coalesce(8).localCheckpoint(true)
+          if (k % 10 == 0) println(s"[asof-depth] ingested batch $k")
         }
       def asofCount(b: Long): Long = store.asOf(tbl, b).count()
       ingestTo(1, 10) // chain = 500 blocks, 10 history dirs
@@ -438,10 +445,10 @@ object ScaleBench {
       // default yields thousands of files), then count the files a
       // lookup actually opens vs the live total and time it against
       // the pre-zone-map full-partition scan.
-      val prevTarget = graft.sds.Scd2Store.LiveTargetRowsPerFile
+      val prevTarget = spark.conf.getOption(graft.sds.Scd2Store.LiveTargetRowsKey)
       val (lkFiles, lkRead, lkSec, scanSec) =
         try {
-          graft.sds.Scd2Store.LiveTargetRowsPerFile = 100L
+          spark.conf.set(graft.sds.Scd2Store.LiveTargetRowsKey, "100")
           ingestTo(101, 101) // rewrites live as ~20 range-split files
           val key = (nEnt / 2).toString
           val (total, read) = store.pointLookupFootprint(tbl, key)
@@ -449,7 +456,9 @@ object ScaleBench {
           val tScan = timed(
             store.live(tbl).filter(col("organization_id") === key).count())
           (total, read, tLk, tScan)
-        } finally graft.sds.Scd2Store.LiveTargetRowsPerFile = prevTarget
+        } finally prevTarget.fold(
+          spark.conf.unset(graft.sds.Scd2Store.LiveTargetRowsKey))(
+          spark.conf.set(graft.sds.Scd2Store.LiveTargetRowsKey, _))
       fsDelete(spark, tmp.toString)
       s"""{"entities":$nEnt,"blocks_per_batch":$blocksPerBatch,""" +
         s""""near_asof_500_sec":${f"$t500%.2f"},""" +

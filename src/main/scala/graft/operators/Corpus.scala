@@ -431,6 +431,88 @@ object Corpus {
           coalesce(col("n_final"), lit(0L)).as("n_final"),
           coalesce(col("final_tokens"), lit(0L)).as("final_tokens"))
         .orderBy("source")
+    },
+
+    // ---- q102: DSIR importance selection --------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): pick
+    // raw-corpus documents that LOOK LIKE a target domain by importance
+    // weight under hashed-n-gram bag-of-words models of target vs raw.
+    // Features are md5-hashed unigram buckets (B=256 — the same
+    // md5-prefix integer the contamination/passage ops use, identical
+    // arithmetic in the oracle); target here is the English slice.
+    // w(k) = ln((ct(k)+1)/(Nt+B)) − ln((cr(k)+1)/(Nr+B)); a document's
+    // importance is the mean w over its token instances, and the top
+    // 100 by weight are selected. Plan shape at 100 TB: the ONLY
+    // corpus-sized shuffle is the 256-key bucket-count partial agg
+    // (map-side combine collapses it to ≤256 rows per task); the dense
+    // 256-double weight table is built from a seeded `spark.range`
+    // domain (absent buckets included) and rides to the scorer as a
+    // one-row broadcast, so per-document scoring is a MAP-ONLY array
+    // fold — no explode, no join on the corpus; selection is
+    // orderBy+limit = TakeOrderedAndProject, never a global window.
+    Q("q102_dsir_selection", {
+      val kSql = "(('0x' || substr(md5(w), 1, 15))::BIGINT) % 256"
+      s"""WITH tok AS (SELECT doc_id, lang, $kSql AS k
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |ct AS (SELECT k, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT k, count(*) AS cr FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |               (SELECT count(*) FROM tok) AS nr),
+        |wt AS (SELECT d.k,
+        |    ln((coalesce(ct, 0) + 1) / (nt + 256.0))
+        |      - ln((coalesce(cr, 0) + 1) / (nr + 256.0)) AS w
+        |  FROM (SELECT unnest(range(0, 256)) AS k) d
+        |  LEFT JOIN ct USING (k) LEFT JOIN cr USING (k) CROSS JOIN tot),
+        |sc AS (SELECT tok.doc_id, count(*) AS n_tokens, sum(wt.w) AS sw
+        |       FROM tok JOIN wt USING (k) GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT d.doc_id, d.lang, CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+        |    round(sc.sw / sc.n_tokens, 4) + 0.0 AS dsir_weight
+        |  FROM sc JOIN documents d USING (doc_id)
+        |  ORDER BY round(sc.sw / sc.n_tokens, 4) + 0.0 DESC, d.doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val B = 256
+      val t = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .localCheckpoint(true) // read by the count legs and the scorer
+      val tok = t.select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+        .withColumn("k",
+          expr(s"cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % $B"))
+      val ct = tok.filter(col("lang") === "en")
+        .groupBy("k").agg(count(lit(1)).as("ct"))
+      val cr = tok.groupBy("k").agg(count(lit(1)).as("cr"))
+      val tot = tok.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      // dense 0..255 weight table — absent buckets carry the +1 smoothing
+      val wt = s.range(B).select(col("id").as("k"))
+        .join(ct, Seq("k"), "left").join(cr, Seq("k"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("k"),
+          (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + lit(B.toDouble)))
+            - log((coalesce(col("cr"), lit(0L)) + 1) / (col("nr") + lit(B.toDouble))))
+            .as("w"))
+      val warr = wt.agg(
+        transform(array_sort(collect_list(struct(col("k"), col("w")))),
+          p => p.getField("w")).as("warr"))
+      // map-only scorer: per-row HOF fold over ws, indexing the broadcast
+      // weight array by each token's bucket — the corpus never explodes
+      t.crossJoin(broadcast(warr))
+        .withColumn("sw", expr(
+          s"""aggregate(ws, cast(0.0 as double), (acc, w) ->
+             |  acc + element_at(warr,
+             |    cast(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % $B
+             |      as int) + 1))""".stripMargin))
+        .select(col("doc_id"), col("lang"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          // + 0.0 folds IEEE −0.0 to +0.0 (sum-order drift around zero
+          // could otherwise flip the sign of a rounded zero per engine)
+          (round(col("sw") / size(col("ws")), 4) + 0.0).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(100)
+        .orderBy("doc_id")
     }
   )
 }

@@ -525,6 +525,58 @@ object Text {
               col("max_word_run") <= 2, 1).otherwise(0)
             .cast("int").as("keep_flag"))
         .orderBy("doc_id")
+    },
+
+    // ---- q101: n-gram LM perplexity (CCNet-style quality filter) --------
+    // The quality signal q24/q80/q86 can't see: FLUENCY. Train an
+    // add-k-smoothed word-bigram language model on the corpus itself,
+    // then score every document by its perplexity under that model —
+    // documents whose word transitions are improbable relative to the
+    // corpus (spam, shredded text, wrong-domain) surface with high ppl.
+    // This is the CCNet/KenLM filtering recipe with the LM expressed as
+    // TWO map-side-combinable aggregations instead of an external
+    // toolkit. P(w2|w1) = (c(w1 w2) + a) / (c(w1·) + a·V), a = 0.5.
+    // Plan shape at 100 TB: bigram/unigram counts are groupBy partial
+    // aggs (the vocab table is ≪ corpus — Zipf — and broadcasts here);
+    // scoring re-joins bigram INSTANCES to the two count tables on
+    // their own grouping keys, so Catalyst reuses the agg partitioning;
+    // V rides along as a broadcast one-row cross join. No window, no
+    // driver state. Double-sum order differs between engines; round(,4)
+    // absorbs the ~1e-13 drift (q55/q62 precedent).
+    Q("q101_lm_perplexity",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+        |c2 AS (SELECT g, count(*) AS c2 FROM bi GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT ws[i]) AS v
+        |      FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+        |nll AS (SELECT bi.doc_id, count(*) AS n_bigrams,
+        |    sum(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))) AS ll
+        |  FROM bi JOIN c2 USING (g) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(exp(-ll / n_bigrams), 4) AS ppl
+        |FROM nll ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .localCheckpoint(true) // read by bigrams AND the vocab count
+      val bi = t.select(col("doc_id"), explode(ngrams(col("ws"), 2)).as("g"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+      val c2 = bi.groupBy("g").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = t.select(explode(col("ws")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bi.join(c2, Seq("g")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("ll"))
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          round(exp(-col("ll") / col("n_bigrams")), 4).as("ppl"))
+        .orderBy("doc_id")
     }
   )
 }

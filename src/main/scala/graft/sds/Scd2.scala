@@ -383,8 +383,10 @@ final class Scd2Store(spark: SparkSession, root: String,
       Seq.empty
     } else {
       val rows = liveRows.count()
-      val nFiles = math.max(1L, (rows + Scd2Store.LiveTargetRowsPerFile - 1) /
-        Scd2Store.LiveTargetRowsPerFile).toInt
+      val target = spark.conf.get(Scd2Store.LiveTargetRowsKey,
+        Scd2Store.LiveTargetRowsDefault.toString).toLong
+      require(target > 0, s"${Scd2Store.LiveTargetRowsKey} must be positive")
+      val nFiles = math.max(1L, (rows + target - 1) / target).toInt
       liveRows
         .withColumn("_k", pmod(xxhash64(col(keyCols.head)),
           lit(Scd2Store.LiveKeyBuckets)).cast("int"))
@@ -668,10 +670,13 @@ object Scd2Store {
     * line stays tiny. */
   val LiveKeyBuckets = 4096
 
-  /** Target rows per live file — the range-split granularity. Mutable
-    * ONLY as a test seam (specs shrink it to force multi-file live sets
-    * at toy scale). */
-  private[graft] var LiveTargetRowsPerFile: Long = 1_000_000L
+  /** Target rows per live file — the range-split granularity. Read from
+    * the session conf at write time (like every Spark sizing knob, and
+    * like TopKPerKey's key cap) so harnesses/specs shrink it per session
+    * to force multi-file live sets at toy scale, with no JVM-global
+    * state racing across concurrent sessions. */
+  val LiveTargetRowsKey = "spark.graft.scd2.liveTargetRowsPerFile"
+  val LiveTargetRowsDefault: Long = 1_000_000L
 
   /** Driver-side `_k` bucket of a scope-key value — the SAME function
     * the live write computes with `xxhash64` (XxHash64, seed 42), so

@@ -179,4 +179,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "rerank fetch must stay broadcast — candidates are Q×R rows:\n" + p.take(1500))
   }
+
+  test("q101: LM training and scoring stay in equi-join land; V broadcasts") {
+    val p = plan("q101_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), "corpus×corpus leaked into the LM")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row vocab count should ride along broadcast:\n" + p.take(1500))
+  }
+
+  test("q102: DSIR selection is TakeOrderedAndProject, never a global window") {
+    val p = plan("q102_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a distributed top-k, not sort-all or a window:\n" + p.take(1500))
+    assert(!p.contains("Window"), "global row_number would single-partition")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }

@@ -18,9 +18,9 @@ class PointLookupSpec extends SparkSpec {
         "start_block_num", "end_block_num")
 
   test("point lookup reads 1 of N live files and matches the full scan") {
-    val prev = Scd2Store.LiveTargetRowsPerFile
+    val prev = spark.conf.getOption(Scd2Store.LiveTargetRowsKey)
     try {
-      Scd2Store.LiveTargetRowsPerFile = 40 // 500 rows → ~13 files
+      spark.conf.set(Scd2Store.LiveTargetRowsKey, "40") // 500 rows → ~13 files
       val store = new Scd2Store(spark, tempDir("plookup"))
       store.applyMerged("standards", mkRows(500, 10), tag = 10)
 
@@ -50,7 +50,8 @@ class PointLookupSpec extends SparkSpec {
       val full = store.live("standards").filter(col("standard_id") === "std0042")
       val viaLookup = store.pointLookup("standards", "std0042")
       assert(full.collect().toSeq === viaLookup.collect().toSeq)
-    } finally Scd2Store.LiveTargetRowsPerFile = prev
+    } finally prev.fold(spark.conf.unset(Scd2Store.LiveTargetRowsKey))(
+      spark.conf.set(Scd2Store.LiveTargetRowsKey, _))
   }
 
   test("lookup degrades to the filtered full read without a zone map") {
