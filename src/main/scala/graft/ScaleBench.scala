@@ -399,7 +399,10 @@ object ScaleBench {
     val asofDepth = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_asof_depth")
       val store = new graft.sds.Scd2Store(spark, tmp.toString)
-      val tbl = "organization" // any schema'd name; rows are synthetic
+      // must be a REGISTERED table name: the live write zone-maps only
+      // tables whose schema registry lists a single scope key, and the
+      // point lookup resolves its key column from the same registry
+      val tbl = "organizations"
       val nEnt = 2000L
       val blocksPerBatch = 50L
       var live = spark.range(nEnt)

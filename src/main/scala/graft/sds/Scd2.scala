@@ -347,7 +347,12 @@ final class Scd2Store(spark: SparkSession, root: String,
     * Manifests without zone maps degrade to the filtered full read. */
   def pointLookup(name: String, keyValue: String): DataFrame = {
     val m = latestManifest(name)
-    val keyCol = Schemas.tables(name)._2.head
+    // loud, named failure instead of a bare key-not-found: a typo'd or
+    // unregistered table has no scope key to look up by
+    val keyCol = Schemas.tables.get(name).map(_._2.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"pointLookup: table '$name' has no registered scope key; " +
+          s"known tables: ${Schemas.tables.keys.toSeq.sorted.mkString(", ")}"))
     val base = m match {
       case Some(mf) if mf.liveFiles.nonEmpty =>
         val k = Scd2Store.liveKeyBucket(keyValue)
