@@ -300,5 +300,113 @@ object StreamingQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")
         .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
+    // ---- q103: streaming EXECUTION of a stream-stream interval join -----
+    // StreamJoinSpec gates the operator on a 3-row fixture; this gates
+    // the stream-stream join RUNTIME on the real events table against a
+    // DuckDB recomputation of Spark's state semantics. views ⋈ clicks
+    // per user with c_ts ∈ [v_ts, v_ts + 12 h], both sides watermarked
+    // 30 min. Replay batches follow event TIME (day-of-month octiles →
+    // 4 batches) with two deterministic late cohorts (event_id % 11
+    // shifts one batch later, % 13 goes to the last batch), so rows
+    // arrive below the advancing watermark and the state-watermark drop
+    // path does real work. The oracle's acceptance rule is the one
+    // Spark derives from the join condition: at the batch m =
+    // max(view batch, click batch) where the pair can first form, the
+    // VIEW side's state watermark is W(m) − 12 h (a view still matches
+    // future clicks until v_ts + 12 h < W) and the CLICK side's is
+    // W(m) (a click only matches views at or before its own ts), with
+    // W(b) = min(cummax view-ts, cummax click-ts over batches < b) −
+    // 30 min in integer micros. Spark applies TWO distinct predicates,
+    // and the oracle models both (validated empirically — one rule
+    // alone mis-predicts exactly one pair at sf0.01): LATE INPUT is
+    // filtered per side at the PLAIN watermark of the row's own batch
+    // (v_ts ≥ W(bv), c_ts ≥ W(bc)), while STATE EVICTION uses the
+    // derived bounds at the pair-forming batch (v_ts ≥ W(m) − 12 h,
+    // c_ts ≥ W(m)). Inner append-mode joins emit eagerly, so no
+    // sentinel flush is needed; a dropped-or-evicted row shows up as a
+    // missing pair and fails the hash.
+    Q("q103_streaming_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_id % 13 = 0 THEN 3
+        |         WHEN event_id % 11 = 0
+        |           THEN least(3, CAST(floor((day(ts) - 1) / 8) AS INT) + 1)
+        |         ELSE CAST(floor((day(ts) - 1) / 8) AS INT) END AS b
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |mx AS (SELECT b,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS mv,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS mc
+        |  FROM e GROUP BY b),
+        |wm AS (SELECT b,
+        |    CASE WHEN cmv IS NULL OR cmc IS NULL THEN NULL
+        |         ELSE least(cmv, cmc) - 1800000000 END AS wmus
+        |  FROM (SELECT b,
+        |      max(mv) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmv,
+        |      max(mc) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmc
+        |    FROM mx)),
+        |p AS (SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |    v.user_id, v.ts AS v_ts, c.ts AS c_ts
+        |  FROM e v JOIN e c ON v.event_type = 'view' AND c.event_type = 'click'
+        |    AND c.user_id = v.user_id
+        |    AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |    AND epoch_us(c.ts) <= epoch_us(v.ts) + 43200000000
+        |  JOIN wm wv ON wv.b = v.b
+        |  JOIN wm wc ON wc.b = c.b
+        |  JOIN wm wmm ON wmm.b = greatest(v.b, c.b)
+        |  WHERE (wv.wmus IS NULL OR epoch_us(v.ts) >= wv.wmus)
+        |    AND (wc.wmus IS NULL OR epoch_us(c.ts) >= wc.wmus)
+        |    AND (wmm.wmus IS NULL
+        |         OR (epoch_us(v.ts) >= wmm.wmus - 43200000000
+        |             AND epoch_us(c.ts) >= wmm.wmus)))
+        |SELECT view_id, click_id, user_id, v_ts, c_ts
+        |FROM p ORDER BY view_id, click_id""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q103 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      val withB = ev.withColumn("b",
+        when(col("event_id") % 13 === 0, lit(3))
+          .when(col("event_id") % 11 === 0,
+            least(lit(3), floor((dayofmonth(col("ts")) - 1) / 8).cast("int") + 1))
+          .otherwise(floor((dayofmonth(col("ts")) - 1) / 8).cast("int")))
+      val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val joined = views.toDF().toDF("view_id", "vuser", "v_ts")
+        .withWatermark("v_ts", "30 minutes")
+        .join(clicks.toDF().toDF("click_id", "cuser", "c_ts")
+          .withWatermark("c_ts", "30 minutes"),
+          expr("""vuser = cuser AND c_ts >= v_ts
+                 |AND c_ts <= v_ts + INTERVAL 12 HOURS""".stripMargin))
+      val sink = "q103_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        for (b <- 0 to 3) {
+          // batch-wise collects, one micro-batch consuming BOTH sides
+          val vb = withB.filter(col("b") === b && col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts"))
+            .as[(Long, Long, java.sql.Timestamp)].collect()
+          val cb = withB.filter(col("b") === b && col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"))
+            .as[(Long, Long, java.sql.Timestamp)].collect()
+          views.addData(vb.toSeq)
+          clicks.addData(cb.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink)
+        .select(col("view_id"), col("click_id"), col("vuser").as("user_id"),
+          col("v_ts"), col("c_ts"))
+        .orderBy("view_id", "click_id")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     })
 }
