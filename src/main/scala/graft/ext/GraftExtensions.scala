@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, PqAdc}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (SURVEY.md §7.3):
@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       CosineSim.info,
       children => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      PqAdc.info,
+      children => PqAdc(children.head, children(1))))
     // whole-operator extension: partial→final per-key top-k (plans the
     // TopKPerKeyNode logical operator; see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -821,15 +821,16 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("m"), col("dk")))),
           p => p.getField("dk")).as("dt"))
       // the ADC scan: broadcast tables, eight lookups per corpus row,
-      // exact long sum — map-side until the per-query top-k window
+      // exact long sum — map-side until the per-query top-k window.
+      // pq_adc is the native codegen'd Expression (functions/PqAdc.scala):
+      // a fused int loop in whole-stage codegen where the HOF chain
+      // (aggregate∘zip_with∘element_at) would interpret a lambda frame
+      // per subspace per pair — this is the scan's hottest scalar.
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("d2u").asc, col("neighbor_id"))
       codes.select(col("vec_id").as("neighbor_id"), col("codes"))
         .join(broadcast(dtab), col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2u", aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)), (c, mm) =>
-            element_at(element_at(col("dt"), mm + 1), c + 1)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("d2u", expr("pq_adc(codes, dt)"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("rk"), col("neighbor_id"),

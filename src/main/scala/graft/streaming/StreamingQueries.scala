@@ -40,6 +40,22 @@ object StreamingQueries {
   private val K = 8
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Run a MemoryStream replay drive with spark.sql.shuffle.partitions
+    * temporarily lowered: the value fixes each micro-batch's STATE task
+    * count, and a 4-batch fixture pays ~9 micro-batches of per-task
+    * state-store overhead per stateful operator — 32 partitions is
+    * cluster sizing, not fixture sizing (measured: the stream-stream
+    * join drive spends most of its wall in state task dispatch).
+    * Restored in finally; semantics are unaffected (state is fresh per
+    * run and partition count never changes watermark or join results). */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private val q94Sql: String = {
     val mhSelect = (0 until K)
       .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
@@ -202,23 +218,25 @@ object StreamingQueries {
         "1 hour", "30 minutes")
       val sink = "q95_mem"
       if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-      val query = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        for (b <- 0 to 3) {
-          // collected batch-wise: no full-corpus array pinned on the
-          // driver or riding into task closures (the round-9 1.6 MiB
-          // task-binary warnings came from the all-rows array)
-          val batch = ev.filter(col("event_id") % 4 === b)
-            .as[(Long, String, Double, java.sql.Timestamp)].collect()
-          source.addData(batch.toSeq)
-          query.processAllAvailable() // ONE data micro-batch per replay step
-        }
-        val sentinelTs = new java.sql.Timestamp(
-          maxTs.getTime + 10L * 3600 * 1000)
-        source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
-        query.processAllAvailable()
-      } finally query.stop()
+      withStatePartitions(s, 8) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          for (b <- 0 to 3) {
+            // collected batch-wise: no full-corpus array pinned on the
+            // driver or riding into task closures (the round-9 1.6 MiB
+            // task-binary warnings came from the all-rows array)
+            val batch = ev.filter(col("event_id") % 4 === b)
+              .as[(Long, String, Double, java.sql.Timestamp)].collect()
+            source.addData(batch.toSeq)
+            query.processAllAvailable() // ONE data micro-batch per replay step
+          }
+          val sentinelTs = new java.sql.Timestamp(
+            maxTs.getTime + 10L * 3600 * 1000)
+          source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
+          query.processAllAvailable()
+        } finally query.stop()
+      }
       s.table(sink)
         .select(col("window_start"), col("event_type"), col("n"),
           col("sum_value"))
@@ -281,20 +299,22 @@ object StreamingQueries {
         "10 minutes", "30 minutes")
       val sink = "q97_mem"
       if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-      val query = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        for (b <- 0 to 3) {
-          val batch = ev.filter(col("user_id") % 4 === b)
-            .as[(Long, Long, java.sql.Timestamp)].collect()
-          source.addData(batch.toSeq)
-          query.processAllAvailable() // ONE data micro-batch per replay step
-        }
-        val sentinelTs = new java.sql.Timestamp(
-          maxTs.getTime + 10L * 3600 * 1000)
-        source.addData(Seq((-1L, -1L, sentinelTs)))
-        query.processAllAvailable()
-      } finally query.stop()
+      withStatePartitions(s, 8) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          for (b <- 0 to 3) {
+            val batch = ev.filter(col("user_id") % 4 === b)
+              .as[(Long, Long, java.sql.Timestamp)].collect()
+            source.addData(batch.toSeq)
+            query.processAllAvailable() // ONE data micro-batch per replay step
+          }
+          val sentinelTs = new java.sql.Timestamp(
+            maxTs.getTime + 10L * 3600 * 1000)
+          source.addData(Seq((-1L, -1L, sentinelTs)))
+          query.processAllAvailable()
+        } finally query.stop()
+      }
       s.table(sink)
         .select(col("session_start"), col("session_end"), col("user_id"),
           col("n_events"))
@@ -387,22 +407,24 @@ object StreamingQueries {
                  |AND c_ts <= v_ts + INTERVAL 12 HOURS""".stripMargin))
       val sink = "q103_mem"
       if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-      val query = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        for (b <- 0 to 3) {
-          // batch-wise collects, one micro-batch consuming BOTH sides
-          val vb = withB.filter(col("b") === b && col("event_type") === "view")
-            .select(col("event_id"), col("user_id"), col("ts"))
-            .as[(Long, Long, java.sql.Timestamp)].collect()
-          val cb = withB.filter(col("b") === b && col("event_type") === "click")
-            .select(col("event_id"), col("user_id"), col("ts"))
-            .as[(Long, Long, java.sql.Timestamp)].collect()
-          views.addData(vb.toSeq)
-          clicks.addData(cb.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      withStatePartitions(s, 8) {
+        val query = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          for (b <- 0 to 3) {
+            // batch-wise collects, one micro-batch consuming BOTH sides
+            val vb = withB.filter(col("b") === b && col("event_type") === "view")
+              .select(col("event_id"), col("user_id"), col("ts"))
+              .as[(Long, Long, java.sql.Timestamp)].collect()
+            val cb = withB.filter(col("b") === b && col("event_type") === "click")
+              .select(col("event_id"), col("user_id"), col("ts"))
+              .as[(Long, Long, java.sql.Timestamp)].collect()
+            views.addData(vb.toSeq)
+            clicks.addData(cb.toSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      }
       s.table(sink)
         .select(col("view_id"), col("click_id"), col("vuser").as("user_id"),
           col("v_ts"), col("c_ts"))
