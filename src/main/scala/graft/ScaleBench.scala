@@ -234,6 +234,32 @@ object ScaleBench {
         s""""hier_agree_frac":${f"$agreeC%.3f"}}"""
     }
 
+    // PQ ADC at 50×: encode cost, then the identical scan scored by the
+    // native codegen pq_adc expression vs the interpreted HOF chain it
+    // replaced — the per-(query, corpus-row) scalar is the scan's hot
+    // loop, so this ratio is the measured value of the custom Expression
+    val pq = {
+      val n = Amplify.embeddings(baseEmb, 50)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .localCheckpoint(true)
+      val nV = n.count()
+      var codes: DataFrame = null
+      var dtab: DataFrame = null
+      val encodeSec = timed {
+        val (c, d) = Similarity.pqArtifacts(n, queryFilter = "vec_id % 2000 = 0")
+        codes = c.localCheckpoint(true)
+        dtab = d.localCheckpoint(true)
+      }
+      val nQ = dtab.count()
+      val nativeSec = timed(noop(Similarity.pqScan(codes, dtab)))
+      val hofSec = timed(noop(Similarity.pqScan(codes, dtab, nativeScorer = false)))
+      spark.catalog.clearCache(); System.gc()
+      s"""{"vectors":$nV,"queries":$nQ,"encode_sec":${f"$encodeSec%.2f"},""" +
+        s""""scan_native_sec":${f"$nativeSec%.2f"},""" +
+        s""""scan_hof_sec":${f"$hofSec%.2f"}}"""
+    }
+
     // SKEW stress — the two hot-key regimes, measured on the exact
     // shipped plans (never demonstrated before round 8):
     //  * q78's per-user window with ONE user owning 30% of all events
@@ -508,7 +534,8 @@ object ScaleBench {
     val json = s"""{"metric":"scaling","sf":"$sfDir","guard_tripped":$guardTripped,""" +
       s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
       s""""ann_recall_clustered":$recallClustered,""" +
-      s""""clustered":$clustered,"skew":$skew,"asof_depth":$asofDepth}"""
+      s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
+      s""""asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

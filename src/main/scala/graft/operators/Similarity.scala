@@ -40,6 +40,76 @@ object Similarity {
     * query survive to the exact-cosine rerank (R = 4×[[TopK]]). */
   private val BqR = 20
 
+  /** Product-quantization artifacts over `n` = (vec_id, v: array<double>):
+    * (codes = (vec_id, codes array<int>) — the 8-byte storage rows —
+    * and dtab = (query_id, dt array<array<long>>) — per-query M×Ks
+    * micro-unit distance tables). Encode is a broadcast-K join +
+    * min_by partial agg (ties to the smallest k, matching the oracle's
+    * row_number); shared by q99 and ScaleBench's pq measurement. */
+  private[graft] def pqArtifacts(n: DataFrame,
+      queryFilter: String = QueryFilter): (DataFrame, DataFrame) = {
+    // one row per (vector, subspace); slice is 1-based like DuckDB's v[i]
+    val sub = n.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+    val seeds = n.filter(col("vec_id") % PqSeedStep === 0)
+      // K-sized seed set: the global window runs over ~N/step rows
+      .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
+      .filter(col("rk") <= PqKs)
+    val cent = seeds.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("m"), (col("rk") - 1).cast("int").as("k"),
+        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
+      .localCheckpoint(true) // read by encode AND both distance tables
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val enc = sub.join(broadcast(cent), Seq("m"))
+      .withColumn("_d2", d2(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("_d2"), col("k"))).as("code"))
+    val codes = enc.groupBy("vec_id").agg(
+      transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p.getField("code")).as("codes"))
+    // per-query distance tables, micro-unit longs, nested dense [m][k]
+    val dflat = sub.filter(expr(queryFilter))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("d2u",
+        floor(d2(col("sv"), col("cv")) * 1e6 + 0.5).cast("long"))
+    val dtab = dflat.groupBy("query_id", "m")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("d2u")))),
+        p => p.getField("d2u")).as("dk"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("dk")))),
+        p => p.getField("dk")).as("dt"))
+    (codes, dtab)
+  }
+
+  /** The ADC scan over [[pqArtifacts]] output: broadcast tables, eight
+    * lookups per corpus row, exact long sum — map-side until the
+    * per-query top-k window. The scorer defaults to the native
+    * codegen'd `pq_adc` Expression (functions/PqAdc.scala): a fused int
+    * loop in whole-stage codegen where the HOF chain
+    * (aggregate∘zip_with∘element_at, `nativeScorer = false` — kept as
+    * ScaleBench's comparison arm) interprets a lambda frame per
+    * subspace per pair — this is the scan's hottest scalar. */
+  private[graft] def pqScan(codes: DataFrame, dtab: DataFrame,
+      nativeScorer: Boolean = true): DataFrame = {
+    val score: Column =
+      if (nativeScorer) expr("pq_adc(codes, dt)")
+      else aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)), (c, mm) =>
+          element_at(element_at(col("dt"), mm + 1), c + 1)),
+        lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(dtab), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2u", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+  }
+
   private def asDouble: Column = transform(col("embedding"), x => x.cast("double"))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
@@ -783,56 +853,8 @@ object Similarity {
         |FROM ranked WHERE rk <= $TopK
         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
-      // one row per (vector, subspace); slice is 1-based like DuckDB's v[i]
-      val sub = n.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-        .select(col("vec_id"), col("m"),
-          slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
-      val seeds = n.filter(col("vec_id") % PqSeedStep === 0)
-        // K-sized seed set: the global window runs over ~N/step rows
-        .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
-        .filter(col("rk") <= PqKs)
-      val cent = seeds.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-        .select(col("m"), (col("rk") - 1).cast("int").as("k"),
-          slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
-        .localCheckpoint(true) // read by encode AND both distance tables
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x)
-      // encode: argmin centroid per (vector, subspace) — broadcast-K join,
-      // partial-agg min_by, tie-break smallest k (= the oracle's row_number)
-      val enc = sub.join(broadcast(cent), Seq("m"))
-        .withColumn("_d2", d2(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("k"), struct(col("_d2"), col("k"))).as("code"))
-      // codes: the 8-byte storage row — array dense over m
-      val codes = enc.groupBy("vec_id").agg(
-        transform(array_sort(collect_list(struct(col("m"), col("code")))),
-          p => p.getField("code")).as("codes"))
-      // per-query distance tables, micro-unit longs, nested dense [m][k]
-      val dflat = sub.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("m"), col("sv"))
-        .join(broadcast(cent), Seq("m"))
-        .withColumn("d2u",
-          floor(d2(col("sv"), col("cv")) * 1e6 + 0.5).cast("long"))
-      val dtab = dflat.groupBy("query_id", "m")
-        .agg(transform(array_sort(collect_list(struct(col("k"), col("d2u")))),
-          p => p.getField("d2u")).as("dk"))
-        .groupBy("query_id")
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("dk")))),
-          p => p.getField("dk")).as("dt"))
-      // the ADC scan: broadcast tables, eight lookups per corpus row,
-      // exact long sum — map-side until the per-query top-k window.
-      // pq_adc is the native codegen'd Expression (functions/PqAdc.scala):
-      // a fused int loop in whole-stage codegen where the HOF chain
-      // (aggregate∘zip_with∘element_at) would interpret a lambda frame
-      // per subspace per pair — this is the scan's hottest scalar.
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2u").asc, col("neighbor_id"))
-      codes.select(col("vec_id").as("neighbor_id"), col("codes"))
-        .join(broadcast(dtab), col("neighbor_id") =!= col("query_id"))
-        .withColumn("d2u", expr("pq_adc(codes, dt)"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
+      val (codes, dtab) = pqArtifacts(n)
+      pqScan(codes, dtab)
         .select(col("query_id"), col("rk"), col("neighbor_id"),
           round(col("d2u") / 1e6, 6).as("approx_d2"))
         .orderBy("query_id", "rk")
