@@ -129,6 +129,10 @@ object StreamingQueries {
           concat(col("text"), lit(" reingested update v2 content")))
         .unionByName(base.filter(col("doc_id") % 10 === 5)),
       5 -> base.filter(col("doc_id") % 10 === 1))
+    // NOT trimmed like the MemoryStream drives: the per-batch shingle/
+    // minhash aggregations are compute-bound (5M shingle rows per batch
+    // at sf0.1) and need the full reducer parallelism — measured 84 s →
+    // 122 s for the q94+q98 pair when forced to 8 partitions
     val out = batches.map { case (i, b) =>
       // strict: each processBatch runs (and commits) before the next
       IncrementalDedup.processBatch(b, root.toString,
