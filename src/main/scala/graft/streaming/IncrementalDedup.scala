@@ -495,16 +495,19 @@ object IncrementalDedup {
           .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
         val freshIdx = xRows
           .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        val staleIds = rg
+        // pinned BEFORE the emptiness probe: isEmpty on the raw plan
+        // would run the semi+anti joins once for the probe and again
+        // for the checkpoint on the (rare) non-empty path
+        val stale = rg
           .join(batchReg.select("doc_id"), Seq("doc_id"), "left_semi")
           .join(batchReg, sigCols, "left_anti")
           .select("doc_id")
+          .localCheckpoint(true)
         val hasFresh = !freshReg.isEmpty
-        if (!staleIds.isEmpty) {
+        if (!stale.isEmpty) {
           // stale rewrite: the one full-store pass, taken only when a
           // doc actually changed text (rare); both kinds fold to one
           // fresh directory each, committed together
-          val stale = staleIds.localCheckpoint(true)
           val newIdx = storeIndex(spark, storeDir).get
             .join(stale, Seq("doc_id"), "left_anti")
             .unionByName(freshIdx).localCheckpoint(true)

@@ -40,6 +40,18 @@ object StreamingQueries {
   private val K = 8
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Opt-in harness phase timing (`-Dgraft.streamprof=1`): prints one
+    * line per replay phase so slow drives can be attributed to collect
+    * vs micro-batch execution without touching bench output. */
+  private def prof[T](label: String)(body: => T): T =
+    if (sys.props.get("graft.streamprof").isEmpty) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[streamprof] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   /** Run a MemoryStream replay drive with spark.sql.shuffle.partitions
     * temporarily lowered: the value fixes each micro-batch's STATE task
     * count, and a 4-batch fixture pays ~9 micro-batches of per-task
@@ -412,27 +424,33 @@ object StreamingQueries {
       val sink = "q103_mem"
       if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
       withStatePartitions(s, 8) {
-        val query = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
+        val query = prof("q103 start") {
+          joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        }
         try {
           for (b <- 0 to 3) {
             // batch-wise collects, one micro-batch consuming BOTH sides
-            val vb = withB.filter(col("b") === b && col("event_type") === "view")
-              .select(col("event_id"), col("user_id"), col("ts"))
-              .as[(Long, Long, java.sql.Timestamp)].collect()
-            val cb = withB.filter(col("b") === b && col("event_type") === "click")
-              .select(col("event_id"), col("user_id"), col("ts"))
-              .as[(Long, Long, java.sql.Timestamp)].collect()
+            val (vb, cb) = prof(s"q103 collect b$b") {
+              (withB.filter(col("b") === b && col("event_type") === "view")
+                .select(col("event_id"), col("user_id"), col("ts"))
+                .as[(Long, Long, java.sql.Timestamp)].collect(),
+                withB.filter(col("b") === b && col("event_type") === "click")
+                  .select(col("event_id"), col("user_id"), col("ts"))
+                  .as[(Long, Long, java.sql.Timestamp)].collect())
+            }
             views.addData(vb.toSeq)
             clicks.addData(cb.toSeq)
-            query.processAllAvailable()
+            prof(s"q103 microbatch b$b") { query.processAllAvailable() }
           }
-        } finally query.stop()
+        } finally prof("q103 stop") { query.stop() }
       }
-      s.table(sink)
-        .select(col("view_id"), col("click_id"), col("vuser").as("user_id"),
-          col("v_ts"), col("c_ts"))
-        .orderBy("view_id", "click_id")
-        .localCheckpoint(true) // pin: the memory sink view is transient
+      prof("q103 sink read") {
+        s.table(sink)
+          .select(col("view_id"), col("click_id"), col("vuser").as("user_id"),
+            col("v_ts"), col("c_ts"))
+          .orderBy("view_id", "click_id")
+          .localCheckpoint(true) // pin: the memory sink view is transient
+      }
     })
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior invariants for the curation operators (q104-q106) beyond
+  * the oracle hash-compare. */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q104: the distilled classifier actually learns the gate") {
+    val r = q("q104_quality_classifier", sf001).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val Seq(tp, fp, tn, fn) =
+      Seq("tp", "fp", "tn", "fn").map(c => row.getLong(row.fieldIndex(c)))
+    val acc = row.getDouble(row.fieldIndex("accuracy"))
+    val n = tp + fp + tn + fn
+    assert(n === 500, "one verdict per sf0.01 doc")
+    // both classes predicted (a degenerate all-one-class model is the
+    // failure mode of unscaled GD) and accuracy well above the majority
+    // floor (~0.57 at sf0.01)
+    assert(tp + fp > 0 && tn + fn > 0, s"degenerate: tp=$tp fp=$fp tn=$tn fn=$fn")
+    assert(acc > 0.65, s"did not learn: accuracy $acc")
+    // the 1e-6-rounded trajectory is reproducible bit-for-bit
+    val again = q("q104_quality_classifier", sf001).collect()(0)
+    assert(row.toSeq === again.toSeq, "GD trajectory must be deterministic")
+  }
+
+  test("q105: known-overlap fixture lands in the right deciles") {
+    import spark.implicits._
+    val dir = tempDir("curation_docs")
+    // two identical docs (every shingle duplicated → decile 9) and one
+    // disjoint doc (no shingle shared → decile 0)
+    Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q105_dup_gram_fraction", dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got === List((0, 1L, 0.0), (9, 2L, 1.0)))
+  }
+
+  test("q106: shards partition the corpus and respect the token budget") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val totalDocs = docs.count()
+    val toks = docs.select(
+      size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .cast("long").as("n"))
+    val totalTok = toks.agg(sum("n")).collect()(0).getLong(0)
+    val maxTok = toks.agg(max("n")).collect()(0).getLong(0)
+    val shards = q("q106_epoch_shards", sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact partition of the corpus
+    assert(shards.map(_._2).sum === totalDocs)
+    assert(shards.map(_._3).sum === totalTok)
+    // contiguous shard ids from 0
+    assert(shards.map(_._1).toList === shards.indices.map(_.toLong).toList)
+    // a shard never overshoots the budget by more than one doc (docs are
+    // never split), and only the last shard may run short
+    assert(shards.init.forall { case (_, _, t) => t >= 1000 - maxTok + 1 },
+      "non-final shard far below budget")
+    assert(shards.forall { case (_, _, t) => t <= 1000 + maxTok - 1 },
+      "shard overshoots budget by a whole doc")
+  }
+
+  test("q106: the prefix sum is distributed — no single-partition window") {
+    val plan = q("q106_epoch_shards", sf001)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty, "expected a windowed cumsum in the plan")
+    // the cumsum window must be keyed by the bucket column, never a
+    // global-order (single-partition) window
+    assert(!plan.contains("SinglePartition"),
+      s"global exchange leaked into the shard plan:\n$plan")
+  }
+}
