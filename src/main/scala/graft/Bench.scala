@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the explicit localCheckpoint-block unpersist below logs a benign
+    // "cannot be recomputed after unpersisting" WARN per query (the
+    // results were already consumed) — keep the bench tail parseable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/codegen/classloading + first parquet touch,
     // so the first timed query doesn't carry ~5 s of one-time cost
     try SparkEntry.queries("q06_forecast_revenue")(spark, sfDir)
@@ -26,7 +32,11 @@ object Bench {
     // SDS e2e queries (q5x_sds_*) are correctness fixtures with bounded
     // inputs — ingest THROUGHPUT is measured by graft.IngestBench, so
     // timing a fixed 100-block ingest here would only add noise.
-    val suite = SparkEntry.queries.toSeq.filterNot(_._1.contains("_sds_")).sortBy(_._1)
+    // local-iteration filter (the driver never sets it): run only queries
+    // whose name contains one of the comma-separated substrings
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val suite = SparkEntry.queries.toSeq.filterNot(_._1.contains("_sds_"))
+      .filter(q => only.forall(_.exists(q._1.contains))).sortBy(_._1)
     // the whole suite runs `runCount` times in THIS one JVM and each
     // query reports its minimum — host noise (a GC pause, a page-cache
     // miss, a co-tenant burst) inflates one run, never both, so min
@@ -44,11 +54,17 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         // queries may cache intermediates; don't let caches accumulate
         // across the suite and skew later timings. clearCache drops
-        // CacheManager entries; the GC nudge lets the ContextCleaner reap
-        // localCheckpoint blocks (RDD-level, invisible to clearCache) from
-        // the frames that just went unreachable. Both run OUTSIDE the
-        // timed window.
+        // CacheManager entries; localCheckpoint blocks are RDD-level
+        // (invisible to clearCache) and the async ContextCleaner reaps
+        // them too slowly to keep ~40 checkpointing queries from bloating
+        // the block manager — storage pressure that measurably slows the
+        // driver-orchestrated streaming drives later in the suite — so
+        // they are unpersisted EXPLICITLY (nothing legitimately persists
+        // across queries; each query re-derives its own state). All of
+        // this runs OUTSIDE the timed window.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         name -> (elapsed, ok)
       }
