@@ -452,5 +452,88 @@ object StreamingQueries {
           .orderBy("view_id", "click_id")
           .localCheckpoint(true) // pin: the memory sink view is transient
       }
+    },
+
+    // ---- q107: streaming EXECUTION of dropDuplicatesWithinWatermark -----
+    // Completes the streaming-runtime gate family (q95 tumbling, q97
+    // session, q103 stream-stream join): the watermarked dedup operator
+    // driven on the real events table against a DuckDB recomputation of
+    // Spark's state semantics. Replay batches follow event time
+    // (day-of-month octiles); every event_id % 5 = 0 row is RE-SENT one
+    // batch later as a retransmission with ts + 72 h under a 48 h dedup
+    // watermark, so the three state paths all carry real traffic
+    // (sf0.01: 786 suppressed / 206 re-emitted / 607 late-dropped):
+    //   - state LIVE  (W(b2) < ts1 + 48h): the retransmission is
+    //     suppressed as a duplicate — state expiry is the FIRST row's
+    //     ts + delay, not refreshed by the duplicate;
+    //   - state EVICTED and ts2 above watermark: re-emitted (the
+    //     documented contract: dedup is only guaranteed within the
+    //     watermark delay);
+    //   - state EVICTED but ts2 below watermark: dropped as late input.
+    // Base rows are never late by construction (each octile's rows sit
+    // above the previous octile's max − 48 h), so emitted = all base
+    // rows + exactly the re-emitted retransmissions; dedup emits in the
+    // same micro-batch (no watermark hold), so no sentinel flush is
+    // needed. A duplicate leaking through, a stale entry surviving
+    // eviction, or a late row accepted all change the output multiset
+    // and fail the hash.
+    Q("q107_streaming_dedup",
+      """WITH e0 AS (SELECT event_id, event_type, value, ts,
+        |    CAST(floor((day(ts) - 1) / 8) AS INT) AS b FROM events),
+        |dup AS (SELECT event_id, event_type, value,
+        |    ts + INTERVAL 72 HOUR AS ts, b + 1 AS b
+        |  FROM e0 WHERE event_id % 5 = 0 AND b + 1 <= 3),
+        |allr AS (SELECT event_id, ts, b FROM e0
+        |  UNION ALL SELECT event_id, ts, b FROM dup),
+        |mx AS (SELECT b, max(epoch_us(ts)) AS mxus FROM allr GROUP BY b),
+        |wm AS (SELECT b, max(mxus) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - 172800000000 AS wmus FROM mx),
+        |redup AS (SELECT d.event_id, d.event_type, d.value, d.ts
+        |  FROM dup d JOIN wm w ON w.b = d.b
+        |  WHERE w.wmus IS NOT NULL
+        |    AND w.wmus > epoch_us(d.ts) - 86400000000
+        |    AND epoch_us(d.ts) >= w.wmus)
+        |SELECT event_id, event_type, value, ts FROM e0
+        |UNION ALL SELECT event_id, event_type, value, ts FROM redup
+        |ORDER BY event_id, ts""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q107 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      val withB = ev.withColumn("b",
+        floor((dayofmonth(col("ts")) - 1) / 8).cast("int"))
+      val dups = withB
+        .filter(col("event_id") % 5 === 0 && col("b") + 1 <= 3)
+        .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+        .withColumn("b", col("b") + 1)
+      val source = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+      val deduped = Stateful.dedupStream(
+        source.toDF().toDF("event_id", "event_type", "value", "ts"),
+        watermark = "48 hours")
+      val sink = "q107_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      withStatePartitions(s, 8) {
+        val query = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          for (b <- 0 to 3) {
+            val batch = withB.filter(col("b") === b)
+              .unionByName(dups.filter(col("b") === b))
+              .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+              .as[(Long, String, Double, java.sql.Timestamp)].collect()
+            source.addData(batch.toSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      }
+      s.table(sink)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("event_id", "ts")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     })
 }
