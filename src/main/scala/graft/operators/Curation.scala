@@ -168,6 +168,102 @@ object Curation {
       .mkString(",\n")
   }
 
+  // ---- q108/q109: byte-pair-encoding tokenizer -------------------------
+
+  /** Merge steps to learn. Small so the oracle's chained CTEs stay
+    * readable; the algorithm is step-count-agnostic. */
+  private val BpeMerges = 8
+
+  /** Train a BPE merge table on the corpus (Sennrich et al.): ONE corpus
+    * pass builds the (word, freq) vocabulary — every later step runs at
+    * VOCABULARY scale, the property that makes BPE training tractable on
+    * a 100 TB corpus. Symbol sequences are pipe-wrapped space-joined
+    * strings ('|k| |e| |y|'); applying a merge is a literal
+    * left-to-right non-overlapping `replace` of '|e| |r|' with '|er|' —
+    * exactly BPE's greedy merge semantics, identical in Spark and SQL.
+    * Each step: adjacent-pair counts (vocab-scale shuffle agg), the
+    * argmax pair collected as ONE driver row (count desc, then
+    * lexicographic — pure integer/string determinism, no floats
+    * anywhere), then the merge applied as a codegen'd literal replace.
+    * Returns the final vocab (word, freq, seq) and the merge table. */
+  private[operators] def trainBpe(s: SparkSession, dir: String,
+                                  k: Int = BpeMerges)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val w = docs(s, dir)
+      .select(explode(split(norm(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var v = w.withColumn("seq",
+      array_join(transform(split(col("word"), ""),
+        c => concat(lit("|"), c, lit("|"))), " "))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (i <- 1 to k) {
+      val bestRows = v
+        .select(col("freq"), split(col("seq"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), j -> struct(sy[j-1] AS l, sy[j] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      // fail LOUDLY if the vocabulary exhausts its pairs before step k:
+      // the oracle's fixed CTE chain would quietly produce fewer steps
+      // (and an empty final vocab), so a silent partial train here would
+      // be an engine/oracle divergence instead of a clear error
+      require(bestRows.nonEmpty,
+        s"BPE pairs exhausted at step $i of $k — the corpus vocabulary " +
+          "is too small for the requested merge count")
+      val best = bestRows(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      def inner(x: String) = x.substring(1, x.length - 1)
+      val m = "|" + inner(l) + inner(r) + "|"
+      merges += ((i, inner(l), inner(r), inner(l) + inner(r), cnt))
+      val nv = v.withColumn("seq",
+        call_function("replace", col("seq"), lit(l + " " + r), lit(m)))
+        .persist()
+      nv.count() // pin this step before dropping the previous one
+      v.unpersist()
+      v = nv
+    }
+    (v, merges.toSeq)
+  }
+
+  /** The oracle's training replay: v0 (wrapped chars) then per step a
+    * pair-count CTE, a LIMIT-1 argmax CTE, and the replace application —
+    * all MATERIALIZED (each v$i is referenced by the next two CTEs). */
+  private def bpeCtes: String = {
+    val base =
+      s"""w AS MATERIALIZED (
+         |  SELECT w AS word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    array_to_string(list_transform(string_split(word, ''),
+         |      c -> '|' || c || '|'), ' ') AS seq
+         |  FROM w)""".stripMargin
+    val steps = (1 to BpeMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, sy[j] AS l, sy[j + 1] AS r
+         |    FROM (SELECT freq, string_split(seq, ' ') AS sy FROM v${i - 1}),
+         |         unnest(range(1, len(sy))) AS t(j))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS step, l, r,
+         |    '|' || substr(l, 2, length(l) - 2) ||
+         |      substr(r, 2, length(r) - 2) || '|' AS m,
+         |    cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT word, freq, replace(seq, b.l || ' ' || b.r, b.m) AS seq
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   // ---- q106 shared constants -------------------------------------------
 
   /** Tokens per exported shard (q106). */
@@ -340,5 +436,68 @@ object Curation {
           sum(col("n_tokens")).as("tok_sum"),
           min(col("r")).as("first_key"))
         .orderBy("shard_id")
+    },
+
+    // ---- q108: BPE vocabulary training ----------------------------------
+    // Real byte-pair encoding (q23's token counter is a BPE-ish REGEX;
+    // this LEARNS the merges): 8 greedy merge steps over the corpus
+    // word-frequency table. The whole trainer is integer/string
+    // arithmetic — counts, argmax with lexicographic ties, literal
+    // replaces — so the oracle replays training EXACTLY step for step.
+    // Scale shape: one corpus pass to the (word, freq) vocab, then
+    // everything runs at vocabulary scale with a 1-row driver collect
+    // per step (the standard industrial BPE formulation).
+    Q("q108_bpe_train", {
+      s"""WITH $bpeCtes
+         |SELECT step, substr(l, 2, length(l) - 2) AS left_sym,
+         |  substr(r, 2, length(r) - 2) AS right_sym,
+         |  substr(m, 2, length(m) - 2) AS merged_sym,
+         |  cnt AS pair_count
+         |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      val (v, merges) = trainBpe(s, dir)
+      v.unpersist()
+      s.createDataFrame(merges)
+        .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_count")
+        .orderBy("step")
+    },
+
+    // ---- q109: BPE tokenization (per-source token accounting) -----------
+    // Applies the learned merge table: per-word token counts come off
+    // the trained vocab's final symbol sequences, and documents join
+    // that table on the word — an UNHINTED equi-join (the vocab is
+    // corpus-dependent: AQE broadcasts it when it fits, shuffles when
+    // it doesn't — the q67 lesson). Token budgeting with the real
+    // subword tokenizer is what the packing/shard operators (q63,
+    // q106) would consume in production.
+    Q("q109_bpe_tokenize", {
+      s"""WITH $bpeCtes,
+         |tok AS MATERIALIZED (SELECT word,
+         |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$BpeMerges),
+         |dw AS (SELECT doc_id, source,
+         |    unnest(string_split($normSql, ' ')) AS word FROM documents),
+         |perdoc AS (SELECT doc_id, source,
+         |    CAST(sum(t.n_tok) AS BIGINT) AS bpe, count(*) AS ws
+         |  FROM dw JOIN tok t USING (word) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val (v, _) = trainBpe(s, dir)
+      val tok = v.select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_tok"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(norm(col("text")), " ")).as("word"))
+        .join(tok, "word")
+        .groupBy("doc_id", "source")
+        .agg(sum("n_tok").as("bpe"), count(lit(1)).as("ws"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("bpe").as("bpe_tokens"),
+          sum("ws").as("ws_tokens"))
+        .orderBy("source")
     })
 }

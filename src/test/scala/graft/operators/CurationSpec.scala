@@ -69,6 +69,50 @@ class CurationSpec extends SparkSpec {
       "shard overshoots budget by a whole doc")
   }
 
+  test("q108: BPE merges match the hand-computed sequence on a fixture") {
+    import spark.implicits._
+    val dir = tempDir("bpe_docs")
+    // vocab: aaab (freq 2), ab (freq 1)
+    //   step 1: (a,a) count 4  -> aa   (greedy L-to-R: aaab = aa|a|b)
+    //   step 2: (a,b) count 3  -> ab
+    //   step 3: (aa,ab) count 2 -> aaab
+    Seq((1L, "aaab aaab ab"), (2L, "aaab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fixture doc 1 holds two aaab + one ab; doc 2 one aaab → freq 3/1
+    //   step 1: (a,a) = 2 per aaab × 3 = 6;       merge aa
+    //   step 2: (a,b): aaab 1×3 + ab 1×1 = 4;     merge ab
+    //   step 3: (aa,ab) = 3;                      merge aaab
+    val (v, merges) = Curation.trainBpe(spark, dir, k = 3)
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
+    val seqs = v.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs("aaab") === "|aaab|")
+    assert(seqs("ab") === "|ab|")
+    v.unpersist()
+    // step 4 has no pairs left anywhere — must fail loudly, not diverge
+    val e = intercept[IllegalArgumentException] {
+      Curation.trainBpe(spark, dir, k = 4)
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
+
+  test("q108/q109: detokenization invariant on the real corpus") {
+    val (v, merges) = Curation.trainBpe(spark, sf001)
+    assert(merges.length === 8)
+    assert(merges.forall { case (_, l, r, m, c) => m == l + r && c > 0 })
+    // every word's final symbols concatenate back to the word
+    val bad = v.collect().filter { r =>
+      val word = r.getString(0)
+      val toks = r.getString(2).split(" ").map(t => t.substring(1, t.length - 1))
+      toks.mkString("") != word || toks.exists(_.isEmpty)
+    }
+    assert(bad.isEmpty, s"detokenization broke for: ${bad.take(3).mkString(",")}")
+    v.unpersist()
+  }
+
   test("q106: the prefix sum is distributed — no single-partition window") {
     val plan = q("q106_epoch_shards", sf001)
       .queryExecution.executedPlan.toString
