@@ -412,12 +412,16 @@ object IncrementalDedup {
   def processBatch(batchDocs: DataFrame, storeDir: String,
                    threshold: Double = DefaultThreshold,
                    compactAfter: Int = CompactThreshold): DataFrame = {
+    import graft.core.Prof
     val spark = batchDocs.sparkSession
     val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
     // the batch in store-row shapes: exploded index rows + registry rows
     val xRows = withBh(Dedup.explodeBandBuckets(batchSigs)).persist()
     val batchReg = withDh(batchSigs.drop(
       batchSigs.columns.filter(_.startsWith("band")): _*)).persist()
+    // profiling-only materialization: attributes the signature build
+    // separately from the probe that would otherwise trigger it lazily
+    if (Prof.enabled) Prof("q94 sig build") { batchSigs.count() }
 
     // candidate targets: the PRUNED store index (only the partitions the
     // batch's own buckets hash into — the read that stays O(touched) as
@@ -431,7 +435,9 @@ object IncrementalDedup {
     // candidate set, so verdicts are bit-identical. No candidate is lost
     // to pruning: a matching store row shares the batch row's bucket,
     // hence its (band_idx, bh) partition.
-    val store = storeProbe(spark, storeDir, touchedPids(xRows))
+    val store = Prof("q94 probe") {
+      storeProbe(spark, storeDir, touchedPids(xRows))
+    }
     val target = store match {
       case Some(st) => st
         .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -466,7 +472,7 @@ object IncrementalDedup {
     // GC directories a lazy plan over the pre-commit store would read.
     // localCheckpoint truncates the lineage eagerly, so the result is
     // immune to the store mutation.
-    val out = verdicts.localCheckpoint(true)
+    val out = Prof("q94 verdicts") { verdicts.localCheckpoint(true) }
 
     // Store maintenance — re-ingest semantics (one registry row per
     // doc_id, the LATEST text wins):
@@ -486,8 +492,10 @@ object IncrementalDedup {
     // batch copy for in-batch ids, so a replay after any crash point
     // below re-emits identical verdicts.
     val sigCols = batchReg.columns.toSeq.filterNot(_ == "dh")
-    val reg = registryProbe(spark, storeDir, touchedDhs(batchReg))
-    reg match {
+    val reg = Prof("q94 registry probe") {
+      registryProbe(spark, storeDir, touchedDhs(batchReg))
+    }
+    Prof("q94 maintain+commit") { reg match {
       case Some(rg) =>
         val exactIds = rg.join(batchReg, sigCols, "left_semi").select("doc_id")
         // pin before any commit: these read the pre-commit store dirs
@@ -527,12 +535,12 @@ object IncrementalDedup {
           commit(spark, storeDir,
             writeIndexDir(spark, storeDir, xRows) ++
               writeRegistryDir(spark, storeDir, batchReg))
-    }
+    } }
     batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)
     if (committedDirs(spark, storeDir).size > compactAfter)
-      compactStore(spark, storeDir)
+      Prof("q94 compact") { compactStore(spark, storeDir) }
     out
   }
 

@@ -40,17 +40,10 @@ object StreamingQueries {
   private val K = 8
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** Opt-in harness phase timing (`-Dgraft.streamprof=1`): prints one
-    * line per replay phase so slow drives can be attributed to collect
-    * vs micro-batch execution without touching bench output. */
+  /** Opt-in harness phase timing (`-Dgraft.streamprof=1`) — see
+    * [[graft.core.Prof]]. */
   private def prof[T](label: String)(body: => T): T =
-    if (sys.props.get("graft.streamprof").isEmpty) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[streamprof] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
+    graft.core.Prof(label)(body)
 
   /** Run a MemoryStream replay drive with spark.sql.shuffle.partitions
     * temporarily lowered: the value fixes each micro-batch's STATE task
