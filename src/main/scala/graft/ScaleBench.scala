@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Amplify, Dedup, Events, Similarity}
+import graft.operators.{Amplify, Curation, Dedup, Events, Similarity}
 import graft.streaming.IncrementalDedup
 
 /** Scaling-curve measurement for the dedup/ANN/streaming paths (not part
@@ -232,6 +232,32 @@ object ScaleBench {
       spark.catalog.clearCache()
       s"""{"n":$nC,"centers":64,"codebook_k":$kC,""" +
         s""""hier_agree_frac":${f"$agreeC%.3f"}}"""
+    }
+
+    // Trained quality classifier (q104) across the replica ladder: the
+    // full 12-step GD train is feature pass + moments pass + 12 agg
+    // passes + 1 eval pass over a persisted 4-column projection — every
+    // pass embarrassingly parallel, so wall time should grow far slower
+    // than the corpus (pass count is CONSTANT in corpus size). Accuracy
+    // is reported as an invariance check: replication preserves the
+    // feature/label distribution, so the learned boundary should hold.
+    val classifier = {
+      val rows = replicas.map { r =>
+        val d = Amplify.docs(baseDocs, r)
+          .select("doc_id", "text").localCheckpoint(true)
+        val n = d.count()
+        var acc = 0.0
+        val trainSec = timed {
+          val f = Curation.featureFrameOf(d).persist()
+          val (_, a) = Curation.trainAndScore(f)
+          acc = a
+          f.unpersist()
+        }
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"docs":$n,"train_sec":${f"$trainSec%.2f"},""" +
+          s""""accuracy":${f"$acc%.4f"}}"""
+      }
+      rows.mkString("[", ",", "]")
     }
 
     // PQ ADC at 50×: encode cost, then the identical scan scored by the
@@ -535,7 +561,7 @@ object ScaleBench {
       s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
-      s""""asof_depth":$asofDepth}"""
+      s""""classifier":$classifier,"asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

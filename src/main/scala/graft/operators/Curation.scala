@@ -54,7 +54,10 @@ object Curation {
     * setup: run the expensive gate once, train a cheap model to mimic
     * it); the FEATURES are the scaled signals. */
   private def rawFrame(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    rawFrameOf(docs(s, dir))
+
+  private def rawFrameOf(d: DataFrame): DataFrame =
+    d
       .withColumn("_w", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -84,8 +87,13 @@ object Curation {
     * moments rounded to 6 dp) — GD over raw ratios at 3 different scales
     * oscillates; unit-variance features converge in a dozen steps. One
     * extra aggregation pass; the 6 scalars fold into the projection. */
-  private def featureFrame(s: SparkSession, dir: String): DataFrame = {
-    val raw = rawFrame(s, dir)
+  private def featureFrame(s: SparkSession, dir: String): DataFrame =
+    featureFrameOf(docs(s, dir))
+
+  /** Feature frame from an arbitrary documents frame (doc_id, text) —
+    * the seam the scale harness trains through. */
+  private[graft] def featureFrameOf(d: DataFrame): DataFrame = {
+    val raw = rawFrameOf(d.select(col("doc_id"), col("text")))
     val m = raw.agg(
       avg("x1"), avg("x2"), avg("x3"),
       stddev_pop(col("x1")), stddev_pop(col("x2")), stddev_pop(col("x3")))
@@ -119,6 +127,18 @@ object Curation {
 
   private def roundTo(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Harness seam: [[trainWeights]] + a confusion-accuracy eval on a
+    * feature frame (the scale harness trains at amplified corpus sizes;
+    * the contract query q104 stays the single source of truth for the
+    * oracle-checked output shape). */
+  private[graft] def trainAndScore(f: DataFrame): (Array[Double], Double) = {
+    val w = trainWeights(f)
+    val acc = f.agg(avg(when(
+      when(logit(w) >= 0.0, 1.0).otherwise(0.0) === col("y"), 1.0)
+      .otherwise(0.0))).collect()(0).getDouble(0)
+    (w, acc)
+  }
 
   /** Train by full-batch GD over the (persisted) feature frame: each step
     * is ONE map-side-combinable aggregation pass (4 avg's) — the textbook

@@ -186,6 +186,27 @@ object Dedup {
       .map(i => when(col(s"$left.mh$i") === col(s"$right.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / MinhashK
 
+  /** Doc-level split assignment behind q110 (exposed for the co-split
+    * invariant spec): (doc_id, source, canon, split) where canon is the
+    * doc's q59 dup-group canonical (itself for singletons) and split is
+    * an 80/10/10 hash of `canon` — every member of a near-dup group
+    * lands in the same split by construction. */
+  private[operators] def leakageSafeSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val cc = connectedComponents(
+      lshCandidatePairs(s, dir).select("doc1", "doc2"))
+      .select(col("doc_id"), col("canonical_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("split:"), col("canon").cast("string"))),
+          1, 15), 16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("source"), col("canon"),
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     lshCandidatePairsOf(docs(s, dir))
 
@@ -506,6 +527,49 @@ object Dedup {
         .join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    },
+
+    // ---- q110: leakage-safe train/val/test split ------------------------
+    // Eval-set hygiene: a doc and its near-duplicates MUST land in the
+    // same split, or validation leaks training content (the train-test
+    // contamination q81 measures, built into the split instead of
+    // patched later). The split key is the dup GROUP's canonical id
+    // (q59's components; singletons are their own group), hashed to
+    // 80/10/10 — so co-splitting holds by construction, not by check.
+    // Cost shape: the q59 chain + one hash + one agg; nothing new
+    // shuffles at corpus scale.
+    Q("q110_leakage_safe_split",
+      s"""WITH RECURSIVE $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lbl AS (
+        |  SELECT node, least(node, min(r)) AS canonical_id
+        |  FROM reach GROUP BY node),
+        |asg AS (
+        |  SELECT d.doc_id, d.source,
+        |    coalesce(l.canonical_id, d.doc_id) AS canon
+        |  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id),
+        |spl AS (
+        |  SELECT source, canon,
+        |    ('0x' || substr(md5('split:' || CAST(canon AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 AS h
+        |  FROM asg)
+        |SELECT source,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_groups
+        |FROM spl GROUP BY 1, 2 ORDER BY source, split""".stripMargin) { (s, dir) =>
+      leakageSafeSplitAssign(s, dir)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_groups"))
+        .orderBy("source", "split")
     },
 
     // ---- q31: SimHash (16-bit, per-row — zero-shuffle signatures) -------

@@ -113,6 +113,25 @@ class CurationSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("q110: no near-dup pair straddles a split (leakage invariant)") {
+    val assign = Dedup.leakageSafeSplitAssign(spark, sf001)
+      .select(col("doc_id"), col("split")).localCheckpoint(true)
+    val pairs = graft.SparkEntry.queries("q30_dedup_minhash_lsh")(spark, sf001)
+      .select(col("doc1"), col("doc2"))
+    val straddling = pairs
+      .join(assign.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("split", "s1"), "doc1")
+      .join(assign.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("split", "s2"), "doc2")
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(straddling === 0L, "a near-dup pair crossed a split boundary")
+    // the aggregated query accounts for every doc exactly once
+    val total = graft.SparkEntry.queries("q110_leakage_safe_split")(spark, sf001)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === graft.core.Tables.load(spark, sf001, "documents").count())
+  }
+
   test("q106: the prefix sum is distributed — no single-partition window") {
     val plan = q("q106_epoch_shards", sf001)
       .queryExecution.executedPlan.toString
