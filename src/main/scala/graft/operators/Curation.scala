@@ -519,5 +519,95 @@ object Curation {
           sum("bpe").as("bpe_tokens"),
           sum("ws").as("ws_tokens"))
         .orderBy("source")
+    },
+
+    // ---- q111: corpus curation report (the capstone dashboard) ----------
+    // One per-source health report composing FOUR verified families in a
+    // single query: document counts, real-BPE token accounting (q108/
+    // q109), the TRAINED classifier's pass rate (q104's exact GD
+    // trajectory), and the near-dup rate (q30/q59's LSH + connected
+    // components). This is the query a data-engineering team actually
+    // runs before cutting a training set — and the oracle composes the
+    // same four verified CTE chains (recursive CC + materialized BPE +
+    // materialized GD) into one statement, so the report is hash-gated
+    // end to end, not just its parts.
+    Q("q111_curation_report", {
+      val wFinal = s"i$GdSteps"
+      s"""WITH RECURSIVE ${Dedup.lshCandSqlCtes},
+         |edges AS (
+         |  SELECT doc1 AS src, doc2 AS dst FROM cand
+         |  UNION SELECT doc2, doc1 FROM cand),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |lbl AS (
+         |  SELECT node, least(node, min(r)) AS canonical_id
+         |  FROM reach GROUP BY node),
+         |$bpeCtes,
+         |tok AS MATERIALIZED (SELECT word,
+         |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$BpeMerges),
+         |f AS MATERIALIZED ($featureSql),
+         |$gdCtes,
+         |src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |bpe AS (
+         |  SELECT source, CAST(sum(t.n_tok) AS BIGINT) AS bpe_tokens
+         |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS word
+         |        FROM documents) dw
+         |  JOIN tok t USING (word) GROUP BY 1),
+         |clf AS (
+         |  SELECT d.source, round(avg(
+         |    CASE WHEN w0 + w1 * x1 + w2 * x2 + w3 * x3 >= 0
+         |         THEN 1.0 ELSE 0.0 END), 4) AS clf_pass_rate
+         |  FROM f JOIN documents d USING (doc_id), $wFinal GROUP BY 1),
+         |dup AS (
+         |  SELECT d.source, count(*) AS n_dup
+         |  FROM lbl l JOIN documents d ON d.doc_id = l.node
+         |  WHERE l.node <> l.canonical_id GROUP BY 1)
+         |SELECT s.source, s.n_docs, b.bpe_tokens, c.clf_pass_rate,
+         |  round(coalesce(dup.n_dup, 0) / CAST(s.n_docs AS DOUBLE), 4)
+         |    AS dup_doc_frac
+         |FROM src s
+         |JOIN bpe b USING (source)
+         |JOIN clf c USING (source)
+         |LEFT JOIN dup USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      // BPE tokens per source (the q109 subtree)
+      val (v, _) = trainBpe(s, dir)
+      val tok = v.select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_tok"))
+      val bpe = d
+        .select(col("source"), explode(split(norm(col("text")), " ")).as("word"))
+        .join(tok, "word")
+        .groupBy("source").agg(sum("n_tok").as("bpe_tokens"))
+      // trained-classifier pass rate (the q104 subtree)
+      val f = featureFrame(s, dir).persist()
+      val w = trainWeights(f)
+      val clf = f.select(col("doc_id"),
+          when(logit(w) >= 0.0, 1.0).otherwise(0.0).as("pred"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source").agg(round(avg("pred"), 4).as("clf_pass_rate"))
+      // near-dup members per source (the q59 subtree)
+      val dup = Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(s, dir).select("doc1", "doc2"))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_dup"))
+      val out = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(bpe, "source")
+        .join(clf, "source")
+        .join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("bpe_tokens"),
+          col("clf_pass_rate"),
+          round(coalesce(col("n_dup"), lit(0L)) / col("n_docs").cast("double"), 4)
+            .as("dup_doc_frac"))
+        .orderBy("source")
+        // pin before unpersist: the report must not lazily re-derive the
+        // classifier features after the cache drops
+        .localCheckpoint(true)
+      f.unpersist(); v.unpersist()
+      out
     })
 }

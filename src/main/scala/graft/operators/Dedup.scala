@@ -124,7 +124,7 @@ object Dedup {
     * pairs sharing ≥1 LSH band bucket, scored by signature agreement,
     * kept at est_jaccard ≥ 0.5. Verbatim-shared by q30 and q59 so the
     * two oracles can never drift apart. */
-  private val lshCandSqlCtes: String = {
+  private[operators] val lshCandSqlCtes: String = {
     val mhSelect = (0 until MinhashK)
       .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
     val bands = (0 until MinhashK / 2)
@@ -207,7 +207,7 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     lshCandidatePairsOf(docs(s, dir))
 
   /** q30's candidate generator over an arbitrary (doc_id, text) frame —
