@@ -528,5 +528,84 @@ object StreamingQueries {
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
         .orderBy("event_id", "ts")
         .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
+    // ---- q112/q113: CUSTOM-state streaming execution --------------------
+    // q95/q97/q103/q107 gate the BUILT-IN stateful operators; these gate
+    // the arbitrary-state path — the same per-user running-totals
+    // operator on flatMapGroupsWithState (q112) and on Spark 4's
+    // transformWithState with RocksDB ValueState (q113). Four
+    // time-octile replay batches; the operator emits one cumulative
+    // (n_events, sum_value) row per user per batch the user appears in,
+    // and the oracle recomputes exactly that: per-user per-batch
+    // cumulative count/sum over batches <= b. The float sum is rounded
+    // to 4 dp on both sides (in-batch iteration order is shuffle-
+    // dependent). A lost state row, a double-applied batch, or an
+    // emission in a silent batch changes the multiset and fails the
+    // hash — on either state backend.
+    Q("q112_streaming_running_totals", runningTotalsOracle) { (s, dir) =>
+      runningTotalsDrive(s, dir, useTws = false, sink = "q112_mem")
+    },
+
+    Q("q113_streaming_running_totals_tws", runningTotalsOracle) { (s, dir) =>
+      // transformWithState requires the RocksDB state store provider
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runningTotalsDrive(s, dir, useTws = true, sink = "q113_mem")
+      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     })
+
+  // def, not val: referenced by `defs` above during object init
+  private def runningTotalsOracle: String =
+    """WITH e AS (SELECT user_id, value,
+      |    CAST(floor((day(ts) - 1) / 8) AS INT) AS b FROM events),
+      |per AS (SELECT user_id, b, count(*) AS c, sum(value) AS s
+      |  FROM e GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT)
+      |    AS n_events,
+      |  round(sum(s) OVER (PARTITION BY user_id ORDER BY b), 4) AS sum_value
+      |FROM per ORDER BY user_id, n_events""".stripMargin
+
+  private def runningTotalsDrive(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, useTws: Boolean,
+                                 sink: String): org.apache.spark.sql.DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val replayRows = ev.count()
+    require(replayRows <= MaxReplayRows,
+      s"$sink replay harness is a fixture driver bounded at $MaxReplayRows " +
+        s"rows; got $replayRows — replay from files instead")
+    val withB = ev.withColumn("b",
+      floor((dayofmonth(col("ts")) - 1) / 8).cast("int"))
+    val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = source.toDF().toDF("user_id", "ts", "value")
+      .as[Stateful.UserEvent]
+    val totals =
+      if (useTws) Stateful.runningUserTotalsTws(events)
+      else Stateful.runningUserTotals(events)
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    withStatePartitions(s, 8) {
+      val query = totals.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        for (b <- 0 to 3) {
+          val batch = withB.filter(col("b") === b)
+            .select(col("user_id"), col("ts"), col("value"))
+            .as[(Long, java.sql.Timestamp, Double)].collect()
+          source.addData(batch.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+    s.table(sink)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "n_events")
+      .localCheckpoint(true) // pin: the memory sink view is transient
+  }
 }
