@@ -555,6 +555,86 @@ object StreamingQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try runningTotalsDrive(s, dir, useTws = true, sink = "q113_mem")
       finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    },
+
+    // ---- q114: EVENT-TIME TIMER execution (transformWithState) ----------
+    // The last runtime surface without an oracle gate: timers. The
+    // SessionTimerProcessor accumulates per-user totals and re-arms one
+    // event-time timer at last-event + 10 min; the summary emits ONLY
+    // when the watermark crosses the timer. Replay is user-bucketed
+    // (q97's trick: each user's history arrives in one batch, so state
+    // accumulates once and equals a global recomputation over the
+    // accepted rows) under a 30 min watermark, with a +20 MINUTE
+    // sentinel as the last batch — chosen so the final watermark lands
+    // 10 min BELOW the global max: users whose last accepted event is
+    // within 20 min of the corpus max have LIVE timers and must stay
+    // silent, everyone else's timer fired. The oracle recomputes both
+    // sides of that boundary (acceptance per batch watermark, then
+    // last_ms + gap < final watermark), so a timer that fires early, a
+    // summary that leaks from live state, or a lost timer re-arm all
+    // fail the hash — on the RocksDB timer store.
+    Q("q114_streaming_timer_sessions",
+      """WITH e AS (SELECT user_id, value, ts,
+        |    CAST(user_id % 4 AS INTEGER) AS b FROM events),
+        |mx AS (SELECT b, max(epoch_us(ts)) AS mxus FROM e GROUP BY b),
+        |sentus AS (SELECT max(epoch_us(ts)) + 1200000000 AS sus FROM events),
+        |wmb AS (SELECT b, max(mxus) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - 1800000000 AS wmus FROM mx),
+        |acc AS (SELECT e.* FROM e JOIN wmb ON e.b = wmb.b
+        |  WHERE wmb.wmus IS NULL OR epoch_us(e.ts) >= wmb.wmus),
+        |per AS (SELECT user_id, count(*) AS n_events,
+        |    round(sum(value), 4) AS sum_value,
+        |    max(epoch_us(ts)) // 1000 AS session_end_ms
+        |  FROM acc GROUP BY user_id)
+        |SELECT user_id, n_events, sum_value, session_end_ms
+        |FROM per, sentus
+        |WHERE session_end_ms + 600000 < (sus // 1000) - 1800000
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q114 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val events = source.toDF().toDF("user_id", "ts", "value")
+        .as[Stateful.UserEvent]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sink = "q114_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      try {
+        val sessions = Stateful.sessionTotalsWithTimers(events,
+          watermark = "30 minutes", gapMs = 600000L)
+        withStatePartitions(s, 8) {
+          val query = sessions.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            for (b <- 0 to 3) {
+              val batch = ev.filter(col("user_id") % 4 === b)
+                .as[(Long, java.sql.Timestamp, Double)].collect()
+              source.addData(batch.toSeq)
+              query.processAllAvailable()
+            }
+            // +20 min: final watermark = max − 10 min, so recent users'
+            // timers stay LIVE and must not emit
+            val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 20L * 60 * 1000)
+            source.addData(Seq((-1L, sentinelTs, 0.0)))
+            query.processAllAvailable()
+          } finally query.stop()
+        }
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      s.table(sink)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"), col("session_end_ms"))
+        .orderBy("user_id")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     })
 
   // def, not val: referenced by `defs` above during object init
