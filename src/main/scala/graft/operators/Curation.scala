@@ -521,6 +521,59 @@ object Curation {
         .orderBy("source")
     },
 
+    // ---- q115: corpus snapshot diff (crawl-over-crawl CDC) --------------
+    // The "what changed since the last crawl" report: snapshot B is a
+    // deterministic mutation of the corpus (every 17th doc re-crawled
+    // with new text, every 19th gone, every 23rd a brand-new id), and
+    // the diff is ONE full-outer join on doc_id comparing content
+    // fingerprints — the cheapest correct shape at corpus scale (8-byte
+    // key shuffle, md5 compare; never a text join). Deletion wins the
+    // overlap ties (a doc hit by both %17 and %19 is REMOVED), matching
+    // how a re-crawl actually behaves.
+    Q("q115_snapshot_diff",
+      """WITH a AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 17 = 0 THEN md5(text || ' recrawled v2')
+        |         ELSE md5(text) END AS fp
+        |  FROM documents WHERE doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, md5('new page ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |d AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.fp <> b.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT source, status, count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY source, status""".stripMargin) { (s, dir) =>
+      val a = docs(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val b = docs(s, dir)
+        .filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 17 === 0,
+            md5(concat(col("text"), lit(" recrawled v2"))))
+            .otherwise(md5(col("text"))).as("fp"))
+        .unionByName(docs(s, dir)
+          .filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            md5(concat(lit("new page "), col("doc_id").cast("string"))).as("fp")))
+      a.withColumnRenamed("source", "sa").withColumnRenamed("fp", "fa")
+        .join(b.withColumnRenamed("source", "sb").withColumnRenamed("fp", "fb"),
+          Seq("doc_id"), "full_outer")
+        .select(coalesce(col("sa"), col("sb")).as("source"),
+          when(col("fa").isNull, "added")
+            .when(col("fb").isNull, "removed")
+            .when(col("fa") =!= col("fb"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    },
+
     // ---- q111: corpus curation report (the capstone dashboard) ----------
     // One per-source health report composing FOUR verified families in a
     // single query: document counts, real-BPE token accounting (q108/
