@@ -595,7 +595,15 @@ object Media {
       w.toSubBlocks
     }
 
-    def decode(b: Array[Byte]): Option[GifPixels] = try {
+    def decode(b: Array[Byte]): Option[GifPixels] =
+      decodeFrames(b, maxFrames = 1).flatMap(_.headOption)
+
+    /** Decode up to `maxFrames` image frames of a (possibly animated)
+      * GIF: the same walk as the single-frame decode, but image
+      * descriptors accumulate instead of returning — graphic control
+      * extensions between frames ride the generic extension-skip path.
+      * Every frame runs the REAL LZW decode + palette mapping. */
+    def decodeFrames(b: Array[Byte], maxFrames: Int): Option[Vector[GifPixels]] = try {
       def u8(i: Int) = b(i) & 0xff
       def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
       if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
@@ -609,7 +617,9 @@ object Media {
         while (c < gctSize) { gct(c) = b(i + c * 3); c += 1 } // R channel
         i += gctSize * 3
       }
-      // walk blocks to the first image descriptor
+      // walk blocks collecting image descriptors
+      val frames = Vector.newBuilder[GifPixels]
+      var nFrames = 0
       while (i < b.length) {
         u8(i) match {
           case 0x21 => // extension: label + sub-blocks
@@ -647,6 +657,7 @@ object Media {
               data.write(b, i + 1, n)
               i += 1 + n
             }
+            i += 1 // sub-block terminator
             val idx = lzwDecode(minCode, data.toByteArray, iw * ih)
               .getOrElse(return None)
             val px = new Array[Byte](iw * ih)
@@ -657,12 +668,17 @@ object Media {
               px(p) = pal(ci)
               p += 1
             }
-            return Some(GifPixels(iw, ih, px))
-          case 0x3b => return None // trailer before any image
+            frames += GifPixels(iw, ih, px)
+            nFrames += 1
+            if (nFrames >= maxFrames) return Some(frames.result())
+          case 0x3b => // trailer
+            val fs = frames.result()
+            return if (fs.nonEmpty) Some(fs) else None
           case _ => return None
         }
       }
-      None
+      val fs = frames.result()
+      if (fs.nonEmpty) Some(fs) else None
     } catch { case _: Exception => None }
 
     /** Mean pixel intensity in [0, 1] — q85's integer-sum arithmetic. */
@@ -709,6 +725,48 @@ object Media {
       out.write(8) // LZW minimum code size
       out.write(lzwEncode(8, px))
       out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** ENCODE a real ANIMATED GIF89a: global gray-ramp palette, then per
+      * frame a graphic control extension (delay, no transparency) + a
+      * full-canvas image descriptor with REAL LZW data — the multi-image
+      * layout animated web GIFs use. The GCE blocks exercise the
+      * decoder's extension-skip path between frames. */
+    def encodeGrayAnimated(w: Int, h: Int, nFrames: Int,
+                           pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7) // GCT, 256 entries
+      out.write(0); out.write(0) // background, aspect
+      var c = 0
+      while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+      var f = 0
+      while (f < nFrames) {
+        out.write(0x21); out.write(0xf9); out.write(4) // GCE
+        out.write(0) // no disposal, no transparency
+        out.write(5); out.write(0) // 50 ms delay
+        out.write(0) // transparent index (unused)
+        out.write(0) // block terminator
+        out.write(0x2c) // image descriptor, full canvas
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        out.write(w & 0xff); out.write((w >> 8) & 0xff)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0) // no LCT, not interlaced
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = (pixel(f, x, y) & 0xff).toByte; x += 1 }
+          y += 1
+        }
+        out.write(8)
+        out.write(lzwEncode(8, px))
+        f += 1
+      }
+      out.write(0x3b)
       out.toByteArray
     }
   }
@@ -1430,6 +1488,53 @@ object Media {
           localPalette = d % 3 == 0))
       }
     }.toDF("media_id", "content")
+  }
+
+  /** Deterministic ANIMATED GIFs from `documents`: doc_id%4+2 frames on
+    * the q88 canvas, frame f pixel = doc_id%64 + 7f + x + y (max
+    * 63 + 21 + 46 < 256 — no clamp, so the closed-form oracle holds per
+    * frame). */
+  def synthAnimatedGifs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
+        val a = (d % 64).toInt; val nf = (d % 4 + 2).toInt
+        (d, GifCodec.encodeGrayAnimated(w, h, nf,
+          (f, x, y) => a + 7 * f + x + y))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Frame-sample statistics row: every `stride`-th frame decoded. */
+  case class GifFrameStats(media_id: Long, width: Int, height: Int,
+                           n_frames: Int, n_sampled: Int, mean_intensity: Double)
+
+  /** FRAME-SAMPLE over animated GIFs (the multimodal mandate's
+    * frame-sample op): decode ALL frames partition-locally (real LZW per
+    * frame), keep every `stride`-th, and report the pooled mean
+    * intensity of the sampled frames — exact integer sums, one final
+    * division. Same no-shuffle codec shape as `decodeGifs`. */
+  def sampleGifFrames(media: DataFrame, stride: Int): Dataset[GifFrameStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        GifCodec.decodeFrames(bytes, maxFrames = 1024) match {
+          case Some(frames) =>
+            val sampled = frames.zipWithIndex.collect {
+              case (p, f) if f % stride == 0 => p
+            }
+            var s = 0L
+            sampled.foreach { p =>
+              var i = 0
+              while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 1 }
+            }
+            val w = frames.head.width; val h = frames.head.height
+            GifFrameStats(id, w, h, frames.length, sampled.length,
+              s.toDouble / (sampled.length.toLong * w * h * 255.0))
+          case None => GifFrameStats(id, -1, -1, -1, -1, -1.0)
+        }
+      })
   }
 
   /** Decoded-GIF statistics row. */

@@ -174,6 +174,35 @@ object Multimodal {
         .withColumn("mean_g", round(col("mean_g"), 6))
         .withColumn("mean_b", round(col("mean_b"), 6))
         .orderBy("media_id")
+    },
+
+    // q116: FRAME SAMPLING over animated GIFs — the multimodal mandate's
+    // frame-sample op on the one multi-frame format decodable pure-JVM.
+    // Every document row becomes a real animated GIF89a (doc_id%4+2
+    // full-canvas frames, graphic-control extensions between them, real
+    // LZW per frame); the engine decodes ALL frames partition-locally,
+    // keeps every 2nd, and reports the pooled sampled-frame intensity.
+    // Frame f's pixels are a + 7f + x + y, so the sampled pool's sum is
+    // closed-form: k·(w·h·a + h·w(w-1)/2 + w·h(h-1)/2) + 7·w·h·k·(k-1)
+    // with k = ceil(F/2) sampled frames — exact integers on both sides.
+    Q("q116_gif_frame_sample",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 32 + 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 16 + 4 AS BIGINT) AS h,
+        |    doc_id % 64 AS a,
+        |    CAST(doc_id % 4 + 2 AS BIGINT) AS f FROM documents),
+        |k AS (SELECT *, (f + 1) // 2 AS ks FROM m)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(f AS INT) AS n_frames, CAST(ks AS INT) AS n_sampled,
+        |  round(CAST(ks * (w * h * a + h * (w * (w - 1) // 2)
+        |      + w * (h * (h - 1) // 2)) + 7 * w * h * ks * (ks - 1)
+        |    AS DOUBLE) / (ks * w * h * 255.0), 6) AS mean_intensity
+        |FROM k ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val gifs = Media.synthAnimatedGifs(Tables.load(s, dir, "documents"))
+      Media.sampleGifFrames(gifs, stride = 2).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }
