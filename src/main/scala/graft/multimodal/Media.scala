@@ -771,6 +771,74 @@ object Media {
     }
   }
 
+  /** Decoded WAV audio: sample rate + 16-bit PCM samples (mono). */
+  case class WavPcm(sampleRate: Int, samples: Array[Short])
+
+  /** REAL pure-JVM WAV (RIFF) codec — the audio leg of the multimodal
+    * mandate, replacing the stubbed byte-sampling: chunk walk (fmt /
+    * data, unknown chunks skipped by size incl. the RIFF pad byte),
+    * PCM 16-bit mono little-endian. Out of scope → None: compressed
+    * formats (audioFormat != 1), multi-channel, other bit depths. */
+  object WavCodec {
+    def decode(b: Array[Byte]): Option[WavPcm] = try {
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      if (b.length < 12) return None
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+      if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var i = 12
+      var rate = -1
+      var ok = false
+      var samples: Array[Short] = null
+      while (i + 8 <= b.length && (samples == null || !ok)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size > b.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val fmt = le16(i + 8)
+            val channels = le16(i + 10)
+            val bits = le16(i + 22)
+            if (fmt != 1 || channels != 1 || bits != 16) return None
+            rate = le32(i + 12)
+            ok = true
+          case "data" =>
+            if (size % 2 != 0) return None
+            val n = size / 2
+            val out = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              out(j) = (u8(i + 8 + 2 * j) | (b(i + 9 + 2 * j) << 8)).toShort
+              j += 1
+            }
+            samples = out
+          case _ => // skip unknown chunk
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned (pad byte)
+      }
+      if (ok && rate > 0 && samples != null) Some(WavPcm(rate, samples)) else None
+    } catch { case _: Exception => None }
+
+    /** ENCODE mono PCM16 as a complete valid RIFF/WAVE file. */
+    def encodePcm16(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataSize)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(16)
+      le16(1); le16(1) // PCM, mono
+      le32(rate); le32(rate * 2) // byte rate
+      le16(2); le16(16) // block align, bits
+      out.write("data".getBytes("US-ASCII")); le32(dataSize)
+      samples.foreach(s => le16(s & 0xffff))
+      out.toByteArray
+    }
+  }
+
   /** Decoded JPEG frame: grayscale samples. */
   case class JpegPixels(width: Int, height: Int, pixels: Array[Byte])
 
@@ -1504,6 +1572,56 @@ object Media {
           (f, x, y) => a + 7 * f + x + y))
       }
     }.toDF("media_id", "content")
+  }
+
+  /** Deterministic real WAVs from `documents`: mono PCM16 at 8 kHz,
+    * N = doc_id%1000+500 samples of an integer sawtooth with period
+    * P = doc_id%50+10 and amplitude A = (doc_id%8+1)·1000:
+    * s_i = ((i mod P)·2A) DIV P − A — pure integer arithmetic, so the
+    * oracle can regenerate the identical samples. */
+  def synthWavs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val n = (d % 1000 + 500).toInt
+        val p = (d % 50 + 10).toInt
+        val a = ((d % 8 + 1) * 1000).toInt
+        val s = Array.tabulate(n)(i => (((i % p) * 2 * a) / p - a).toShort)
+        (d, WavCodec.encodePcm16(8000, s))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** WAV feature row: duration, peak, RMS, zero-crossing count. */
+  case class WavStats(media_id: Long, n_samples: Int, duration_ms: Long,
+                      peak: Int, rms: Double, zero_crossings: Long)
+
+  /** Audio FEATURE EXTRACTION over WAV blobs (the multimodal mandate's
+    * audio leg, real codec not stub): per file — sample count, integer
+    * duration, peak |amplitude|, RMS (the one double, sqrt of an exact
+    * integer mean), and strict sign-change zero crossings. Partition-
+    * local, no shuffle — the decodeGifs codec shape. */
+  def wavFeatures(media: DataFrame): Dataset[WavStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        WavCodec.decode(bytes) match {
+          case Some(w) =>
+            val n = w.samples.length
+            var peak = 0; var sumSq = 0L; var zc = 0L
+            var i = 0
+            while (i < n) {
+              val v = w.samples(i).toInt
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumSq += v.toLong * v
+              if (i > 0 && w.samples(i - 1).toInt * v < 0) zc += 1
+              i += 1
+            }
+            WavStats(id, n, n * 1000L / w.sampleRate, peak,
+              math.sqrt(sumSq.toDouble / n), zc)
+          case None => WavStats(id, -1, -1L, -1, -1.0, -1L)
+        }
+      })
   }
 
   /** Frame-sample statistics row: every `stride`-th frame decoded. */

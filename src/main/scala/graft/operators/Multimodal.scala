@@ -203,6 +203,41 @@ object Multimodal {
       Media.sampleGifFrames(gifs, stride = 2).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q117: REAL AUDIO feature extraction — the multimodal mandate's
+    // audio leg with an actual codec instead of the byte-sampling stub.
+    // Every document row becomes a complete valid RIFF/WAVE file (mono
+    // PCM16 @ 8 kHz, an integer sawtooth); the engine parses the chunk
+    // structure, decodes the PCM samples, and extracts duration / peak /
+    // RMS / zero-crossings partition-locally. The fixture waveform is
+    // pure integer arithmetic, so the oracle REGENERATES the identical
+    // samples with a range() and aggregates them — sample-exact
+    // verification of the whole decode path, with RMS the only double
+    // (sqrt of an exact integer ratio, rounded on both sides).
+    Q("q117_wav_features",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 1000 + 500 AS BIGINT) AS n,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) AS p,
+        |    CAST((doc_id % 8 + 1) * 1000 AS BIGINT) AS a FROM documents),
+        |s AS (SELECT doc_id, n, i,
+        |    ((i % p) * 2 * a) // p - a AS v
+        |  FROM m, unnest(range(n)) t(i)),
+        |sc AS (SELECT doc_id, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id,
+        |  CAST(max(n) AS INT) AS n_samples,
+        |  CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 4) AS rms,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM sc GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val wavs = Media.synthWavs(Tables.load(s, dir, "documents"))
+      Media.wavFeatures(wavs).toDF()
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("media_id")
     }
   )
 }
