@@ -1655,6 +1655,67 @@ object Media {
       })
   }
 
+  /** Box-average downsample by factor `k` (grayscale): each output
+    * pixel is the integer mean (floor) of its k×k input block; trailing
+    * rows/columns that don't fill a block are dropped. Pure integer
+    * arithmetic — the resize leg of the multimodal mandate. */
+  def boxDownsample(p: GifPixels, k: Int): GifPixels = {
+    val ow = p.width / k; val oh = p.height / k
+    val out = new Array[Byte](ow * oh)
+    var by = 0
+    while (by < oh) {
+      var bx = 0
+      while (bx < ow) {
+        var s = 0; var dy = 0
+        while (dy < k) {
+          var dx = 0
+          while (dx < k) {
+            s += p.pixels((by * k + dy) * p.width + (bx * k + dx)) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out(by * ow + bx) = (s / (k * k)).toByte
+        bx += 1
+      }
+      by += 1
+    }
+    GifPixels(ow, oh, out)
+  }
+
+  /** Even-dimension single-frame GIFs for the resize gate: w in 4..34,
+    * h in 4..18 (both always even so 2× blocks tile exactly), pixel
+    * a + x + y. */
+  def synthEvenGifs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = ((d % 16 + 2) * 2).toInt; val h = ((d % 8 + 2) * 2).toInt
+        val a = (d % 64).toInt
+        (d, GifCodec.encodeGray(w, h, (x, y) => a + x + y))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Resize statistics row. */
+  case class ResizeStats(media_id: Long, width: Int, height: Int,
+                         out_width: Int, out_height: Int, mean_intensity: Double)
+
+  /** Decode + 2× box downsample + stats, partition-local. */
+  def resizeGifs(media: DataFrame, k: Int): Dataset[ResizeStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        GifCodec.decode(bytes) match {
+          case Some(p) =>
+            val r = boxDownsample(p, k)
+            ResizeStats(id, p.width, p.height, r.width, r.height,
+              GifCodec.meanIntensity(r))
+          case None => ResizeStats(id, -1, -1, -1, -1, -1.0)
+        }
+      })
+  }
+
   /** Decoded-GIF statistics row. */
   case class GifStats(media_id: Long, width: Int, height: Int, mean_intensity: Double)
 

@@ -238,6 +238,35 @@ object Multimodal {
       Media.wavFeatures(wavs).toDF()
         .withColumn("rms", round(col("rms"), 4))
         .orderBy("media_id")
+    },
+
+    // q118: REAL image RESIZE — the last multimodal-mandate op (decode /
+    // feature-extract / frame-sample / RESIZE). Even-dimension GIF
+    // fixtures decode (real LZW) and box-downsample 2×: each output
+    // pixel is the exact integer mean of its 2×2 block. With pixels
+    // a+x+y every block mean is exactly a+2bx+2by+1 (no floor loss), so
+    // the resized image is itself closed-form and the oracle predicts
+    // its mean: sum = w'h'(a+1) + h'w'(w'−1) + w'h'(h'−1) over the
+    // w'×h' output. A wrong block offset, a row-stride bug, or a
+    // rounding difference in the resampler shifts the mean and fails
+    // the hash.
+    Q("q118_image_resize",
+      """WITH m AS (SELECT doc_id,
+        |    CAST((doc_id % 16 + 2) * 2 AS BIGINT) AS w,
+        |    CAST((doc_id % 8 + 2) * 2 AS BIGINT) AS h,
+        |    doc_id % 64 AS a FROM documents),
+        |r AS (SELECT doc_id, w, h, a, w // 2 AS ow, h // 2 AS oh FROM m)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+        |  round(CAST(ow * oh * (a + 1) + oh * (ow * (ow - 1))
+        |      + ow * (oh * (oh - 1)) AS DOUBLE)
+        |    / (ow * oh * 255.0), 6) AS mean_intensity
+        |FROM r ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val gifs = Media.synthEvenGifs(Tables.load(s, dir, "documents"))
+      Media.resizeGifs(gifs, k = 2).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }
