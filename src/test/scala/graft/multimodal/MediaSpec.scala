@@ -194,6 +194,52 @@ class MediaSpec extends SparkSpec {
     assert(parsed.except(expected).isEmpty && expected.except(parsed).isEmpty)
   }
 
+  test("WAV codec: encode/decode round-trips random PCM exactly") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(4000)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val s = Array.fill(n)(rnd.nextInt(65536).toShort) // full 16-bit range
+      val back = Media.WavCodec.decode(Media.WavCodec.encodePcm16(rate, s))
+      assert(back.isDefined)
+      assert(back.get.sampleRate === rate)
+      assert(back.get.samples.toSeq === s.toSeq, "PCM payload must round-trip")
+    }
+    // rejects: truncated file, non-PCM format byte
+    val good = Media.WavCodec.encodePcm16(8000, Array[Short](1, 2, 3))
+    assert(Media.WavCodec.decode(good.take(20)).isEmpty)
+    val bad = good.clone(); bad(20) = 3 // audioFormat = 3 (float)
+    assert(Media.WavCodec.decode(bad).isEmpty)
+  }
+
+  test("box downsample matches a brute-force reference on random pixels") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val w = 2 + rnd.nextInt(30); val h = 2 + rnd.nextInt(20)
+      val k = 1 + rnd.nextInt(3)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val r = Media.boxDownsample(Media.GifPixels(w, h, px), k)
+      assert(r.width === w / k && r.height === h / k)
+      for (by <- 0 until r.height; bx <- 0 until r.width) {
+        val vals = for (dy <- 0 until k; dx <- 0 until k)
+          yield px((by * k + dy) * w + (bx * k + dx)) & 0xff
+        assert((r.pixels(by * r.width + bx) & 0xff) === vals.sum / (k * k),
+          s"block ($bx,$by) at k=$k")
+      }
+    }
+  }
+
+  test("animated decode: frame count, per-frame pixels, single-frame parity") {
+    val b = Media.GifCodec.encodeGrayAnimated(6, 4, 3, (f, x, y) => 10 * f + x + y)
+    val frames = Media.GifCodec.decodeFrames(b, maxFrames = 10).get
+    assert(frames.length === 3)
+    for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+      assert((frames(f).pixels(y * 6 + x) & 0xff) === 10 * f + x + y)
+    // decode (single-frame) returns exactly the first frame
+    val first = Media.GifCodec.decode(b).get
+    assert(first.pixels.toSeq === frames(0).pixels.toSeq)
+  }
+
   test("media from documents round-trips through parquet (binary column)") {
     val dir = tempDir("media-parquet")
     val media = Media.fromDocuments(graft.core.Tables.load(spark, sf0001, "documents"))
