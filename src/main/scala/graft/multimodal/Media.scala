@@ -1624,6 +1624,63 @@ object Media {
       })
   }
 
+  /** Burst-pattern WAVs for the silence-segmentation gate: the q117
+    * sawtooth, but every other S-sample stretch is pure silence, with
+    * S = (doc_id%4+1)·200 — up to 800-sample silences, so silent-frame
+    * RUNS reach 4-5 consecutive frames and the run-length logic does
+    * real work. Integer-exact, so the oracle regenerates the identical
+    * samples. */
+  def synthBurstWavs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val n = (d % 1000 + 500).toInt
+        val p = (d % 50 + 10).toInt
+        val a = ((d % 8 + 1) * 1000).toInt
+        val stretch = ((d % 4 + 1) * 200).toInt
+        val s = Array.tabulate(n) { i =>
+          if ((i / stretch) % 2 == 1) 0.toShort
+          else (((i % p) * 2 * a) / p - a).toShort
+        }
+        (d, WavCodec.encodePcm16(8000, s))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Silence-segmentation row: 160-sample frame energies classified. */
+  case class VadStats(media_id: Long, n_frames: Int, n_silent: Int,
+                      longest_silent_run: Int, total_energy: Long)
+
+  /** Frame-energy silence segmentation (VAD-lite) over WAV blobs: decode
+    * PCM, cut FULL 160-sample frames, exact integer energy per frame,
+    * silent = zero energy; report frame counts, the longest consecutive
+    * silent run, and total energy. Partition-local, no shuffle. */
+  def vadFeatures(media: DataFrame): Dataset[VadStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        WavCodec.decode(bytes) match {
+          case Some(w) =>
+            val nf = w.samples.length / 160
+            var silent = 0; var run = 0; var best = 0; var total = 0L
+            var j = 0
+            while (j < nf) {
+              var e = 0L; var i = j * 160
+              val end = i + 160
+              while (i < end) {
+                val v = w.samples(i).toInt; e += v.toLong * v; i += 1
+              }
+              total += e
+              if (e == 0L) { silent += 1; run += 1; if (run > best) best = run }
+              else run = 0
+              j += 1
+            }
+            VadStats(id, nf, silent, best, total)
+          case None => VadStats(id, -1, -1, -1, -1L)
+        }
+      })
+  }
+
   /** Frame-sample statistics row: every `stride`-th frame decoded. */
   case class GifFrameStats(media_id: Long, width: Int, height: Int,
                            n_frames: Int, n_sampled: Int, mean_intensity: Double)

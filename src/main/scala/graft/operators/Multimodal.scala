@@ -267,6 +267,46 @@ object Multimodal {
       Media.resizeGifs(gifs, k = 2).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q119: AUDIO SILENCE SEGMENTATION (VAD-lite) — the signal-level op
+    // an audio-corpus pipeline runs before transcription: cut the PCM
+    // into full 160-sample frames, exact integer energy per frame,
+    // classify zero-energy frames as silence, and report counts plus
+    // the LONGEST consecutive silent run (the gaps-and-islands part the
+    // oracle does relationally). Fixtures alternate sawtooth bursts
+    // with silences of (doc_id%4+1)·200 samples — silent runs reach 4-5
+    // frames — and frames straddle burst edges: only frames fully
+    // inside a silent stretch are zero-energy, so a frame-offset bug or
+    // an off-by-one in the run logic fails the hash.
+    Q("q119_audio_silence",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 1000 + 500 AS BIGINT) AS n,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) AS p,
+        |    CAST((doc_id % 8 + 1) * 1000 AS BIGINT) AS a,
+        |    CAST((doc_id % 4 + 1) * 200 AS BIGINT) AS st FROM documents),
+        |s AS (SELECT doc_id, i // 160 AS fr,
+        |    CASE WHEN (i // st) % 2 = 1 THEN 0
+        |         ELSE ((i % p) * 2 * a) // p - a END AS v
+        |  FROM m, unnest(range(160 * (n // 160))) t(i)),
+        |fe AS (SELECT doc_id, fr, CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY 1, 2),
+        |runs AS (SELECT doc_id, count(*) AS run_len FROM (
+        |    SELECT doc_id, fr,
+        |      fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS grp
+        |    FROM fe WHERE e = 0)
+        |  GROUP BY doc_id, grp)
+        |SELECT f.doc_id AS media_id,
+        |  CAST(count(*) AS INT) AS n_frames,
+        |  CAST(sum(CASE WHEN f.e = 0 THEN 1 ELSE 0 END) AS INT) AS n_silent,
+        |  CAST(coalesce(max(r.longest), 0) AS INT) AS longest_silent_run,
+        |  CAST(sum(f.e) AS BIGINT) AS total_energy
+        |FROM fe f LEFT JOIN (
+        |  SELECT doc_id, max(run_len) AS longest FROM runs GROUP BY 1) r
+        |  ON r.doc_id = f.doc_id
+        |GROUP BY f.doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val wavs = Media.synthBurstWavs(Tables.load(s, dir, "documents"))
+      Media.vadFeatures(wavs).toDF().orderBy("media_id")
     }
   )
 }
