@@ -234,6 +234,30 @@ object ScaleBench {
         s""""hier_agree_frac":${f"$agreeC%.3f"}}"""
     }
 
+    // BPE training (q108) across the replica ladder: ONE corpus pass
+    // builds the word-frequency vocabulary; every merge step then runs
+    // at VOCABULARY scale (amplification replicates docs, so the vocab
+    // is near-constant while the corpus grows 50×) — train time should
+    // track the single scan, not the corpus × steps.
+    val bpe = {
+      val rows = replicas.map { r =>
+        val d = Amplify.docs(baseDocs, r)
+          .select("doc_id", "text").localCheckpoint(true)
+        val n = d.count()
+        var vocab = 0L
+        val trainSec = timed {
+          val (v, m) = graft.operators.Curation.trainBpeOf(d)
+          vocab = v.count()
+          require(m.length == 8)
+          v.unpersist()
+        }
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"docs":$n,"vocab":$vocab,""" +
+          s""""train_sec":${f"$trainSec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Trained quality classifier (q104) across the replica ladder: the
     // full 12-step GD train is feature pass + moments pass + 12 agg
     // passes + 1 eval pass over a persisted 4-column projection — every
@@ -561,7 +585,7 @@ object ScaleBench {
       s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
-      s""""classifier":$classifier,"asof_depth":$asofDepth}"""
+      s""""classifier":$classifier,"bpe":$bpe,"asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -208,8 +208,14 @@ object Curation {
     * Returns the final vocab (word, freq, seq) and the merge table. */
   private[operators] def trainBpe(s: SparkSession, dir: String,
                                   k: Int = BpeMerges)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) =
+    trainBpeOf(docs(s, dir), k)
+
+  /** BPE training from an arbitrary (doc_id, text) frame — the seam the
+    * scale harness drives at amplified corpus sizes. */
+  private[graft] def trainBpeOf(d: DataFrame, k: Int = BpeMerges)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val w = docs(s, dir)
+    val w = d
       .select(explode(split(norm(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var v = w.withColumn("seq",
@@ -572,6 +578,40 @@ object Curation {
         .groupBy("source", "status")
         .agg(count(lit(1)).as("n"))
         .orderBy("source", "status")
+    },
+
+    // ---- q120: hierarchical closure via RECURSIVE CTE -------------------
+    // The classic engine capability the contract didn't exercise yet:
+    // iterative fixpoint over a hierarchy, run on Spark 4's native
+    // WITH RECURSIVE (UnionLoopExec — each iteration a distributed
+    // join, no driver loop). The hierarchy is implicit in doc ids
+    // (parent = id DIV 2, a binary tree rooted at 1), and the recursion
+    // carries an accumulator: cumulative root-path character count.
+    // Both engines run the textually-same recursion; depth histogram +
+    // path-sum totals are exact integers.
+    Q("q120_tree_closure",
+      """WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
+        |  SELECT doc_id, 0, n_chars FROM documents WHERE doc_id = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1, t.path_chars + d.n_chars
+        |  FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id
+        |  WHERE d.doc_id > 1)
+        |SELECT depth, count(*) AS n_nodes,
+        |  CAST(sum(path_chars) AS BIGINT) AS sum_path_chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+      docs(s, dir).createOrReplaceTempView("q120_documents")
+      s.sql(
+        """WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
+          |  SELECT doc_id, 0, n_chars FROM q120_documents WHERE doc_id = 1
+          |  UNION ALL
+          |  SELECT d.doc_id, t.depth + 1, t.path_chars + d.n_chars
+          |  FROM q120_documents d JOIN tree t ON d.doc_id DIV 2 = t.doc_id
+          |  WHERE d.doc_id > 1)
+          |SELECT depth, count(*) AS n_nodes,
+          |  CAST(sum(path_chars) AS BIGINT) AS sum_path_chars,
+          |  min(doc_id) AS first_id, max(doc_id) AS last_id
+          |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
     },
 
     // ---- q111: corpus curation report (the capstone dashboard) ----------
