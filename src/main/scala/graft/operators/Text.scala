@@ -577,6 +577,41 @@ object Text {
         .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
           round(exp(-col("ll") / col("n_bigrams")), 4).as("ppl"))
         .orderBy("doc_id")
+    },
+
+    // ---- q121: heavy hitters via a Misra-Gries sketch + exact recount --
+    // Two-pass ε-heavy-hitter plan (functions/MisraGries.scala): pass 1
+    // streams every token through a cap=64-counter mergeable sketch
+    // (bounded memory, ≤cap counters cross the exchange per partition);
+    // pass 2 recounts ONLY the ≤cap surviving candidates exactly and
+    // keeps count > N/(cap+1). The MG guarantee makes the composition
+    // EXACT — the oracle is the full-shuffle groupBy it avoids. At
+    // corpus scale pass 2's filter pushes ≤cap literals into the scan,
+    // so the token-frequency domain never crosses a shuffle. The
+    // sketch-pass collect is ONE row (≤cap strings + a long) — bounded
+    // by construction. Integer cross-multiply keeps the threshold exact.
+    Q("q121_heavy_hitters",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tt AS (SELECT token FROM t WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM tt GROUP BY 1)
+        |SELECT token, cnt FROM c
+        |WHERE cnt * 65 > (SELECT count(*) FROM tt)
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      val cap = 64
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val mg = udaf(new graft.functions.MisraGriesAgg(cap))
+      val sk = toks.agg(mg(col("token")).as("s"))
+        .select(col("s.candidates").as("candidates"), col("s.n").as("n"))
+        .head() // bounded: one row, ≤cap strings
+      val cands = sk.getSeq[String](0)
+      val n = sk.getLong(1)
+      toks.filter(col("token").isin(cands: _*))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (cap + 1) > n)
+        .orderBy(desc("cnt"), asc("token"))
     }
   )
 }
