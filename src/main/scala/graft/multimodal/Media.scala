@@ -1789,6 +1789,52 @@ object Media {
       })
   }
 
+  /** 8×8 average-hash fingerprint of one decoded image (q122). */
+  case class PerceptualHash(media_id: Long, phash: String, n_above: Int)
+
+  /** Perceptual average-hash (aHash) over REAL decoded GIF pixels: each
+    * pixel lands in fixed-grid bucket `(y*8/h, x*8/w)`; bit b is 1 iff
+    * bucket b's mean exceeds the image mean, decided by the
+    * integer-exact cross-multiply `sum_b * (w*h) > total_sum * count_b`
+    * so the oracle's relational recomputation matches bit-for-bit (no
+    * float thresholds). Buckets with no pixels (w<8 or h<8) are 0 on
+    * both sides. Per-image local kernel → map-only plan, no exchange;
+    * the downstream near-dup grouping is a plain hash groupBy on the
+    * 64-char hash — the image analog of q28's exact text dedup, and the
+    * standard first pass of an image-corpus dedup pipeline. */
+  def perceptualHashes(media: DataFrame): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        GifCodec.decode(bytes) match {
+          case Some(p) =>
+            val w = p.width; val h = p.height
+            val sums = new Array[Long](64); val cnts = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < w * h) {
+              val x = i % w; val y = i / w
+              val v = (p.pixels(i) & 0xff).toLong
+              val b = (y * 8 / h) * 8 + (x * 8 / w)
+              sums(b) += v; cnts(b) += 1; total += v
+              i += 1
+            }
+            val tc = w.toLong * h
+            val sb = new java.lang.StringBuilder(64)
+            var nAbove = 0
+            var j = 0
+            while (j < 64) {
+              val bit = cnts(j) > 0 && sums(j) * tc > total * cnts(j)
+              sb.append(if (bit) '1' else '0')
+              if (bit) nAbove += 1
+              j += 1
+            }
+            PerceptualHash(id, sb.toString, nAbove)
+          case None => PerceptualHash(id, "", -1)
+        }
+      })
+  }
+
   /** Deterministic VALID baseline JPEGs from `documents`: every row gets
     * a real grayscale JPEG whose pixels are CONSTANT PER 8×8 BLOCK —
     * pixel in block (bx, by) = doc_id%128 + 3·bx + 5·by ≤ 127+9+5.

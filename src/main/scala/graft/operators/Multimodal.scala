@@ -307,6 +307,48 @@ object Multimodal {
         |GROUP BY f.doc_id ORDER BY media_id""".stripMargin) { (s, dir) =>
       val wavs = Media.synthBurstWavs(Tables.load(s, dir, "documents"))
       Media.vadFeatures(wavs).toDF().orderBy("media_id")
+    },
+
+    // q122: IMAGE NEAR-DUP DETECTION via perceptual average-hash — the
+    // standard first pass of an image-corpus dedup pipeline (decode →
+    // fixed 8×8-grid aHash → group identical fingerprints). The Spark
+    // side hashes REAL decoded GIF pixels in a map-only per-image
+    // kernel (Media.perceptualHashes — integer-exact threshold, no
+    // float bits) and then groups on the 64-char hash; the oracle
+    // recomputes the same grid relationally from the closed-form
+    // gradient fixture (pixel = a + x + y). Grouping on the hash keeps
+    // the plan a single hash groupBy at any corpus size — no pairwise
+    // comparisons ever materialize.
+    Q("q122_image_phash_dedup",
+      """WITH m AS (SELECT doc_id, CAST((doc_id % 16 + 2) * 2 AS BIGINT) AS w,
+        |    CAST((doc_id % 8 + 2) * 2 AS BIGINT) AS h,
+        |    doc_id % 64 AS a FROM documents),
+        |px AS (SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y,
+        |    a + (i % w) + (i // w) AS v
+        |  FROM m, unnest(range(w * h)) t(i)),
+        |bs AS (SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS b,
+        |    sum(v) AS sv, count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(sv) AS ts, sum(c) AS tc FROM bs GROUP BY 1),
+        |bits AS (SELECT g.doc_id, g.b,
+        |    CASE WHEN bs.sv IS NOT NULL AND bs.sv * t2.tc > t2.ts * bs.c
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, i AS b FROM tot, unnest(range(64)) t(i)) g
+        |  LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.b
+        |  JOIN tot t2 ON t2.doc_id = g.doc_id),
+        |ph AS (SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS phash,
+        |    sum(bit) AS n_above
+        |  FROM bits GROUP BY 1)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |  min(doc_id) AS canonical_id, CAST(min(n_above) AS INT) AS n_above
+        |FROM ph GROUP BY 1 ORDER BY phash""".stripMargin) { (s, dir) =>
+      val gifs = Media.synthEvenGifs(Tables.load(s, dir, "documents"))
+      Media.perceptualHashes(gifs).toDF()
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_images"),
+          min(col("media_id")).as("canonical_id"),
+          min(col("n_above")).cast("int").as("n_above"))
+        .orderBy("phash")
     }
   )
 }
