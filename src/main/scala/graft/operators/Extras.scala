@@ -414,6 +414,42 @@ object Extras {
             .as("statuses"),
           countDistinct(col("o_orderstatus")).as("n_statuses"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- q123: exact GLOBAL quantiles without a sort ---------------------
+    // q51's `percentile` buffers every group value in one agg buffer — a
+    // global exact quantile over 100 TB can't go through it. This is the
+    // scale path: ExactQuantile.kthSmallest narrows each rank by
+    // equi-width histogram passes over the integer cents domain (B=4096
+    // → 2 histogram passes for a 10^7 range), each pass a map-side-
+    // combined hash agg whose exchange carries ≤ranks·B cells. No sort,
+    // no window, no data-row shuffle; driver state is bucket counts
+    // only. The oracle takes the rank definition literally: the row at
+    // row_number k = ceil(p·n) of the sorted domain. k is computed in
+    // exact decimal arithmetic on both sides (DuckDB DECIMAL literals,
+    // driver BigDecimal) so no float ceil straddles an integer.
+    Q("q123_exact_quantiles",
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+        |p AS (SELECT * FROM (VALUES (0.25),(0.50),(0.75),(0.95),(0.99)) t(p)),
+        |k AS (SELECT p.p, CAST(ceil(p.p * n.n) AS BIGINT) AS k FROM p, n)
+        |SELECT CAST(k.p AS DOUBLE) AS p, k.k AS k,
+        |  round(r.c / 100.0, 2) AS price
+        |FROM k JOIN r ON r.rn = k.k
+        |ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cents = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      val n = cents.count()
+      val ps = Seq("0.25", "0.50", "0.75", "0.95", "0.99").map(BigDecimal(_))
+      val ks = ps.map(p =>
+        p.toString -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong).toMap
+      val vals = ExactQuantile.kthSmallest(cents, "c", ks)
+      ps.map(p => (p.toDouble, ks(p.toString),
+          (BigDecimal(vals(p.toString)) / 100).toDouble))
+        .toDF("p", "k", "price").orderBy("p")
     }
   )
 }
