@@ -513,6 +513,43 @@ object Corpus {
         .orderBy(col("dsir_weight").desc, col("doc_id"))
         .limit(100)
         .orderBy("doc_id")
+    },
+
+    // ---- q124: sliding-window document chunking --------------------------
+    // The RAG / context-window prep step: each document splits into
+    // overlapping W=50-token chunks at stride S=40 (10-token overlap so
+    // no boundary sentence is lost), emitted with an md5 fingerprint so
+    // the chunks feed straight into the q28 exact-dedup path. Map-only:
+    // the chunk starts are a per-row `sequence` and the slices are HOF
+    // `transform`+`slice` — one posexplode, zero exchanges, zero joins;
+    // per-row output is ceil(n/S) rows regardless of corpus size.
+    Q("q124_doc_chunking",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, n, CAST(st // 40 AS INT) AS chunk_idx,
+        |    CAST(least(st + 50, n) - st AS INT) AS n_tok,
+        |    array_to_string(toks[st + 1 : st + 50], ' ') AS chunk_text
+        |  FROM d, unnest(range(0, n, 40)) u(st))
+        |SELECT doc_id, chunk_idx, n_tok, md5(chunk_text) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 50
+      val S = 40
+      docs(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0), col("n") - 1, lit(S)),
+            st => struct(
+              least(st + W, col("n")) - st cast "int" as "n_tok",
+              array_join(slice(col("toks"), st + 1, lit(W)), " ") as "chunk"))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          col("col.n_tok").as("n_tok"), md5(col("col.chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }
