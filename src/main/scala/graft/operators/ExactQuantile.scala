@@ -69,19 +69,7 @@ object ExactQuantile {
           val w = (s.hi - s.lo + buckets.toLong) / buckets.toLong
           (i, s.lo, s.hi, w)
         }
-        val cells = array(specs.map { case (i, lo, hi, w) =>
-          // exact long division: subtract the remainder first so the
-          // double `/` divides an exact multiple (quotient ≤ B « 2^53)
-          val off = col(valueCol) - lit(lo)
-          when(col(valueCol).between(lo, hi),
-            struct(lit(i).as("r"),
-              ((off - pmod(off, lit(w))) / lit(w)).cast("long").as("b")))
-            .otherwise(lit(null))
-        }: _*)
-        val counts = df
-          .select(explode(filter(cells, x => x.isNotNull)).as("rb"))
-          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-          .agg(count(lit(1)).as("c"))
+        val counts = histogramPass(df, valueCol, specs)
           .collect() // bounded: ≤ open.size · buckets cells
           .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
           .toMap
@@ -103,5 +91,27 @@ object ExactQuantile {
       }
     }
     done
+  }
+
+  /** One narrowing pass: (rankIdx, bucket) → count for every rank's
+    * `(idx, lo, hi, width)` spec. Exposed so PlanSpec can pin the shape
+    * this operator's scalability rests on: a map-side-combined hash agg
+    * over ≤ranks·B cells — no sort, no window, no data-row shuffle. */
+  private[graft] def histogramPass(
+      df: DataFrame,
+      valueCol: String,
+      specs: Seq[(Int, Long, Long, Long)]): DataFrame = {
+    val cells = array(specs.map { case (i, lo, hi, w) =>
+      // exact long division: subtract the remainder first so the
+      // double `/` divides an exact multiple (quotient ≤ B « 2^53)
+      val off = col(valueCol) - lit(lo)
+      when(col(valueCol).between(lo, hi),
+        struct(lit(i).as("r"),
+          ((off - pmod(off, lit(w))) / lit(w)).cast("long").as("b")))
+        .otherwise(lit(null))
+    }: _*)
+    df.select(explode(filter(cells, x => x.isNotNull)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
   }
 }

@@ -227,4 +227,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
   }
+
+  test("q121: recount filters to sketch candidates BEFORE the aggregate") {
+    // the scalability claim: pass 2's exchange carries only rows matching
+    // ≤cap candidate literals — the IN filter must sit under the partial
+    // aggregate, so the full token domain never crosses a shuffle
+    val p = plan("q121_heavy_hitters")
+    val aggAt = p.indexOf("partial_count")
+    // Spark prints a large literal IN as INSET, a small one as IN
+    val filterAt = math.max(p.indexOf(" INSET "), p.indexOf(" IN ("))
+    assert(aggAt >= 0 && filterAt >= 0, p.take(1500))
+    assert(aggAt < filterAt, // root-first print: child filter BELOW the agg
+      "candidate IN-filter must be a child of the partial aggregate:\n" +
+        p.take(1500))
+    assert(!p.contains("Window"), "no window in the heavy-hitter plan")
+  }
+
+  test("q122: phash dedup is one hash agg over fingerprints, no joins") {
+    val p = plan("q122_image_phash_dedup")
+    assert(!p.contains("Join"), "no pairwise comparisons:\n" + p.take(1500))
+    assert(p.contains("partial_count"), "fingerprint agg must combine map-side")
+  }
+
+  test("q123: quantile histogram pass is a partial agg — no sort/window") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).toDF("v")
+    val p = graft.operators.ExactQuantile
+      .histogramPass(df, "v", Seq((0, 0L, 999L, 250L), (1, 100L, 499L, 100L)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), "bucket counts must combine map-side:\n" + p)
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      "no sort/window anywhere in the selection pass:\n" + p)
+  }
+
+  test("q124: chunking is map-only until the presentation sort") {
+    val p = plan("q124_doc_chunking")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join"), "chunking must not join")
+  }
 }
