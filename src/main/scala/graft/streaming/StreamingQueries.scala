@@ -635,6 +635,69 @@ object StreamingQueries {
           round(col("sum_value"), 4).as("sum_value"), col("session_end_ms"))
         .orderBy("user_id")
         .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
+    // ---- q125: STREAMING HEAVY HITTERS — sketch state in the agg store --
+    // The Misra-Gries Aggregator (q121) run as REAL streaming-aggregation
+    // state: a complete-mode global agg whose buffer is the sketch, so
+    // every micro-batch partial-reduces map-side and the state store
+    // merges sketches across batches (the PODS-2012 mergeable-summary
+    // path exercised by the actual streaming runtime, not a batch fold).
+    // After the 4-batch replay the final sketch's ≤cap candidates get an
+    // exact batch recount; the MG superset guarantee makes the
+    // thresholded output EXACT and **independent of arrival order** —
+    // which is what lets a hash gate exist at all for an order-sensitive
+    // sketch. Token domain is skew-crafted (2/5 of events collapse onto
+    // 7 hot keys ≈ N/17.5 each, over the N/33 threshold; the rest stay
+    // per-user, far below) so both sketch paths carry real traffic.
+    Q("q125_streaming_heavy_hitters",
+      """WITH t AS (SELECT CASE WHEN event_id % 5 < 2
+        |      THEN CAST(user_id % 7 AS VARCHAR)
+        |      ELSE CAST(user_id AS VARCHAR) END AS tok FROM events),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT c.tok AS tok, c.cnt AS cnt FROM c, n
+        |WHERE c.cnt * 33 > n.n
+        |ORDER BY cnt DESC, tok""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val cap = 32
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q125 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      def tokExpr = when(col("event_id") % 5 < 2,
+        (col("user_id") % 7).cast("string"))
+        .otherwise(col("user_id").cast("string"))
+      val source = MemoryStream[(Long, Long)]
+      val toks = source.toDF().toDF("event_id", "user_id")
+        .select(tokExpr.as("tok"))
+      val mg = udaf(new graft.functions.MisraGriesAgg(cap))
+      val sink = "q125_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val sketchRow = withStatePartitions(s, 8) {
+        val query = toks.agg(mg(col("tok")).as("s")).writeStream
+          .format("memory").queryName(sink).outputMode("complete").start()
+        try {
+          for (b <- 0 to 3) {
+            val batch = ev.filter(col("event_id") % 4 === b)
+              .as[(Long, Long)].collect()
+            source.addData(batch.toSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        s.table(sink).select(col("s.candidates"), col("s.n")).head()
+      }
+      val cands = sketchRow.getSeq[String](0)
+      val nTot = sketchRow.getLong(1)
+      ev.select(tokExpr.as("tok"))
+        .filter(col("tok").isin(cands: _*))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (cap + 1) > nTot)
+        .orderBy(desc("cnt"), asc("tok"))
+        .localCheckpoint(true) // pin: bounded (≤cap rows)
     })
 
   // def, not val: referenced by `defs` above during object init
