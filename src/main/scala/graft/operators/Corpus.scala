@@ -550,6 +550,37 @@ object Corpus {
         .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
           col("col.n_tok").as("n_tok"), md5(col("col.chunk")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- q126: weighted sampling WITHOUT replacement (E-S priorities) ---
+    // Efraimidis-Spirakis: give row i priority u_i^(1/w_i) and keep the
+    // k largest — exactly a weighted sample without replacement, as one
+    // TakeOrderedAndProject (per-partition heaps, winners-only to the
+    // driver — no sort, no shuffle of the corpus). The uniform is
+    // md5-derived (48-bit grid, +1 so u ∈ (0,1]) so the draw is
+    // reproducible lineage, and both engines rank by the monotonic
+    // ln(u)/w instead of the overflow-prone root. Weight = n_chars:
+    // longer docs proportionally likelier — the data-mixing primitive
+    // between q60's rate sampling and q69's temperature sampling.
+    Q("q126_weighted_sample",
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    ln((('0x'||substr(md5('w126:'||CAST(doc_id AS VARCHAR)),1,12))::BIGINT + 1)
+        |       / CAST(281474976710656 AS DOUBLE)) / n_chars AS es_key
+        |  FROM documents),
+        |top AS (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+        |FROM top ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val h = conv(substring(
+        md5(concat(lit("w126:"), col("doc_id").cast("string"))), 1, 12),
+        16, 10).cast("long")
+      val u = (h + 1).cast("double") / lit(281474976710656.0d)
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("es_key"))
+        .orderBy(desc("es_key"), asc("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("doc_id")
     }
   )
 }

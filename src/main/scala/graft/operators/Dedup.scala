@@ -719,6 +719,63 @@ object Dedup {
           round(col("n_rep2") / col("n_chunks").cast("double"), 6).as("rep2_frac"),
           when(col("n_rep3") > 0, 1).otherwise(0).cast("int").as("drop_flag"))
         .orderBy("doc_id")
+    },
+
+    // ---- q127: PageRank over the near-dup graph -------------------------
+    // Iterative distributed fixpoint — the graph-analytics shape (each
+    // round one equi-join + one agg, no driver-side graph): rank the
+    // q30 near-dup graph's nodes by PageRank (d=0.85, 5 rounds), the
+    // standard centrality pass for picking the canonical copy of a big
+    // duplicate cluster or weighting boilerplate hubs. The symmetric
+    // edge list is degree-annotated ONCE and checkpointed, so every
+    // round joins the same pinned frame; per-round 1e-9 rank rounding
+    // pins the float trajectory (the q104 trick), letting DuckDB replay
+    // all five rounds exactly via chained MATERIALIZED CTEs. Every node
+    // of the pair graph has deg ≥ 1 both ways (symmetry), so no
+    // dangling-mass term exists.
+    Q("q127_neardup_pagerank", {
+      val iter = (k: Int) =>
+        s"""pr$k AS MATERIALIZED (
+          |  SELECT e.dst AS id,
+          |    round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+          |      + 0.85 * sum(p.pr / d.d), 9) AS pr
+          |  FROM edges e
+          |  JOIN pr${k - 1} p ON p.id = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst)"""
+      s"""WITH $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+        |        FROM nodes),
+        |${(1 to 5).map(iter).mkString(",\n")}
+        |SELECT id AS doc_id, round(pr, 6) AS pagerank
+        |FROM pr5 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val pairs = lshCandidatePairs(s, dir).select("doc1", "doc2")
+      val edges = pairs.union(pairs.select(col("doc2"), col("doc1")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      // degree-annotated edges pinned once — 5 rounds re-join this frame,
+      // not the whole LSH chain
+      val edgesW = edges.join(deg, "src").localCheckpoint(true)
+      val n = edgesW.select("src").distinct().count()
+      var pr = edgesW.select(col("src").as("id")).distinct()
+        .withColumn("pr", lit(1.0d / n))
+      for (_ <- 1 to 5) {
+        pr = edgesW.join(pr, col("id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(round(lit(0.15d / n) + lit(0.85d) * sum(col("pr") / col("d")), 9)
+            .as("pr"))
+          .withColumnRenamed("dst", "id")
+          .localCheckpoint(true) // truncate the per-round lineage
+      }
+      pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("doc_id")
     }
   )
 }
