@@ -258,6 +258,55 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
+    // Exact selection across the replica ladder: quantile narrowing's
+    // pass count is a function of the VALUE DOMAIN (ceil(log_B(range))),
+    // not the row count — 50× data must run the same number of scans,
+    // each a map-side-combined agg, so wall should grow far slower than
+    // the corpus. Heavy hitters likewise: the sketch pass's exchange
+    // carries ≤cap counters per partition and the recount filters to
+    // ≤cap literals before aggregating — candidates stay ≤cap at any R.
+    val selection = {
+      import graft.operators.ExactQuantile
+      val rows = replicas.map { r =>
+        val ev = Amplify.events(
+          Tables.load(spark, sfDir, "events"), r, hotFrac = 0.10)
+        val cents = ev.select(
+          round(col("value") * 100, 0).cast("long").as("c"))
+          .localCheckpoint(true)
+        val n = cents.count()
+        var passes = 0
+        val quantSec = timed {
+          val (vals, p) = ExactQuantile.kthSmallestWithPasses(
+            cents, "c", Map("p50" -> ((n + 1) / 2), "p99" -> (n * 99 / 100)))
+          passes = p
+          require(vals.size == 2)
+        }
+        // heavy hitters over the hot-skewed user domain (10% of rows on
+        // user 0 — far above the N/(cap+1) threshold)
+        val toks = ev.select(col("user_id").cast("string").as("tok"))
+          .localCheckpoint(true)
+        var cands = 0
+        var hits = 0L
+        val cap = 32
+        val mg = udaf(new graft.functions.MisraGriesAgg(cap))
+        val hhSec = timed {
+          val sk = toks.agg(mg(col("tok")).as("s"))
+            .select(col("s.candidates"), col("s.n")).head()
+          val cs = sk.getSeq[String](0)
+          cands = cs.length
+          hits = toks.filter(col("tok").isin(cs: _*))
+            .groupBy("tok").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") * (cap + 1) > sk.getLong(1)).count()
+        }
+        cents.unpersist(); toks.unpersist()
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"rows":$n,"quantile_passes":$passes,""" +
+          s""""quantile_sec":${f"$quantSec%.2f"},"hh_candidates":$cands,""" +
+          s""""hh_heavy":$hits,"hh_sec":${f"$hhSec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Trained quality classifier (q104) across the replica ladder: the
     // full 12-step GD train is feature pass + moments pass + 12 agg
     // passes + 1 eval pass over a persisted 4-column projection — every
@@ -585,7 +634,8 @@ object ScaleBench {
       s""""scales":$qs,"streaming":$streaming,"ann_recall":$recallJson,""" +
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
-      s""""classifier":$classifier,"bpe":$bpe,"asof_depth":$asofDepth}"""
+      s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
+      s""""asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -36,7 +36,18 @@ object ExactQuantile {
       df: DataFrame,
       valueCol: String,
       ks: Map[String, Long],
-      buckets: Int = 4096): Map[String, Long] = {
+      buckets: Int = 4096): Map[String, Long] =
+    kthSmallestWithPasses(df, valueCol, ks, buckets)._1
+
+  /** As [[kthSmallest]], also returning the histogram-pass count — the
+    * scale invariant ScaleBench pins: passes = ceil(log_B(range)) is a
+    * function of the VALUE DOMAIN, not the row count, so 50× data runs
+    * the same number of scans. */
+  def kthSmallestWithPasses(
+      df: DataFrame,
+      valueCol: String,
+      ks: Map[String, Long],
+      buckets: Int = 4096): (Map[String, Long], Int) = {
     require(buckets >= 2, s"need ≥2 buckets, got $buckets")
     val stats = df.agg(
       count(col(valueCol)).as("n"),
@@ -90,7 +101,7 @@ object ExactQuantile {
         }
       }
     }
-    done
+    (done, passes)
   }
 
   /** One narrowing pass: (rankIdx, bucket) → count for every rank's

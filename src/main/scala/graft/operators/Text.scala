@@ -612,6 +612,47 @@ object Text {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * (cap + 1) > n)
         .orderBy(desc("cnt"), asc("token"))
+    },
+
+    // ---- q128: PER-GROUP heavy hitters — the sketch as grouped agg -----
+    // q121's Misra-Gries Aggregator dropped into an ordinary groupBy:
+    // one sketch buffer PER SOURCE, partial-reduced map-side and merged
+    // per key like any aggregate — the mergeable-summary property is
+    // what makes the sketch a first-class grouped aggregation. The
+    // recount pass joins the ≤groups·cap candidate list back (broadcast
+    // — it is bounded by construction, NOT corpus-sized) and keeps
+    // count > n_g/(cap+1) per group's own n. Exact per the same
+    // superset guarantee, per group independently.
+    Q("q128_heavy_hitters_by_source",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tt AS (SELECT source, token FROM t WHERE token <> ''),
+        |n AS (SELECT source, count(*) AS n FROM tt GROUP BY 1),
+        |c AS (SELECT source, token, count(*) AS cnt FROM tt GROUP BY 1, 2)
+        |SELECT c.source, c.token, c.cnt FROM c JOIN n USING (source)
+        |WHERE c.cnt * 33 > n.n
+        |ORDER BY source, cnt DESC, token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cap = 32
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val mg = udaf(new graft.functions.MisraGriesAgg(cap))
+      val sketches = toks.groupBy("source").agg(mg(col("token")).as("s"))
+        .select(col("source"), col("s.candidates"), col("s.n"))
+        .collect() // bounded: one row per source, ≤cap strings each
+      require(sketches.length <= 1000,
+        s"per-group sketch collect is bounded at 1000 groups; " +
+          s"got ${sketches.length}")
+      val candDf = sketches.toSeq.flatMap { r =>
+        r.getSeq[String](1).map(tok => (r.getString(0), tok, r.getLong(2)))
+      }.toDF("source", "token", "n_g")
+      toks.join(broadcast(candDf), Seq("source", "token"))
+        .groupBy("source", "token")
+        .agg(count(lit(1)).as("cnt"), first(col("n_g")).as("n_g"))
+        .filter(col("cnt") * (cap + 1) > col("n_g"))
+        .select(col("source"), col("token"), col("cnt"))
+        .orderBy(asc("source"), desc("cnt"), asc("token"))
     }
   )
 }
