@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** EXACT distributed rank selection by iterative histogram narrowing.
@@ -86,14 +86,7 @@ object ExactQuantile {
           .toMap
         open = specs.map { case (i, lo, hi, w) =>
           val st = open(i)
-          var cum = 0L
-          var b = 0L
-          var found = -1L
-          val nb = (hi - lo) / w + 1
-          while (found < 0 && b < nb) {
-            val c = counts.getOrElse((i, b), 0L)
-            if (cum + c >= st.localK) found = b else { cum += c; b += 1 }
-          }
+          val (found, cum) = walkBuckets(i, lo, hi, w, st.localK, counts)
           require(found >= 0,
             s"rank ${st.lbl}: local rank ${st.localK} beyond interval [$lo,$hi]")
           St(st.lbl, lo + found * w, math.min(hi, lo + (found + 1) * w - 1),
@@ -104,6 +97,86 @@ object ExactQuantile {
     (done, passes)
   }
 
+  /** Exact per-group k-th smallest: `(group, label) → k` over a string
+    * group column, same histogram narrowing with per-(group, rank)
+    * intervals — every pass is still ONE scan + one hash agg over
+    * ≤specs·B cells (the group predicate rides in each cell's `when`),
+    * so G groups cost the same pass count as one, not G scans. Group
+    * count is bounded (the spec literals live in the plan): loud
+    * `require` at 1000. */
+  def kthSmallestByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ks: Map[(String, String), Long],
+      buckets: Int = 4096): Map[(String, String), Long] = {
+    require(buckets >= 2, s"need ≥2 buckets, got $buckets")
+    val groups = ks.keys.map(_._1).toSeq.distinct.sorted
+    require(groups.nonEmpty, "no groups requested")
+    require(groups.size <= 1000,
+      s"per-group narrowing is bounded at 1000 groups; got ${groups.size}")
+    val stats = df.filter(col(groupCol).isin(groups: _*))
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(col(valueCol)).as("n"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+      .collect() // bounded: one row per requested group
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    ks.foreach { case ((g, lbl), k) =>
+      val (n, _, _) = stats.getOrElse(g,
+        throw new IllegalArgumentException(s"group $g has no rows"))
+      require(k >= 1 && k <= n, s"rank ($g, $lbl)=$k outside [1, $n]")
+    }
+
+    final case class St(g: String, lbl: String, lo: Long, hi: Long, localK: Long)
+    var open = ks.toSeq.sortBy(_._1).map { case ((g, lbl), k) =>
+      St(g, lbl, stats(g)._2, stats(g)._3, k)
+    }
+    var done = Map.empty[(String, String), Long]
+    var passes = 0
+
+    while (open.nonEmpty) {
+      val (finished, active) = open.partition(s => s.lo == s.hi)
+      done ++= finished.map(s => (s.g, s.lbl) -> s.lo)
+      open = active
+      if (open.nonEmpty) {
+        passes += 1
+        require(passes <= 64, s"grouped narrowing failed to converge: $open")
+        val specs = open.zipWithIndex.map { case (s, i) =>
+          val w = (s.hi - s.lo + buckets.toLong) / buckets.toLong
+          (i, col(groupCol) === s.g, s.lo, s.hi, w)
+        }
+        val counts = histogramPassCond(df, valueCol, specs)
+          .collect()
+          .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
+          .toMap
+        open = specs.map { case (i, _, lo, hi, w) =>
+          val st = open(i)
+          val (found, cum) = walkBuckets(i, lo, hi, w, st.localK, counts)
+          require(found >= 0, s"rank (${st.g}, ${st.lbl}): local rank " +
+            s"${st.localK} beyond interval [$lo,$hi]")
+          St(st.g, st.lbl, lo + found * w,
+            math.min(hi, lo + (found + 1) * w - 1), st.localK - cum)
+        }
+      }
+    }
+    done
+  }
+
+  /** Cumulative walk to the bucket holding `localK`: (bucket, countBefore). */
+  private def walkBuckets(i: Int, lo: Long, hi: Long, w: Long, localK: Long,
+      counts: Map[(Int, Long), Long]): (Long, Long) = {
+    var cum = 0L
+    var b = 0L
+    val nb = (hi - lo) / w + 1
+    while (b < nb) {
+      val c = counts.getOrElse((i, b), 0L)
+      if (cum + c >= localK) return (b, cum)
+      cum += c; b += 1
+    }
+    (-1L, cum)
+  }
+
   /** One narrowing pass: (rankIdx, bucket) → count for every rank's
     * `(idx, lo, hi, width)` spec. Exposed so PlanSpec can pin the shape
     * this operator's scalability rests on: a map-side-combined hash agg
@@ -111,12 +184,21 @@ object ExactQuantile {
   private[graft] def histogramPass(
       df: DataFrame,
       valueCol: String,
-      specs: Seq[(Int, Long, Long, Long)]): DataFrame = {
-    val cells = array(specs.map { case (i, lo, hi, w) =>
+      specs: Seq[(Int, Long, Long, Long)]): DataFrame =
+    histogramPassCond(df, valueCol,
+      specs.map { case (i, lo, hi, w) => (i, lit(true), lo, hi, w) })
+
+  /** Generalized pass: each spec carries an extra predicate (the group
+    * membership for [[kthSmallestByGroup]], `true` otherwise). */
+  private def histogramPassCond(
+      df: DataFrame,
+      valueCol: String,
+      specs: Seq[(Int, Column, Long, Long, Long)]): DataFrame = {
+    val cells = array(specs.map { case (i, cond, lo, hi, w) =>
       // exact long division: subtract the remainder first so the
       // double `/` divides an exact multiple (quotient ≤ B « 2^53)
       val off = col(valueCol) - lit(lo)
-      when(col(valueCol).between(lo, hi),
+      when(cond && col(valueCol).between(lo, hi),
         struct(lit(i).as("r"),
           ((off - pmod(off, lit(w))) / lit(w)).cast("long").as("b")))
         .otherwise(lit(null))

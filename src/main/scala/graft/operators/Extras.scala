@@ -450,6 +450,42 @@ object Extras {
       ps.map(p => (p.toDouble, ks(p.toString),
           (BigDecimal(vals(p.toString)) / 100).toDouble))
         .toDF("p", "k", "price").orderBy("p")
+    },
+
+    // ---- q129: exact PER-GROUP quantiles, still no sort ------------------
+    // q123's narrowing with per-(group, rank) intervals: the group
+    // predicate rides inside each histogram cell's `when`, so G groups
+    // cost the SAME pass count as one — each pass stays one scan + one
+    // hash agg over ≤specs·B cells. The grouped exact-median answer
+    // `percentile` gives by buffering every group's values, delivered
+    // at a bounded memory footprint instead.
+    Q("q129_grouped_exact_quantiles",
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn
+        |      FROM v),
+        |p AS (SELECT * FROM (VALUES (0.50),(0.95)) t(p)),
+        |k AS (SELECT n.g, p.p, CAST(ceil(p.p * n.n) AS BIGINT) AS k FROM n, p)
+        |SELECT k.g AS l_returnflag, CAST(k.p AS DOUBLE) AS p, k.k AS k,
+        |  round(r.c / 100.0, 2) AS price
+        |FROM k JOIN r ON r.g = k.g AND r.rn = k.k
+        |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      val ns = li.groupBy("g").agg(count(lit(1)).as("n"))
+        .collect() // bounded: one row per return flag
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ps = Seq("0.50", "0.95").map(BigDecimal(_))
+      val ks = for ((g, n) <- ns; p <- ps) yield
+        (g, p.toString) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      val vals = ExactQuantile.kthSmallestByGroup(li, "g", "c", ks)
+      (for ((g, _) <- ns.toSeq; p <- ps) yield
+        (g, p.toDouble, ks((g, p.toString)),
+          (BigDecimal(vals((g, p.toString))) / 100).toDouble))
+        .toDF("l_returnflag", "p", "k", "price")
+        .orderBy("l_returnflag", "p")
     }
   )
 }

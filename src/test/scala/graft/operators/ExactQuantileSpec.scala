@@ -54,6 +54,35 @@ class ExactQuantileSpec extends AnyFunSuite with SparkSpec {
     check((0L until 100L), Seq(10L, 11L, 90L, 91L), buckets = 10)
   }
 
+  test("grouped: per-group ranks match per-group sorted selection") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(17)
+    val data = (0 until 4000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      (g, rnd.nextInt(700).toLong - 350L)
+    }
+    val df = data.toDF("g", "v").repartition(5)
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ks = byG.flatMap { case (g, vs) =>
+      Seq((g, "p25") -> (vs.size / 4 + 1).toLong,
+        (g, "max") -> vs.size.toLong, (g, "min") -> 1L)
+    }
+    val got = ExactQuantile.kthSmallestByGroup(df, "g", "v", ks, buckets = 8)
+    ks.foreach { case ((g, lbl), k) =>
+      assert(got((g, lbl)) === byG(g)((k - 1).toInt), s"($g, $lbl) k=$k")
+    }
+  }
+
+  test("grouped: missing group fails loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      ExactQuantile.kthSmallestByGroup(df, "g", "v", Map(("zz", "p") -> 1L))
+    }
+  }
+
   test("out-of-range rank and empty input fail loudly") {
     val s = spark
     import s.implicits._
