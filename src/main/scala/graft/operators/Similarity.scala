@@ -950,6 +950,58 @@ object Similarity {
           col("hamming").cast("int").as("hamming"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("query_id", "rk")
+    },
+
+    // ---- q130: embedding OUTLIER detection (assign ⊕ exact quantile) ----
+    // The corpus-hygiene pass before clustering-based curation: distance
+    // of every vector to its assigned centroid, flag everything past the
+    // exact p99 — garbage embeddings, encoder failures, off-distribution
+    // content. Composes two proven machines: the IVF broadcast argmax
+    // assign (q54, cosine via the codegen cosine_sim expr) and q123's
+    // histogram-narrowed exact selection over micro-unit INTEGER
+    // distances (round((1-cos)·1e6)) — integerizing makes the p99
+    // threshold exact and cross-engine stable, and the whole pass is
+    // broadcast-join + map + three bounded hash aggs: no sort, no
+    // corpus×corpus, no buffer-everything percentile.
+    Q("q130_embedding_outliers",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+        |         WHERE vec_id % 64 = 0),
+        |assign AS (
+        |  SELECT vec_id, c_id, cos FROM (
+        |    SELECT n.vec_id, cent.c_id,
+        |      list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS cos,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn)
+        |          DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk = 1),
+        |d AS (SELECT vec_id, c_id,
+        |    CAST(round((1 - cos) * 1000000) AS BIGINT) AS d_micro FROM assign),
+        |thr AS (SELECT d_micro AS t FROM (
+        |    SELECT d_micro, row_number() OVER (ORDER BY d_micro) AS rn FROM d)
+        |  WHERE rn = (SELECT CAST(ceil(0.99 * count(*)) AS BIGINT) FROM d))
+        |SELECT d.vec_id, d.c_id AS cluster, d.d_micro
+        |FROM d, thr WHERE d.d_micro > thr.t
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val vecs = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = vecs.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val d = vecs.join(broadcast(cent))
+        .withColumn("_csim", expr("cosine_sim(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("cluster"),
+          max(col("_csim")).as("cos"))
+        .select(col("vec_id"), col("cluster"),
+          round((lit(1.0d) - col("cos")) * 1000000, 0).cast("long").as("d_micro"))
+        .localCheckpoint(true) // pinned: quantile pass + filter both read it
+      val n = d.count()
+      val k = (BigDecimal("0.99") * n)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      val thr = ExactQuantile.kthSmallest(d, "d_micro", Map("p99" -> k))("p99")
+      d.filter(col("d_micro") > thr).orderBy("vec_id")
     }
   )
 }
