@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, PqAdc}
+import graft.functions.{CosineSim, NfcNormalize, PqAdc}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (SURVEY.md §7.3):
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       PqAdc.info,
       children => PqAdc(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info,
+      children => NfcNormalize(children.head)))
     // whole-operator extension: partial→final per-key top-k (plans the
     // TopKPerKeyNode logical operator; see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

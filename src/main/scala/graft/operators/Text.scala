@@ -653,6 +653,51 @@ object Text {
         .filter(col("cnt") * (cap + 1) > col("n_g"))
         .select(col("source"), col("token"), col("cnt"))
         .orderBy(asc("source"), desc("cnt"), asc("token"))
+    },
+
+    // ---- q131: Unicode NFC normalization (native codegen expression) ---
+    // The FIRST step of web-text cleaning: the same visible string
+    // arrives composed (U+00E9) and decomposed (e+U+0301), and every
+    // downstream exact-dedup hash / shingle / blocklist match sees them
+    // as different documents unless normalized. Spark has no builtin —
+    // `functions/NfcNormalize.scala` is a custom Catalyst expression
+    // (one static Normalizer call inside whole-stage codegen, no UDF
+    // boundary); DuckDB's nfc_normalize is the oracle counterpart. The
+    // fixture plants deterministic composed/decomposed suffixes by
+    // doc_id parity so both branches carry traffic: len_raw > len_nfc
+    // and changed=1 exactly on the decomposed rows, and md5(norm) hash-
+    // pins the normalized BYTES, not just the lengths. Map-only.
+    Q("q131_nfc_normalize",
+      s"""WITH t AS (SELECT doc_id,
+        |    substr(text, 1, 40) || ' ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'cafe\u0301' ELSE 'caf\u00e9' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' u\u0308ber' ELSE ' \u00fcber' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM t)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(norm) AS INT) AS len_nfc,
+        |  CAST(raw <> norm AS INT) AS changed, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // decomposed (e+U+0301, u+U+0308) on the %2/%3 branches, composed
+      // (U+00E9, U+00FC) otherwise; source-level unicode escapes keep
+      // the file ASCII-only and the two forms visibly distinct — scalac
+      // substitutes them into BOTH the SQL text and the lits, so the
+      // engines receive identical code points
+      val raw = concat(
+        substring(col("text"), 1, 40), lit(" "),
+        when(col("doc_id") % 2 === 0, lit("cafe\u0301"))
+          .otherwise(lit("caf\u00e9")),
+        when(col("doc_id") % 3 === 0, lit(" u\u0308ber"))
+          .otherwise(lit(" \u00fcber")))
+      docs(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("norm", expr("nfc_normalize(raw)"))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(col("norm")).as("len_nfc"),
+          (col("raw") =!= col("norm")).cast("int").as("changed"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
     }
   )
 }
