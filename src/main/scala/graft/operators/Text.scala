@@ -102,6 +102,13 @@ object Text {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** q132's blocklist. Production pipelines load the real
+    * list-of-dirty-words file (C4 dropped any page with one hit); these
+    * are benign STAND-INS chosen from the fixture vocabulary so the gate
+    * actually fires in tests — the operator is list-driven either way. */
+  private val blocklist = Seq("slow", "dup", "scan", "noise", "spam")
+  private val blocklistSqlList = blocklist.map(w => s"'$w'").mkString("[", ",", "]")
+
   val defs: Seq[Q] = Seq(
     // ---- q23: token counting (whitespace + BPE-ish regex) --------------
     Q("q23_token_count",
@@ -697,6 +704,31 @@ object Text {
           length(col("norm")).as("len_nfc"),
           (col("raw") =!= col("norm")).cast("int").as("changed"),
           md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q132: blocklist content gate (C4-style) ------------------------
+    // C4 dropped any page containing one word from a blocklist; modern
+    // gates also use the hit fraction. Both signals per doc, map-only:
+    // distinct list words present (array_intersect against the literal
+    // list), total hit count, and the drop flag — the list is a plan
+    // literal, so at 100 TB this is a pure scan+project with no join,
+    // no broadcast, nothing corpus-sized beyond the scan itself.
+    Q("q132_blocklist_gate",
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(ws, $blocklistSqlList)) AS INT) AS n_bad_distinct,
+        |  CAST(len(list_filter(ws, x -> list_contains($blocklistSqlList, x))) AS BIGINT) AS bad_hits,
+        |  CAST(len(list_filter(ws, x -> list_contains($blocklistSqlList, x))) > 0 AS INT) AS dropped
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("_w", split(norm(col("text")), " "))
+        .withColumn("_hits", size(filter(col("_w"), w => w.isin(blocklist: _*))))
+        .select(col("doc_id"),
+          size(array_intersect(col("_w"), typedLit(blocklist))).as("n_bad_distinct"),
+          col("_hits").cast("long").as("bad_hits"),
+          (col("_hits") > 0).cast("int").as("dropped"))
         .orderBy("doc_id")
     }
   )
