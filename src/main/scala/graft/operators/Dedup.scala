@@ -776,6 +776,52 @@ object Dedup {
       }
       pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy("doc_id")
+    },
+
+    // ---- q133: quality-ranked canonical per dup group -------------------
+    // q59/q67 keep the MIN-ID member of each near-dup group — simple but
+    // arbitrary. Production pipelines keep the BEST member (longest /
+    // highest-quality): one max_by per group over (n_chars, -doc_id), a
+    // single partial-aggregable pass over the labeled members, no window
+    // sort. `upgraded` counts the groups where quality actually changed
+    // the keep decision vs the min-id rule.
+    Q("q133_canonical_by_quality",
+      s"""WITH RECURSIVE $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lbl AS (
+        |  SELECT node, least(node, min(r)) AS canonical_id
+        |  FROM reach GROUP BY node),
+        |m AS (SELECT lbl.node AS doc_id, lbl.canonical_id, d.n_chars
+        |      FROM lbl JOIN documents d ON d.doc_id = lbl.node),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY canonical_id
+        |        ORDER BY n_chars DESC, doc_id) AS rn FROM m),
+        |g AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM m GROUP BY 1)
+        |SELECT r.canonical_id AS group_id, r.doc_id AS keep_id,
+        |  CAST(r.n_chars AS BIGINT) AS keep_chars, g.n_members,
+        |  CAST(r.doc_id <> r.canonical_id AS INT) AS upgraded
+        |FROM r JOIN g USING (canonical_id)
+        |WHERE rn = 1 ORDER BY group_id""".stripMargin) { (s, dir) =>
+      val cc = connectedComponents(
+        lshCandidatePairs(s, dir).select("doc1", "doc2"))
+      val m = cc.join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+      m.groupBy(col("canonical_id").as("group_id"))
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("keep_id"),
+          max_by(col("n_chars"), struct(col("n_chars"), -col("doc_id")))
+            .cast("long").as("keep_chars"),
+          count(lit(1)).as("n_members"))
+        .select(col("group_id"), col("keep_id"), col("keep_chars"),
+          col("n_members"),
+          (col("keep_id") =!= col("group_id")).cast("int").as("upgraded"))
+        .orderBy("group_id")
     }
   )
 }
