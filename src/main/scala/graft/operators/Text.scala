@@ -730,6 +730,76 @@ object Text {
           col("_hits").cast("long").as("bad_hits"),
           (col("_hits") > 0).cast("int").as("dropped"))
         .orderBy("doc_id")
+    },
+
+    // ---- q134: sparse TF-IDF cosine similarity (inverted postings) ------
+    // Document-to-document similarity WITHOUT embeddings: tf-idf sparse
+    // vectors (BIGRAM terms — the fixture vocabulary is ~30 words, so
+    // unigram df saturates; real corpora would use unigrams+bigrams)
+    // scored term-at-a-time through an inverted-postings
+    // equi-join — the classic sparse-MIPS layout that stays linear in
+    // postings. Terms with df > 100 are dropped on BOTH sides (impact
+    // pruning: stopword-grade terms carry no signal but cost df^2 pair
+    // fanout — the same cap discipline as the LSH hot-shingle cap).
+    // Cosines are rounded to 6 dp BEFORE ranking so the top-3 cutoff is
+    // cross-engine stable, and the per-query top-3 runs through the
+    // custom TopKPerKey operator (partial per-partition heaps,
+    // winners-only exchange — never a corpus-wide window sort).
+    Q("q134_sparse_cosine_topk",
+      s"""WITH ws0 AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+        |            FROM documents),
+        |t AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i + 1])) AS term FROM ws0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |       HAVING count(*) <= 100),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df.df) AS w
+        |  FROM tf JOIN df USING (term)),
+        |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |p AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+        |    sum(q.w * d.w) AS dot
+        |  FROM w q JOIN w d ON d.term = q.term AND d.doc_id <> q.doc_id
+        |  WHERE q.doc_id % 50 = 0 GROUP BY 1, 2),
+        |c AS (SELECT p.query_id, p.neighbor_id,
+        |    round(p.dot / (nq.nrm * nd2.nrm), 6) AS cos_sim
+        |  FROM p JOIN nm nq ON nq.doc_id = p.query_id
+        |         JOIN nm nd2 ON nd2.doc_id = p.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rn FROM c)
+        |SELECT query_id, neighbor_id, cos_sim FROM r WHERE rn <= 3
+        |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin) { (s, dir) =>
+      val nDocs = docs(s, dir).count().toDouble // one bounded scalar
+      val tf = docs(s, dir)
+        .withColumn("_ws", split(norm(col("text")), " "))
+        .select(col("doc_id"), explode(ngrams(col("_ws"), 2)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val w = tf.join(dft, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
+        .localCheckpoint(true) // postings read by both join sides + norms
+      val nm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val q = w.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("term"), col("w").as("wq"))
+      val d = w.select(col("doc_id").as("neighbor_id"), col("term"),
+        col("w").as("wd"))
+      val pairs = q.join(d, Seq("term"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("wq") * col("wd")).as("dot"))
+      val cos = pairs
+        .join(nm.select(col("doc_id").as("query_id"), col("nrm").as("nq")),
+          "query_id")
+        .join(nm.select(col("doc_id").as("neighbor_id"), col("nrm").as("nn")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dot") / (col("nq") * col("nn")), 6).as("cos_sim"))
+      graft.plans.TopK.perKey(cos, Seq("query_id"),
+          struct(col("cos_sim"), -col("neighbor_id")), 3)
+        .orderBy(asc("query_id"), desc("cos_sim"), asc("neighbor_id"))
     }
   )
 }
