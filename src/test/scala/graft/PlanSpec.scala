@@ -266,4 +266,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
     assert(!p.contains("Join"), "chunking must not join")
   }
+
+  test("q126: weighted sample is TakeOrderedAndProject, never a sort") {
+    val p = plan("q126_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Join"), "priority sampling must not join")
+  }
+
+  test("q127: every PageRank round stays in equi-join land") {
+    val p = plan("q127_neardup_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q131/q132: normalization and blocklist gates are map-only") {
+    for (q <- Seq("q131_nfc_normalize", "q132_blocklist_gate")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n" + p.take(1500))
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+    // the NFC expression must sit inside a whole-stage-codegen span
+    // (AQE only shows final stages after execution — q01's technique)
+    val df = SparkEntry.queries("q131_nfc_normalize")(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(") && executed.contains("nfc_normalize"),
+      executed.take(1500))
+  }
+
+  test("q133: canonical pick is one partial-aggregable max_by, no window") {
+    val p = plan("q133_canonical_by_quality")
+    assert(p.contains("max_by"), p.take(1500))
+    assert(!p.contains("Window"), "no window sort for the canonical pick")
+  }
+
+  test("q134: sparse cosine ranks through TopKPerKey, no window, no cartesian") {
+    val p = plan("q134_sparse_cosine_topk")
+    assert(p.contains("TopKPerKey "), p.take(2000))
+    assert(!p.contains("Window"), "top-3 must not window-sort the pair set")
+    assert(!p.contains("CartesianProduct"), "postings join must stay equi")
+  }
 }
