@@ -581,6 +581,27 @@ object Corpus {
         .select(col("doc_id"), col("n_chars"),
           round(col("es_key"), 6).as("es_key"))
         .orderBy("doc_id")
+    },
+
+    // ---- q136: stratified EXACT-k sampling (k per stratum) ---------------
+    // q60 samples at a RATE per stratum (the count is binomial); this
+    // draws exactly k=10 docs per source — the eval-set construction
+    // primitive where the budget is per-stratum exact. Priority is an
+    // md5 (reproducible lineage, no RNG, unique per doc so no ties),
+    // and the per-stratum smallest-k runs through TopKPerKey: partial
+    // per-partition heaps, winners-only exchange — the window-sort
+    // formulation would shuffle + sort every stratum's full population.
+    Q("q136_stratified_exact_k",
+      """WITH k AS (SELECT source, doc_id,
+        |    md5('s136:' || CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY pri) AS rn FROM k)
+        |SELECT source, doc_id, pri FROM r WHERE rn <= 10
+        |ORDER BY source, pri""".stripMargin) { (s, dir) =>
+      val k = docs(s, dir).select(col("source"), col("doc_id"),
+        md5(concat(lit("s136:"), col("doc_id").cast("string"))).as("pri"))
+      graft.plans.TopK.perKey(k, Seq("source"), col("pri"), 10, ascending = true)
+        .orderBy("source", "pri")
     }
   )
 }

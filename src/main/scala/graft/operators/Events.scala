@@ -277,6 +277,43 @@ object Events {
       // exactly-simultaneous view is attributable — and the fixture has
       // no (user, ts) ties anyway.
       asofJoinOf(ev(s, dir))
+    },
+
+    // ---- q135: retention cohort analysis --------------------------------
+    // The product-analytics staple: users cohorted by FIRST-event date,
+    // retention = distinct users active at each day offset, as a
+    // cohort × offset matrix with rates against the cohort size. Shapes:
+    // one min-agg for the cohort assignment, one equi-join back, one
+    // distinct-count agg — all partial-combinable, date arithmetic in
+    // exact integers, rates rounded identically on both engines.
+    Q("q135_retention_cohorts",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM f GROUP BY 1),
+        |j AS (SELECT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, e.d) AS off
+        |  FROM e JOIN f USING (user_id) WHERE date_diff('day', f.cohort, e.d) <= 7),
+        |r AS (SELECT cohort, off, CAST(count(DISTINCT user_id) AS BIGINT)
+        |        AS n_users FROM j GROUP BY 1, 2)
+        |SELECT r.cohort, CAST(r.off AS INT) AS offset_days, r.n_users,
+        |  round(CAST(r.n_users AS DOUBLE) / cs.cohort_n, 4) AS retention
+        |FROM r JOIN cs USING (cohort)
+        |ORDER BY cohort, offset_days""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val f = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+      e.join(f, "user_id")
+        .withColumn("off", datediff(col("d"), col("cohort")))
+        .filter(col("off") <= 7)
+        .groupBy("cohort", "off")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(cs, "cohort")
+        .select(col("cohort"), col("off").cast("int").as("offset_days"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_n"), 4)
+            .as("retention"))
+        .orderBy("cohort", "offset_days")
     }
   )
 }
