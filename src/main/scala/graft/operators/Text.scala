@@ -800,6 +800,71 @@ object Text {
       graft.plans.TopK.perKey(cos, Seq("query_id"),
           struct(col("cos_sim"), -col("neighbor_id")), 3)
         .orderBy(asc("query_id"), desc("cos_sim"), asc("neighbor_id"))
+    },
+
+    // ---- q137: character-entropy quality signal -------------------------
+    // Low character entropy = repetitive/degenerate text (keyboard mash,
+    // repeated fills) — a Gopher-family gate orthogonal to the word
+    // ratios (q24) and phrase repetition (q86). Per-row only: WORD
+    // unigram entropy H = -sum p ln p over the doc's own word
+    // distribution, computed as one sorted-array run-length fold (the
+    // maxRunLength trick generalized: counts of equal neighbors in the
+    // sorted token array), so the metric costs zero shuffles at any
+    // corpus size. Flag = below-threshold entropy on a token floor.
+    Q("q137_entropy_gate",
+      s"""WITH w AS (SELECT doc_id,
+        |    list_sort(string_split($normSql, ' ')) AS ws FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS n,
+        |    list_transform(range(1, len(ws) + 1),
+        |      i -> CASE WHEN i = len(ws) OR ws[i] <> ws[i + 1]
+        |           THEN i ELSE NULL END) AS ends
+        |  FROM w),
+        |e AS (SELECT doc_id, n,
+        |    list_filter(ends, x -> x IS NOT NULL) AS bounds FROM c),
+        |h AS (SELECT doc_id, n,
+        |    len(bounds) AS n_distinct,
+        |    -list_sum(list_transform(range(1, len(bounds) + 1),
+        |      j -> (CAST((bounds[j] - coalesce(bounds[j - 1], 0)) AS DOUBLE) / n)
+        |           * ln(CAST((bounds[j] - coalesce(bounds[j - 1], 0)) AS DOUBLE) / n)))
+        |      AS ent
+        |  FROM e WHERE n > 0)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(ent, 4) AS entropy,
+        |  CAST(n >= 20 AND ent < 2.0 AS INT) AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // run boundaries in the SORTED token array: position i is a run
+      // end iff it is the last element or differs from its successor;
+      // run length = bound[j] - bound[j-1] gives each distinct token's
+      // count without any explode/groupBy
+      val ws = array_sort(split(norm(col("text")), " "))
+      val ends = transform(sequence(lit(1), size(col("_ws"))),
+        i => when(i === size(col("_ws")) ||
+          element_at(col("_ws"), i) =!= element_at(col("_ws"), i + 1), i))
+      docs(s, dir)
+        .withColumn("_ws", ws)
+        .filter(size(col("_ws")) > 0)
+        .withColumn("_b", filter(ends, x => x.isNotNull))
+        .select(col("doc_id"),
+          size(col("_ws")).cast("long").as("n_tokens"),
+          size(col("_b")).cast("long").as("n_distinct"),
+          col("_ws"), col("_b"))
+        .withColumn("ent", -aggregate(
+          sequence(lit(1), size(col("_b"))),
+          lit(0.0d),
+          (acc, j) => {
+            // element_at rejects index 0 — the j=1 run starts at 0
+            val prev = when(j === 1, lit(0))
+              .otherwise(element_at(col("_b"), j - 1))
+            val run = (element_at(col("_b"), j) - prev).cast("double") /
+              size(col("_ws"))
+            acc + run * log(run)
+          }))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("ent"), 4).as("entropy"),
+          (col("n_tokens") >= 20 && col("ent") < 2.0).cast("int")
+            .as("low_entropy"))
+        .orderBy("doc_id")
     }
   )
 }
