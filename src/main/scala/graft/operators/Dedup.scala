@@ -822,6 +822,73 @@ object Dedup {
           col("n_members"),
           (col("keep_id") =!= col("group_id")).cast("int").as("upgraded"))
         .orderBy("group_id")
+    },
+
+    // ---- q138: EXACT set-similarity join (PPJoin prefix filtering) ------
+    // The LSH family (q30) trades false negatives for scale; this is the
+    // canonical EXACT algorithm over the SAME 3-gram shingle sets q30
+    // banded: order every doc's distinct-shingle set
+    // rare-first (global df asc, word asc), take the prefix of length
+    // n - ceil(t*n) + 1, and generate candidates only from pairs sharing
+    // a PREFIX token — if J(A,B) >= t the prefixes must intersect
+    // (pigeonhole), so nothing is missed, and prefixes are dominated by
+    // RARE tokens so the candidate join never explodes on stopwords.
+    // Verification is a per-pair array_intersect on the two docs' own
+    // token arrays; the t=0.7 threshold is an integer cross-multiply.
+    // No window anywhere: the per-doc ordering is a sort_array over the
+    // doc's OWN (df, word) structs inside one hash agg.
+    Q("q138_exact_setsim_join",
+      s"""WITH sh0 AS ($shinglesSql),
+        |tt AS (SELECT doc_id, s AS w FROM sh0),
+        |dfq AS (SELECT w, count(*) AS df FROM tt GROUP BY 1),
+        |lists AS (SELECT tt.doc_id,
+        |    list(tt.w ORDER BY dfq.df, tt.w) AS wa,
+        |    count(*) AS n
+        |  FROM tt JOIN dfq USING (w) GROUP BY 1),
+        |pref AS (SELECT doc_id, n,
+        |    unnest(wa[1 : CAST(n - (7 * n + 9) // 10 + 1 AS INT)]) AS w
+        |  FROM lists),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.doc1, c.doc2,
+        |    len(list_intersect(l1.wa, l2.wa)) AS inter, l1.n AS n1, l2.n AS n2
+        |  FROM cand c JOIN lists l1 ON l1.doc_id = c.doc1
+        |              JOIN lists l2 ON l2.doc_id = c.doc2)
+        |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+        |FROM v WHERE inter * 10 >= 7 * (n1 + n2 - inter)
+        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      val tt = shingles(s, dir).withColumnRenamed("s", "w")
+      val dfq = tt.groupBy("w").agg(count(lit(1)).as("df"))
+      val lists = tt.join(dfq, "w")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+        .select(col("doc_id"),
+          transform(col("ts"), x => x.getField("w")).as("wa"),
+          size(col("ts")).as("n"))
+        .localCheckpoint(true) // read by the prefix side and both verify sides
+      val pref = lists
+        .select(col("doc_id"),
+          explode(slice(col("wa"), lit(1),
+            ((col("n") - (col("n") * 7 + 9 -
+              pmod(col("n") * 7 + 9, lit(10))) / 10 + 1)).cast("int")))
+            .as("w"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      cand
+        .join(lists.select(col("doc_id").as("doc1"), col("wa").as("wa1"),
+          col("n").as("n1")), "doc1")
+        .join(lists.select(col("doc_id").as("doc2"), col("wa").as("wa2"),
+          col("n").as("n2")), "doc2")
+        .withColumn("inter", size(array_intersect(col("wa1"), col("wa2")))
+          .cast("long"))
+        .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
+        .select(col("doc1"), col("doc2"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .orderBy("doc1", "doc2")
     }
   )
 }
