@@ -306,4 +306,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "top-3 must not window-sort the pair set")
     assert(!p.contains("CartesianProduct"), "postings join must stay equi")
   }
+
+  test("q135: retention cohorts stay in equi-join land") {
+    val p = plan("q135_retention_cohorts")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), "cohort assignment is an agg, not a window")
+  }
+
+  test("q136: stratified exact-k plans through TopKPerKey, not a window") {
+    val p = plan("q136_stratified_exact_k")
+    assert(p.contains("TopKPerKey "), p.take(1500))
+    assert(!p.contains("Window"), "per-stratum k must not window-sort")
+  }
+
+  test("q137: entropy gate is map-only — no exchange but the sort") {
+    val p = plan("q137_entropy_gate")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "entropy must stay per-row: no join, no explode")
+  }
+
+  test("q138: exact set-sim join is equi-only, no window, no cartesian") {
+    val p = plan("q138_exact_setsim_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), "per-doc ordering must be sort_array, not a window")
+  }
 }
