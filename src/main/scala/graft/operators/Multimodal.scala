@@ -19,6 +19,31 @@ import graft.multimodal.Media
   * 0.0. A real codec replaces the whole comparison anyway. */
 object Multimodal {
 
+  /** DuckDB CTE chain ending in `ph(doc_id, phash, n_above)` — the
+    * relational recomputation of the 8×8 aHash grid over the closed-form
+    * gradient fixture (pixel = a + x + y). Shared verbatim by q122 and
+    * q139 so the two oracles can never drift. */
+  private val phashSqlCtes: String =
+    """m AS (SELECT doc_id, CAST((doc_id % 16 + 2) * 2 AS BIGINT) AS w,
+      |    CAST((doc_id % 8 + 2) * 2 AS BIGINT) AS h,
+      |    doc_id % 64 AS a FROM documents),
+      |px AS (SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y,
+      |    a + (i % w) + (i // w) AS v
+      |  FROM m, unnest(range(w * h)) t(i)),
+      |bs AS (SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS b,
+      |    sum(v) AS sv, count(*) AS c
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sv) AS ts, sum(c) AS tc FROM bs GROUP BY 1),
+      |bits AS (SELECT g.doc_id, g.b,
+      |    CASE WHEN bs.sv IS NOT NULL AND bs.sv * t2.tc > t2.ts * bs.c
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM (SELECT doc_id, i AS b FROM tot, unnest(range(64)) t(i)) g
+      |  LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.b
+      |  JOIN tot t2 ON t2.doc_id = g.doc_id),
+      |ph AS (SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS phash,
+      |    sum(bit) AS n_above
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q42_multimodal_features",
       """SELECT doc_id AS media_id,
@@ -320,25 +345,7 @@ object Multimodal {
     // the plan a single hash groupBy at any corpus size — no pairwise
     // comparisons ever materialize.
     Q("q122_image_phash_dedup",
-      """WITH m AS (SELECT doc_id, CAST((doc_id % 16 + 2) * 2 AS BIGINT) AS w,
-        |    CAST((doc_id % 8 + 2) * 2 AS BIGINT) AS h,
-        |    doc_id % 64 AS a FROM documents),
-        |px AS (SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y,
-        |    a + (i % w) + (i // w) AS v
-        |  FROM m, unnest(range(w * h)) t(i)),
-        |bs AS (SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS b,
-        |    sum(v) AS sv, count(*) AS c
-        |  FROM px GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, sum(sv) AS ts, sum(c) AS tc FROM bs GROUP BY 1),
-        |bits AS (SELECT g.doc_id, g.b,
-        |    CASE WHEN bs.sv IS NOT NULL AND bs.sv * t2.tc > t2.ts * bs.c
-        |         THEN 1 ELSE 0 END AS bit
-        |  FROM (SELECT doc_id, i AS b FROM tot, unnest(range(64)) t(i)) g
-        |  LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.b
-        |  JOIN tot t2 ON t2.doc_id = g.doc_id),
-        |ph AS (SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS phash,
-        |    sum(bit) AS n_above
-        |  FROM bits GROUP BY 1)
+      s"""WITH $phashSqlCtes
         |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
         |  min(doc_id) AS canonical_id, CAST(min(n_above) AS INT) AS n_above
         |FROM ph GROUP BY 1 ORDER BY phash""".stripMargin) { (s, dir) =>
@@ -349,6 +356,54 @@ object Multimodal {
           min(col("media_id")).as("canonical_id"),
           min(col("n_above")).cast("int").as("n_above"))
         .orderBy("phash")
+    },
+
+    // q139: NEAR-duplicate images — banded Hamming over the perceptual
+    // hash. q122 groups EXACT fingerprint matches; real image near-dups
+    // (recompressions, slight crops) land a few bits apart, so this is
+    // the SimHash pigeonhole (q31/q44) on the image modality: split the
+    // 64-bit aHash into 4 bands of 16. Pigeonhole guarantees a clean
+    // shared band for Hamming ≤ 3; at 4-6 errors a clean band remains
+    // unless the errors spread across every band — the standard pHash
+    // recall/precision trade, and the ORACLE applies the SAME banding,
+    // so the gate compares identical semantics, not a superset.
+    // Candidates join band-equal only (never all-pairs); verification
+    // is one per-pair 64-step character fold.
+    Q("q139_image_phash_neardup",
+      s"""WITH $phashSqlCtes,
+        |bnd AS (SELECT doc_id, phash, b,
+        |    substr(phash, CAST(b * 16 + 1 AS INT), 16) AS bv
+        |  FROM ph, unnest(range(4)) t(b)),
+        |cp AS (SELECT DISTINCT a.doc_id AS doc1, a.phash AS p1,
+        |    c.doc_id AS doc2, c.phash AS p2
+        |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bv = c.bv
+        |    AND a.doc_id < c.doc_id),
+        |hm AS (SELECT doc1, doc2, len(list_filter(range(1, 65),
+        |    i -> substr(p1, CAST(i AS INT), 1) <> substr(p2, CAST(i AS INT), 1)))
+        |    AS hamming FROM cp)
+        |SELECT doc1, doc2, CAST(hamming AS INT) AS hamming
+        |FROM hm WHERE hamming BETWEEN 1 AND 6
+        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+      val gifs = Media.synthEvenGifs(Tables.load(s, dir, "documents"))
+      val ph = Media.perceptualHashes(gifs).toDF()
+        .select(col("media_id"), col("phash"))
+        .localCheckpoint(true) // decode once; both band sides read it
+      val bnd = ph
+        .select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bv", expr("substring(phash, b * 16 + 1, 16)"))
+      val cp = bnd.as("a").join(bnd.as("c"),
+          col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+            col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("doc1"), col("a.phash").as("p1"),
+          col("c.media_id").as("doc2"), col("c.phash").as("p2"))
+        .distinct()
+      cp.withColumn("hamming", expr(
+          "size(filter(sequence(1, 64), " +
+            "i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
+        .filter(col("hamming").between(1, 6))
+        .select(col("doc1"), col("doc2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc1", "doc2")
     }
   )
 }
