@@ -333,4 +333,11 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("Window"), "per-doc ordering must be sort_array, not a window")
   }
+
+  test("q139: image near-dup candidates come from a band equi-join") {
+    val p = plan("q139_image_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "phash pairs must band-join, never all-pairs:\n" + p.take(2000))
+  }
 }
