@@ -307,6 +307,29 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
+    // Exact set-similarity join (q138) across the replica ladder: the
+    // prefix-filtering claim is that candidates grow with the TRUE
+    // near-dup pair count (linear under Amplify's Jaccard-preserving
+    // replication), not with corpus² — candidate count and wall pin it.
+    val setsim = {
+      val rows = replicas.map { r =>
+        val d = Amplify.docs(baseDocs, r)
+          .select("doc_id", "text").localCheckpoint(true)
+        val n = d.count()
+        var cands = 0L
+        var pairs = 0L
+        val sec = timed {
+          val (verified, cand) = Dedup.exactSetSimJoinOf(Dedup.shinglesOf(d))
+          cands = cand.count()
+          pairs = verified.count()
+        }
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"docs":$n,"candidates":$cands,""" +
+          s""""pairs":$pairs,"sec":${f"$sec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Trained quality classifier (q104) across the replica ladder: the
     // full 12-step GD train is feature pass + moments pass + 12 agg
     // passes + 1 eval pass over a persisted 4-column projection — every
@@ -635,7 +658,7 @@ object ScaleBench {
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
       s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
-      s""""asof_depth":$asofDepth}"""
+      s""""setsim":$setsim,"asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

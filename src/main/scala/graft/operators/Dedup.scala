@@ -858,37 +858,45 @@ object Dedup {
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
         |FROM v WHERE inter * 10 >= 7 * (n1 + n2 - inter)
         |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
-      val tt = shingles(s, dir).withColumnRenamed("s", "w")
-      val dfq = tt.groupBy("w").agg(count(lit(1)).as("df"))
-      val lists = tt.join(dfq, "w")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
-        .select(col("doc_id"),
-          transform(col("ts"), x => x.getField("w")).as("wa"),
-          size(col("ts")).as("n"))
-        .localCheckpoint(true) // read by the prefix side and both verify sides
-      val pref = lists
-        .select(col("doc_id"),
-          explode(slice(col("wa"), lit(1),
-            ((col("n") - (col("n") * 7 + 9 -
-              pmod(col("n") * 7 + 9, lit(10))) / 10 + 1)).cast("int")))
-            .as("w"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-      cand
-        .join(lists.select(col("doc_id").as("doc1"), col("wa").as("wa1"),
-          col("n").as("n1")), "doc1")
-        .join(lists.select(col("doc_id").as("doc2"), col("wa").as("wa2"),
-          col("n").as("n2")), "doc2")
-        .withColumn("inter", size(array_intersect(col("wa1"), col("wa2")))
-          .cast("long"))
-        .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
-        .select(col("doc1"), col("doc2"), col("inter"),
-          round(col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-        .orderBy("doc1", "doc2")
+      exactSetSimJoinOf(shinglesOf(docs(s, dir)))._1.orderBy("doc1", "doc2")
     }
   )
+
+  /** q138's PPJoin chain over any (doc_id, s) shingle frame: returns the
+    * verified pair frame (doc1, doc2, inter, jaccard at t=0.7) plus the
+    * CANDIDATE frame pre-verification — ScaleBench measures the latter's
+    * growth to pin the prefix-filtering claim. */
+  private[graft] def exactSetSimJoinOf(sh: DataFrame): (DataFrame, DataFrame) = {
+    val tt = sh.withColumnRenamed("s", "w")
+    val dfq = tt.groupBy("w").agg(count(lit(1)).as("df"))
+    val lists = tt.join(dfq, "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), x => x.getField("w")).as("wa"),
+        size(col("ts")).as("n"))
+      .localCheckpoint(true) // read by the prefix side and both verify sides
+    val pref = lists
+      .select(col("doc_id"),
+        explode(slice(col("wa"), lit(1),
+          ((col("n") - (col("n") * 7 + 9 -
+            pmod(col("n") * 7 + 9, lit(10))) / 10 + 1)).cast("int")))
+          .as("w"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val verified = cand
+      .join(lists.select(col("doc_id").as("doc1"), col("wa").as("wa1"),
+        col("n").as("n1")), "doc1")
+      .join(lists.select(col("doc_id").as("doc2"), col("wa").as("wa2"),
+        col("n").as("n2")), "doc2")
+      .withColumn("inter", size(array_intersect(col("wa1"), col("wa2")))
+        .cast("long"))
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
+      .select(col("doc1"), col("doc2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+    (verified, cand)
+  }
 }
