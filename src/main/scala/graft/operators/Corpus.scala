@@ -602,6 +602,35 @@ object Corpus {
         md5(concat(lit("s136:"), col("doc_id").cast("string"))).as("pri"))
       graft.plans.TopK.perKey(k, Seq("source"), col("pri"), 10, ascending = true)
         .orderBy("source", "pri")
+    },
+
+    // ---- q140: WEIGHTED exact-k per stratum (q126 ⊕ q136) ---------------
+    // The full sampling matrix closes: q60 rate/stratum, q126 weighted
+    // global, q136 uniform exact-k/stratum — this is weighted exact-k
+    // per stratum, the budgeted data-mixing draw (k docs per source,
+    // probability ∝ n_chars, no replacement). Same E-S priority
+    // ln(u)/w, same TopKPerKey winners-only execution, keyed by source.
+    Q("q140_weighted_stratified_k",
+      """WITH k AS (SELECT source, doc_id, n_chars,
+        |    ln((('0x'||substr(md5('w140:'||CAST(doc_id AS VARCHAR)),1,12))::BIGINT + 1)
+        |       / CAST(281474976710656 AS DOUBLE)) / n_chars AS es_key
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY es_key DESC, doc_id) AS rn FROM k)
+        |SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key
+        |FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val h = conv(substring(
+        md5(concat(lit("w140:"), col("doc_id").cast("string"))), 1, 12),
+        16, 10).cast("long")
+      val u = (h + 1).cast("double") / lit(281474976710656.0d)
+      val k = docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("es_key"))
+      graft.plans.TopK.perKey(k, Seq("source"),
+          struct(col("es_key"), -col("doc_id")), 10)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("source", "doc_id")
     }
   )
 }
