@@ -314,6 +314,42 @@ object Events {
           round(col("n_users").cast("double") / col("cohort_n"), 4)
             .as("retention"))
         .orderBy("cohort", "offset_days")
+    },
+
+    // ---- q141: per-user z-score anomaly detection -----------------------
+    // The monitoring staple: flag events whose value sits > 3 population
+    // standard deviations from the USER's own mean. Two passes, both
+    // partial-combinable: per-user (n, mean, M2 via sum/sumsq) then an
+    // equi-join back — no window, no sort. Variance is computed as
+    // (sumsq - sum²/n)/n on BOTH engines (same expression, same
+    // float order), z rounded to 4 so the flag boundary is stable;
+    // users with fewer than 10 events or zero variance are skipped.
+    Q("q141_zscore_anomalies",
+      """WITH st AS (SELECT user_id, count(*) AS n, sum(value) AS s,
+        |    sum(value * value) AS sq FROM events GROUP BY 1),
+        |g AS (SELECT user_id, n, s / n AS mu,
+        |    sqrt((sq - s * s / n) / n) AS sigma FROM st WHERE n >= 10),
+        |z AS (SELECT e.event_id, e.user_id, e.value,
+        |    round((e.value - g.mu) / g.sigma, 4) AS z
+        |  FROM events e JOIN g USING (user_id) WHERE g.sigma > 0)
+        |SELECT event_id, user_id, round(value, 4) AS value, z
+        |FROM z WHERE abs(z) > 3
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val st = ev(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          sum(col("value") * col("value")).as("sq"))
+        .filter(col("n") >= 10)
+        .select(col("user_id"), (col("s") / col("n")).as("mu"),
+          sqrt((col("sq") - col("s") * col("s") / col("n")) / col("n"))
+            .as("sigma"))
+        .filter(col("sigma") > 0)
+      ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+        .join(st, "user_id")
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"), col("z"))
+        .orderBy("event_id")
     }
   )
 }
