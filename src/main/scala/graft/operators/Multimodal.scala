@@ -358,52 +358,71 @@ object Multimodal {
         .orderBy("phash")
     },
 
-    // q139: NEAR-duplicate images — banded Hamming over the perceptual
-    // hash. q122 groups EXACT fingerprint matches; real image near-dups
-    // (recompressions, slight crops) land a few bits apart, so this is
-    // the SimHash pigeonhole (q31/q44) on the image modality: split the
-    // 64-bit aHash into 4 bands of 16. Pigeonhole guarantees a clean
-    // shared band for Hamming ≤ 3; at 4-6 errors a clean band remains
-    // unless the errors spread across every band — the standard pHash
-    // recall/precision trade, and the ORACLE applies the SAME banding,
-    // so the gate compares identical semantics, not a superset.
-    // Candidates join band-equal only (never all-pairs); verification
-    // is one per-pair 64-step character fold.
+    // q139: NEAR-duplicate images — banded Hamming over DISTINCT
+    // perceptual hashes. q122 groups EXACT fingerprint matches; real
+    // image near-dups (recompressions, slight crops) land a few bits
+    // apart, so this is the SimHash pigeonhole (q31/q44) on the image
+    // modality — applied at the FINGERPRINT level, the shape that
+    // survives scale: group docs by phash first (q122's agg), band-join
+    // only the DISTINCT fingerprints (4 bands of 16 bits), and compute
+    // each surviving pair's Hamming ONCE. Doc-level banding pays the
+    // 64-step verify per doc-pair and goes quadratic in duplicate-class
+    // sizes (measured: one 40M-pair task at sf0.1 under the first
+    // formulation); fingerprint-level work is quadratic only in
+    // DISTINCT images per band bucket. Pigeonhole guarantees a clean
+    // shared band for Hamming ≤ 3; 4-6 errors may spread across all
+    // four bands — the standard pHash recall trade, and the oracle
+    // applies the SAME banding, so the gate compares identical
+    // semantics. Output is group-level: both canonical ids, the
+    // distance, and the doc-pair count the near-dup relation implies.
     Q("q139_image_phash_neardup",
       s"""WITH $phashSqlCtes,
-        |bnd AS (SELECT doc_id, phash, b,
+        |grp AS (SELECT phash, min(doc_id) AS canonical_id,
+        |    CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+        |bnd AS (SELECT phash, b,
         |    substr(phash, CAST(b * 16 + 1 AS INT), 16) AS bv
-        |  FROM ph, unnest(range(4)) t(b)),
-        |cp AS (SELECT DISTINCT a.doc_id AS doc1, a.phash AS p1,
-        |    c.doc_id AS doc2, c.phash AS p2
+        |  FROM grp, unnest(range(4)) t(b)),
+        |cp AS (SELECT DISTINCT a.phash AS p1, c.phash AS p2
         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bv = c.bv
-        |    AND a.doc_id < c.doc_id),
-        |hm AS (SELECT doc1, doc2, len(list_filter(range(1, 65),
+        |    AND a.phash < c.phash),
+        |hm AS (SELECT p1, p2, len(list_filter(range(1, 65),
         |    i -> substr(p1, CAST(i AS INT), 1) <> substr(p2, CAST(i AS INT), 1)))
         |    AS hamming FROM cp)
-        |SELECT doc1, doc2, CAST(hamming AS INT) AS hamming
-        |FROM hm WHERE hamming BETWEEN 1 AND 6
-        |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
+        |SELECT g1.canonical_id AS canonical1, g2.canonical_id AS canonical2,
+        |  CAST(hm.hamming AS INT) AS hamming, g1.n * g2.n AS n_cross_pairs
+        |FROM hm JOIN grp g1 ON g1.phash = hm.p1
+        |        JOIN grp g2 ON g2.phash = hm.p2
+        |WHERE hm.hamming BETWEEN 1 AND 6
+        |ORDER BY canonical1, canonical2""".stripMargin) { (s, dir) =>
       val gifs = Media.synthEvenGifs(Tables.load(s, dir, "documents"))
-      val ph = Media.perceptualHashes(gifs).toDF()
-        .select(col("media_id"), col("phash"))
-        .localCheckpoint(true) // decode once; both band sides read it
-      val bnd = ph
-        .select(col("media_id"), col("phash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
+      val grp = Media.perceptualHashes(gifs).toDF()
+        .groupBy("phash")
+        .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // decode once; bands + both join-backs read it
+      val bnd = grp
+        .select(col("phash"), explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bv", expr("substring(phash, b * 16 + 1, 16)"))
       val cp = bnd.as("a").join(bnd.as("c"),
           col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
-            col("a.media_id") < col("c.media_id"))
-        .select(col("a.media_id").as("doc1"), col("a.phash").as("p1"),
-          col("c.media_id").as("doc2"), col("c.phash").as("p2"))
+            col("a.phash") < col("c.phash"))
+        .select(col("a.phash").as("p1"), col("c.phash").as("p2"))
         .distinct()
+        // pin the pair set BEFORE the interpreted hamming fold — without
+        // this Catalyst pushes the fold into the band-join condition and
+        // evaluates it once per RAW band match instead of once per pair
+        .localCheckpoint(true)
       cp.withColumn("hamming", expr(
           "size(filter(sequence(1, 64), " +
             "i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
         .filter(col("hamming").between(1, 6))
-        .select(col("doc1"), col("doc2"), col("hamming").cast("int").as("hamming"))
-        .orderBy("doc1", "doc2")
+        .join(grp.select(col("phash").as("p1"),
+          col("canonical_id").as("canonical1"), col("n").as("n1")), "p1")
+        .join(grp.select(col("phash").as("p2"),
+          col("canonical_id").as("canonical2"), col("n").as("n2")), "p2")
+        .select(col("canonical1"), col("canonical2"),
+          col("hamming").cast("int").as("hamming"),
+          (col("n1") * col("n2")).as("n_cross_pairs"))
+        .orderBy("canonical1", "canonical2")
     }
   )
 }
