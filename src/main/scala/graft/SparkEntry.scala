@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.operators.{Corpus, Curation, Dedup, Events, Extras, Multimodal, Relational, Similarity, Temporal, Text}
+import graft.operators.{Corpus, Curation, Dedup, Events, Extras, Mining, Multimodal, Relational, Similarity, Temporal, Text}
 import graft.sds.E2eQueries
 import graft.streaming.StreamingQueries
 
@@ -13,7 +13,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.defs ++ Temporal.defs ++ Text.defs ++ Dedup.defs ++
       Similarity.defs ++ Events.defs ++ Multimodal.defs ++ Extras.defs ++
-      E2eQueries.defs ++ Corpus.defs ++ Curation.defs ++ StreamingQueries.defs
+      E2eQueries.defs ++ Corpus.defs ++ Curation.defs ++
+      StreamingQueries.defs ++ Mining.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Pattern-mining / entity-resolution / robust-stats operators
+  * (SURVEY.md §2.6, round-10 additions): fuzzy edit-distance join,
+  * frequent itemset pairs, triangle counting, exponential time-decay
+  * features, MAD-based robust outliers.
+  *
+  * Scale posture shared by the family: every candidate-generation step
+  * is an EQUI-join on a derived blocking key (deletion-neighborhood
+  * keys, basket ids, oriented edge endpoints) — no cartesian products,
+  * no corpus-wide window sorts; verification work is proportional to
+  * candidates, which each blocking scheme provably bounds.
+  */
+object Mining {
+
+  // ---- q142: fuzzy join (edit distance ≤ 1) ---------------------------
+
+  /** Deletion-neighborhood blocking keys of a string: the string itself
+    * plus every single-character deletion (SymSpell's exact-candidate
+    * scheme). Two strings with levenshtein ≤ 1 ALWAYS share a key
+    * (equal → self key; insert/delete → the shorter IS a deletion of
+    * the longer; substitute → deleting the substituted position from
+    * both yields the same string), so an equi-join on exploded keys
+    * generates a candidate superset and the levenshtein(…) ≤ 1 verify
+    * makes the join EXACT — O(N·L) keys instead of the O(N²) all-pairs
+    * a naive fuzzy join needs. Pure per-row HOF expression. */
+  private[operators] def deletionKeys(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(0), length(s) - 1),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+
+  /** Deterministic "dirty" name: drop the (custkey % len)-th character —
+    * both engines derive the same corrupted snapshot in-query (q115's
+    * technique), so the fuzzy join has real typos to resolve. */
+  private def dirtyName(name: Column, key: Column): Column = {
+    val p = key % length(name) // 0-based deletion position
+    concat(name.substr(lit(1), p), name.substr(p + lit(2), length(name)))
+  }
+
+  // ---- q143/q144 shared: co-purchase graph ----------------------------
+
+  /** Distinct (order, part) basket items with items below `minSupport`
+    * pruned — the A-priori step: an item that is not frequent cannot be
+    * in a frequent pair, so pruning BEFORE the per-basket self-join
+    * shrinks its fanout at the source. The support counts are one
+    * map-side-combinable agg; the prune is a semi-join on the item key
+    * (hint-free — the frequent-item set is corpus-dependent, AQE picks
+    * broadcast when it fits). */
+  private def frequentBasketItems(li: DataFrame, minSupport: Long): DataFrame = {
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = b.groupBy("pk").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("pk")
+    b.join(freq, Seq("pk"), "left_semi")
+  }
+
+  /** Co-occurrence pair counts over frequent items: per-basket self
+    * equi-join on the basket id (baskets are bounded — a TPC-H order
+    * holds ≤7 lines — so the pair expansion per basket is a small
+    * constant, never quadratic in the corpus) + one hash agg. */
+  private def pairCounts(items: DataFrame): DataFrame =
+    items.as("x")
+      .join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("n_baskets"))
+
+  // ---- q145 shared: exact integer decay weights -----------------------
+
+  /** Per-vertex triangle participation counts of an undirected simple
+    * graph given as (a, b) edges with a < b. Enumeration orients every
+    * edge from its lower-(degree, id) endpoint to the higher one — each
+    * triangle is generated EXACTLY once as a wedge at its lowest-rank
+    * vertex plus one closing equi-join, and per-vertex wedge fanout is
+    * bounded by the oriented out-degree, which the orientation caps at
+    * O(√m) — the standard trick that keeps hub vertices from exploding
+    * the wedge join at scale. Orientation is a physical strategy only:
+    * the triangle SET (and so the counts) equals naive a<b<c
+    * enumeration, spec-checked against it. */
+  def trianglesPerVertex(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val ranked = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aLow = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = ranked.select(
+      when(aLow, col("a")).otherwise(col("b")).as("src"),
+      when(aLow, col("b")).otherwise(col("a")).as("dst"),
+      // (deg, id) rank of dst — orders wedge endpoints deterministically
+      when(aLow, struct(col("db").as("d"), col("b").as("v")))
+        .otherwise(struct(col("da").as("d"), col("a").as("v")))
+        .as("dstR"))
+    // wedges at the lowest-rank vertex: out-neighbor pairs ordered by
+    // the DESTINATION rank so each unordered pair appears once
+    val w = oriented.as("w1")
+      .join(oriented.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dstR") < col("w2.dstR"))
+      .select(col("w1.src").as("u"),
+        col("w1.dst").as("v1"), col("w2.dst").as("v2"))
+    // close the wedge: the (v1, v2) edge exists in SOME orientation
+    val closing = oriented.select(col("src").as("v1"), col("dst").as("v2"))
+      .unionAll(oriented.select(col("dst").as("v1"), col("src").as("v2")))
+    w.join(closing, Seq("v1", "v2"), "left_semi")
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** 9^k and 10^k for k < 16 as exact long literals (9^15 ≈ 2.06e14 <
+    * 2^53): the decay weight 0.9^k is computed as ONE IEEE division of
+    * two exactly-representable integers, so both engines produce
+    * bit-identical weights — `pow(0.9, k)` would hang determinism on
+    * each engine's pow implementation being correctly rounded. */
+  private[graft] val Pow9: Seq[Long] = Seq.iterate(1L, 16)(_ * 9L)
+  private[graft] val Pow10: Seq[Long] = Seq.iterate(1L, 16)(_ * 10L)
+
+  /** q145's computation over any frame with (user_id, ts, event_id,
+    * event_type, value): per-user exponentially-decayed purchase value,
+    * each term quantized to integer 1e-4 cents before summing so the
+    * result is order-independent and engine-exact. */
+  def decayedUserValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val p9 = typedLit(Pow9)
+    val p10 = typedLit(Pow10)
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (row_number().over(w) - 1).as("k"))
+      .filter(col("k") < 16)
+      .withColumn("term_e4",
+        round(col("cents").cast("double")
+          * (element_at(p9, col("k") + 1).cast("double")
+             / element_at(p10, col("k") + 1).cast("double"))
+          * 10000).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent"),
+        round(sum(col("term_e4")) / 1000000.0d, 4).as("decayed_value"))
+  }
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- q142: fuzzy edit-distance join (entity resolution) -----------
+    // The record-linkage staple: match dirty strings to a clean catalog
+    // at levenshtein ≤ 1 WITHOUT an all-pairs scan. Candidates come
+    // from an equi-join on deletion-neighborhood keys (≤ L+1 keys per
+    // string — the corpus-sized stage is O(N·L) rows through one
+    // shuffle); the bounded candidate set is verified with the real
+    // levenshtein. The oracle brute-forces the same join at sf0.01
+    // scale (a length prefilter + levenshtein over all pairs) — the
+    // blocked plan must find EXACTLY the pairs brute force finds, which
+    // is the exactness claim of the deletion-key scheme. Best match =
+    // min (lev, id) as one integer composite, so ties are deterministic.
+    Q("q142_fuzzy_join",
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    substr(c_name, 1, CAST(c_custkey % len(c_name) AS INT))
+        |      || substr(c_name, CAST(c_custkey % len(c_name) AS INT) + 2)
+        |      AS dname
+        |  FROM customer),
+        |hits AS (
+        |  SELECT d.dirty_id, d.dname, c.c_custkey AS cid,
+        |    levenshtein(d.dname, c.c_name) AS lev
+        |  FROM dirty d JOIN customer c
+        |    ON abs(len(d.dname) - len(c.c_name)) <= 1
+        |  WHERE levenshtein(d.dname, c.c_name) <= 1)
+        |SELECT dirty_id, dname, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(lev * 1000000000 + cid) % 1000000000 AS BIGINT) AS best_id,
+        |  CAST(min(lev * 1000000000 + cid) // 1000000000 AS BIGINT) AS best_lev
+        |FROM hits
+        |GROUP BY dirty_id, dname
+        |ORDER BY dirty_id""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cid"), col("c_name").as("cname"))
+      val dirty = cust.select(
+        col("cid").as("dirty_id"),
+        dirtyName(col("cname"), col("cid")).as("dname"))
+      val cleanKeys = cust
+        .select(col("cid"), col("cname"),
+          explode(deletionKeys(col("cname"))).as("k"))
+      val dirtyKeys = dirty
+        .select(col("dirty_id"), col("dname"),
+          explode(deletionKeys(col("dname"))).as("k"))
+      val cand = dirtyKeys.join(cleanKeys, "k")
+        .select("dirty_id", "dname", "cid", "cname")
+        .distinct()
+      cand
+        .withColumn("lev", levenshtein(col("dname"), col("cname")))
+        .filter(col("lev") <= 1)
+        // composite best key: lev major, id minor — one integer min
+        .withColumn("composite", col("lev") * lit(1000000000L) + col("cid"))
+        .groupBy("dirty_id", "dname")
+        .agg(count(lit(1)).as("n_matches"),
+          (min(col("composite")) % lit(1000000000L)).as("best_id"),
+          (min(col("composite")) / lit(1000000000L)).cast("long").as("best_lev"))
+        .orderBy("dirty_id")
+    },
+
+    // ---- q143: frequent item pairs (market-basket A-priori) -----------
+    // Co-occurrence mining with support pruning: items below support 30
+    // cannot form a frequent pair (A-priori monotonicity), so they are
+    // pruned BEFORE the pair join; pair expansion is per-basket (bounded
+    // basket size), and the output keeps pairs co-occurring in ≥ 3
+    // baskets with their lift denominator counts for ranking.
+    Q("q143_frequent_pairs",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b
+        |        GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |p AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_baskets, sa.c AS sup_a, sb.c AS sup_b
+        |FROM p
+        |JOIN sup sa ON sa.pk = p.a
+        |JOIN sup sb ON sb.pk = p.b
+        |WHERE p.n_baskets >= 3
+        |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sup = b.groupBy("pk").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 30)
+      val bf = b.join(sup.select("pk"), Seq("pk"), "left_semi")
+      pairCounts(bf)
+        .filter(col("n_baskets") >= 3)
+        .join(sup.select(col("pk").as("a"), col("c").as("sup_a")), "a")
+        .join(sup.select(col("pk").as("b"), col("c").as("sup_b")), "b")
+        .select("a", "b", "n_baskets", "sup_a", "sup_b")
+        .orderBy("a", "b")
+    },
+
+    // ---- q144: triangle counting (degree-oriented enumeration) --------
+    // Triangles of the co-purchase graph (edges = frequent-item pairs
+    // co-occurring in ≥ 2 baskets). Enumeration orients every edge from
+    // its lower-(degree, id) endpoint to the higher one — each triangle
+    // is then generated EXACTLY once as a wedge at its lowest-degree
+    // vertex + one closing equi-join, and per-vertex wedge fanout is
+    // bounded by the oriented out-degree, which the orientation caps at
+    // O(√m) — the standard trick that keeps hub vertices from exploding
+    // the wedge join at scale. The oracle enumerates by plain id order
+    // (a<b<c): same triangle set, so the per-node participation counts
+    // hash-match — orientation is a physical strategy, not a semantics
+    // change.
+    Q("q144_copurchase_triangles",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |e AS (SELECT x.pk AS a, y.pk AS b
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |m AS (SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |SELECT pk, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY pk ORDER BY pk""".stripMargin) { (s, dir) =>
+      val bf = frequentBasketItems(t(s, dir, "lineitem"), 30L)
+      val e = pairCounts(bf).filter(col("n_baskets") >= 2).select("a", "b")
+      trianglesPerVertex(e)
+        .select(col("v").as("pk"), col("n_triangles"))
+        .orderBy("pk")
+    },
+
+    // ---- q145: exponential time-decay user value (EWMA feature) -------
+    // The ML-feature staple: each user's purchase value decayed 0.9 per
+    // step back from their most recent event, truncated to the last 16
+    // events (0.9^16 < 0.19 — and 16 keeps 9^k exactly representable so
+    // the weight is ONE exact-integer IEEE division, bit-identical on
+    // both engines). Each term is quantized to integer 1e-4 cents before
+    // summing, so the per-user sum is order-independent — the float
+    // trajectory cannot depend on partitioning. The per-user window sort
+    // is bounded by per-user event counts (66 median here; a production
+    // key with millions of events is the q141/q129 moment machinery's
+    // territory, not a ranked scan).
+    Q("q145_decayed_user_value", {
+      val p9 = Pow9.mkString("[", ", ", "]")
+      val p10 = Pow10.mkString("[", ", ", "]")
+      s"""WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) - 1 AS k
+        |  FROM events WHERE event_type = 'purchase'),
+        |terms AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(cents AS DOUBLE)
+        |      * (CAST($p9[CAST(k AS INT) + 1] AS DOUBLE)
+        |         / CAST($p10[CAST(k AS INT) + 1] AS DOUBLE))
+        |      * 10000) AS BIGINT) AS term_e4
+        |  FROM e WHERE k < 16)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |  round(sum(term_e4) / 1000000.0, 4) AS decayed_value
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      decayedUserValue(t(s, dir, "events")).orderBy("user_id")
+    },
+
+    // ---- q146: MAD robust outliers (exact, per event type) ------------
+    // Robust monitoring: median and median-absolute-deviation are
+    // outlier-resistant where q141's mean/stddev are not — but an exact
+    // median normally costs a sort. Both medians here go through the
+    // q123/q129 histogram-narrowing machinery (passes = log_B(domain),
+    // independent of row count; the exchange carries ≤groups·B cells),
+    // so the whole query is scans + hash aggs — no sort, no window, no
+    // per-group value buffering. Outlier rule: |v - med| > 3·MAD.
+    Q("q146_mad_outliers",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |        AS rn FROM e),
+        |med AS (SELECT r.g, r.v AS med FROM r JOIN n ON n.g = r.g
+        |        WHERE r.rn = (n.n + 1) // 2),
+        |d AS (SELECT e.g, e.v, abs(e.v - med.med) AS dev, med.med
+        |      FROM e JOIN med ON med.g = e.g),
+        |r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev)
+        |         AS rn FROM d),
+        |mad AS (SELECT r2.g, r2.dev AS mad FROM r2 JOIN n ON n.g = r2.g
+        |        WHERE r2.rn = (n.n + 1) // 2)
+        |SELECT d.g AS event_type, n.n AS n_events, med.med AS med_cents,
+        |  mad.mad AS mad_cents,
+        |  CAST(count(CASE WHEN d.dev > 3 * mad.mad THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d
+        |JOIN med ON med.g = d.g JOIN mad ON mad.g = d.g JOIN n ON n.g = d.g
+        |GROUP BY d.g, n.n, med.med, mad.mad
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+        .persist() // 4 bounded scans below (stats + 2 narrowings + final)
+      try {
+        val counts = e.groupBy("g").agg(count(lit(1)).as("n"))
+          .collect() // bounded: one row per event type
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val medKs = counts.map { case (g, n) => ((g, "med"), (n + 1) / 2) }
+        val med = ExactQuantile.kthSmallestByGroup(e, "g", "v", medKs)
+          .map { case ((g, _), v) => g -> v }
+        val medCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+          (acc, g) => when(col("g") === g, lit(med(g))).otherwise(acc)
+        }
+        val d = e.withColumn("med", medCol)
+          .withColumn("dev", abs(col("v") - col("med")))
+        val madKs = counts.map { case (g, n) => ((g, "mad"), (n + 1) / 2) }
+        val mad = ExactQuantile.kthSmallestByGroup(d, "g", "dev", madKs)
+          .map { case ((g, _), v) => g -> v }
+        val madCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+          (acc, g) => when(col("g") === g, lit(mad(g))).otherwise(acc)
+        }
+        d.withColumn("mad", madCol)
+          .groupBy(col("g").as("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            first(col("med")).as("med_cents"),
+            first(col("mad")).as("mad_cents"),
+            count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+          .orderBy("event_type")
+      } finally e.unpersist()
+    })
+}
