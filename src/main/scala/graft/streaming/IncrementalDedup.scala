@@ -497,35 +497,40 @@ object IncrementalDedup {
     }
     Prof("q94 maintain+commit") { reg match {
       case Some(rg) =>
+        // One SMALL checkpoint each for the id sets whose derivation
+        // reads the PRE-commit store: exact-replay ids and stale
+        // (changed-text) ids. The fresh frames themselves stay LAZY —
+        // their lineage reads only the persisted batch frames plus
+        // these checkpointed id sets, never a store directory, so the
+        // commit's GC cannot invalidate them, and each is materialized
+        // ONCE, inside its write. (The previous shape checkpointed the
+        // full fresh frames — three data-sized materializations per
+        // batch, with the registry semi-join executed twice — and was
+        // the largest steady per-batch cost in the q94 phase profile.)
         val exactIds = rg.join(batchReg, sigCols, "left_semi").select("doc_id")
-        // pin before any commit: these read the pre-commit store dirs
-        val freshReg = batchReg
-          .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        val freshIdx = xRows
-          .join(exactIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        // pinned BEFORE the emptiness probe: isEmpty on the raw plan
-        // would run the semi+anti joins once for the probe and again
-        // for the checkpoint on the (rare) non-empty path
-        val stale = rg
+          .localCheckpoint(true)
+        val staleIds = rg
           .join(batchReg.select("doc_id"), Seq("doc_id"), "left_semi")
           .join(batchReg, sigCols, "left_anti")
           .select("doc_id")
           .localCheckpoint(true)
-        val hasFresh = !freshReg.isEmpty
-        if (!stale.isEmpty) {
+        val freshReg = batchReg.join(exactIds, Seq("doc_id"), "left_anti")
+        val freshIdx = xRows.join(exactIds, Seq("doc_id"), "left_anti")
+        if (!staleIds.isEmpty) {
           // stale rewrite: the one full-store pass, taken only when a
           // doc actually changed text (rare); both kinds fold to one
-          // fresh directory each, committed together
+          // fresh directory each, committed together — these DO read
+          // the pre-commit store, so they are pinned before the commit
           val newIdx = storeIndex(spark, storeDir).get
-            .join(stale, Seq("doc_id"), "left_anti")
+            .join(staleIds, Seq("doc_id"), "left_anti")
             .unionByName(freshIdx).localCheckpoint(true)
           val newReg = storeSigs(spark, storeDir).get
-            .join(stale, Seq("doc_id"), "left_anti")
+            .join(staleIds, Seq("doc_id"), "left_anti")
             .unionByName(freshReg).localCheckpoint(true)
           commit(spark, storeDir,
             writeIndexDir(spark, storeDir, newIdx) ++
               writeRegistryDir(spark, storeDir, newReg))
-        } else if (hasFresh) {
+        } else if (!freshReg.isEmpty) {
           val added = writeIndexDir(spark, storeDir, freshIdx) ++
             writeRegistryDir(spark, storeDir, freshReg)
           commit(spark, storeDir, committedFiles(spark, storeDir) ++ added)
