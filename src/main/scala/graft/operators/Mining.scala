@@ -373,5 +373,88 @@ object Mining {
             count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
           .orderBy("event_type")
       } finally e.unpersist()
+    },
+
+    // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
+    // q71 bins by equal WIDTH — useless on skewed data, where one bin
+    // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
+    // come from the q123 histogram-narrowing machinery (no sort, no
+    // window, exchange carries ≤ranks·B cells); the edges then fold
+    // into the plan as 9 literal comparisons, so the binning pass is a
+    // pure scan + hash agg. bin = #{edges ≤ v}, deterministic under
+    // ties on both engines; rank k_i = ceil(i·n/10) in exact integer
+    // arithmetic.
+    Q("q147_equidepth_bins",
+      """WITH e AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT count(*) AS n FROM e),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM e),
+        |ks AS (SELECT DISTINCT (i * n.n + 9) // 10 AS kk
+        |       FROM range(1, 10) t(i), n),
+        |edges AS (SELECT DISTINCT r.v AS edge FROM r JOIN ks ON r.rn = ks.kk),
+        |b AS (SELECT e.k, e.v, CAST(count(ed.edge) AS BIGINT) AS bin
+        |      FROM e LEFT JOIN edges ed ON ed.edge <= e.v GROUP BY e.k, e.v)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows, min(v) AS min_cents,
+        |  max(v) AS max_cents, CAST(sum(v) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val cents = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      val n = cents.count()
+      val ks = (1 to 9).map(i => i.toString -> ((i * n + 9) / 10)).toMap
+      val edges = ExactQuantile.kthSmallest(cents, "v", ks)
+        .values.toSeq.distinct.sorted
+      val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+        acc + when(col("v") >= lit(e), 1L).otherwise(0L)
+      }
+      cents.withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_cents"),
+          max(col("v")).as("max_cents"), sum(col("v")).as("sum_cents"))
+        .orderBy("bin")
+    },
+
+    // ---- q148: time-series gap filling + trailing window ---------------
+    // Sparse per-(user, day) series densified to the full corpus date
+    // span before a trailing 3-day sum — the reason gap filling is an
+    // operator at all: a ROWS-frame window over the SPARSE series
+    // silently spans across missing days and is simply wrong. The dense
+    // frame is users × sequence(dmin, dmax) (an explode of a
+    // broadcast-bounds literal — no shuffle to build), the series joins
+    // back by (user, day) equi-key, and the trailing sum is a bounded
+    // 3-row frame per user. Everything is exact integers.
+    Q("q148_gapfill_trailing",
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS dmin,
+        |    CAST(max(ts) AS DATE) AS dmax FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |dense AS (SELECT u.user_id,
+        |    CAST(unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY))
+        |      AS DATE) AS d
+        |  FROM users u CROSS JOIN bounds b),
+        |errs AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |j AS (SELECT dense.user_id, dense.d, coalesce(errs.n, 0) AS n_errors
+        |      FROM dense LEFT JOIN errs
+        |        ON errs.user_id = dense.user_id AND errs.d = dense.d)
+        |SELECT user_id, d, n_errors,
+        |  CAST(sum(n_errors) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_3d
+        |FROM j ORDER BY user_id, d""".stripMargin) { (s, dir) =>
+      val events = t(s, dir, "events")
+      val bounds = events.agg(
+        to_date(min(col("ts"))).as("dmin"), to_date(max(col("ts"))).as("dmax"))
+      val dense = events.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("dmin"), col("dmax"))).as("d"))
+      val errs = events.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-2, 0)
+      dense.join(errs, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("n"), lit(0L)).as("n_errors"))
+        .withColumn("err_3d", sum(col("n_errors")).over(w))
+        .orderBy("user_id", "d")
     })
 }

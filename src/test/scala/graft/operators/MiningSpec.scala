@@ -132,6 +132,48 @@ class MiningSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 6.61)))
   }
 
+  test("q147: equi-depth bins are balanced and partition the row count") {
+    val bins = graft.SparkEntry.queries("q147_equidepth_bins")(spark, sf0001)
+      .select("bin", "n_rows").as[(Long, Long)].collect().toSeq
+    val total = graft.core.Tables.load(spark, sf0001, "orders").count()
+    assert(bins.map(_._1) == (0L to 9L), "ten bins, densely numbered")
+    assert(bins.map(_._2).sum == total, "bins partition the rows")
+    val ideal = total / 10.0
+    bins.foreach { case (b, n) =>
+      assert(math.abs(n - ideal) <= math.max(2, total / 100),
+        s"bin $b holds $n of ~$ideal — not equi-depth")
+    }
+  }
+
+  test("q148: gap-filled series is dense and trailing sums match a replay") {
+    val out = graft.SparkEntry.queries("q148_gapfill_trailing")(spark, sf0001)
+      .select(col("user_id"), col("d").cast("string"), col("n_errors"),
+        col("err_3d"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val events = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+        col("event_type"))
+      .as[(Long, String, String)].collect().toSeq
+    val users = events.map(_._1).distinct
+    val days = {
+      val all = events.map(_._2).distinct.sorted
+      val (lo, hi) = (java.time.LocalDate.parse(all.head),
+        java.time.LocalDate.parse(all.last))
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+        .map(_.toString).toSeq
+    }
+    assert(out.size == users.size * days.size, "dense user x day grid")
+    val errCounts = events.filter(_._3 == "error")
+      .groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.size.toLong }
+    val expected = (for (u <- users.sorted; (d, i) <- days.zipWithIndex) yield {
+      val n = errCounts.getOrElse((u, d), 0L)
+      val trail = (math.max(0, i - 2) to i)
+        .map(j => errCounts.getOrElse((u, days(j)), 0L)).sum
+      (u, d, n, trail)
+    }).toSeq
+    assert(out == expected)
+  }
+
   test("q146: MAD outlier counts match a driver-side recomputation at sf0.001") {
     val events = graft.core.Tables.load(spark, sf0001, "events")
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
