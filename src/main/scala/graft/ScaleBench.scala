@@ -330,6 +330,58 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
+    // Mining family (q142/q144) across the replica ladder. Fuzzy join:
+    // deletion-neighborhood buckets have BOUNDED population on the
+    // dense-id name universe (a fixed digit position deletion is shared
+    // by ~10 names at any corpus size), so candidates must grow ~linear
+    // in N — the claim that separates the blocked join from all-pairs.
+    // Triangles: r offset copies of the co-purchase graph (node-disjoint
+    // union ⇒ triangles scale exactly ×r) measure the degree-oriented
+    // wedge join's wall growth on a graph ladder.
+    val mining = {
+      import graft.operators.Mining
+      val e0 = Mining.pairCounts(Mining.frequentBasketItems(
+          Tables.load(spark, sfDir, "lineitem"), 30L))
+        .filter(col("n_baskets") >= 2).select("a", "b").localCheckpoint(true)
+      val m0 = e0.count()
+      val rows = replicas.map { r =>
+        val nNames = 1500L * r
+        val clean = spark.range(nNames).select(col("id").as("cid"),
+          format_string("Customer#%09d", col("id")).as("cname"))
+          .localCheckpoint(true)
+        var cands = 0L; var fp = 0L
+        val fuzzySec = timed {
+          val dirty = clean.select(col("cid").as("dirty_id"),
+            Mining.dirtyName(col("cname"), col("cid")).as("dname"))
+          val ck = clean.select(col("cid"), col("cname"),
+            explode(Mining.deletionKeys(col("cname"))).as("k"))
+          val dk = dirty.select(col("dirty_id"), col("dname"),
+            explode(Mining.deletionKeys(col("dname"))).as("k"))
+          val cand = dk.join(ck, "k")
+            .select("dirty_id", "dname", "cid", "cname").distinct()
+            .localCheckpoint(true)
+          cands = cand.count()
+          fp = cand.filter(levenshtein(col("dname"), col("cname")) <= 1).count()
+        }
+        val e = (0 until r).map(i => e0.select(
+            (col("a") + lit(i * 10000000L)).as("a"),
+            (col("b") + lit(i * 10000000L)).as("b")))
+          .reduce(_ unionAll _).localCheckpoint(true)
+        var tri = 0L
+        val triSec = timed {
+          val row = Mining.trianglesPerVertex(e)
+            .agg(sum("n_triangles")).collect()(0)
+          tri = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L) / 3
+        }
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"names":$nNames,"fuzzy_candidates":$cands,""" +
+          s""""fuzzy_pairs":$fp,"fuzzy_sec":${f"$fuzzySec%.2f"},""" +
+          s""""edges":${m0 * r},"triangles":$tri,""" +
+          s""""tri_sec":${f"$triSec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Trained quality classifier (q104) across the replica ladder: the
     // full 12-step GD train is feature pass + moments pass + 12 agg
     // passes + 1 eval pass over a persisted 4-column projection — every
@@ -658,7 +710,7 @@ object ScaleBench {
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
       s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
-      s""""setsim":$setsim,"asof_depth":$asofDepth}"""
+      s""""setsim":$setsim,"mining":$mining,"asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

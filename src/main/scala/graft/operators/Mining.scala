@@ -30,7 +30,7 @@ object Mining {
     * generates a candidate superset and the levenshtein(…) ≤ 1 verify
     * makes the join EXACT — O(N·L) keys instead of the O(N²) all-pairs
     * a naive fuzzy join needs. Pure per-row HOF expression. */
-  private[operators] def deletionKeys(s: Column): Column =
+  private[graft] def deletionKeys(s: Column): Column =
     array_union(
       array(s),
       transform(sequence(lit(0), length(s) - 1),
@@ -39,7 +39,7 @@ object Mining {
   /** Deterministic "dirty" name: drop the (custkey % len)-th character —
     * both engines derive the same corrupted snapshot in-query (q115's
     * technique), so the fuzzy join has real typos to resolve. */
-  private def dirtyName(name: Column, key: Column): Column = {
+  private[graft] def dirtyName(name: Column, key: Column): Column = {
     val p = key % length(name) // 0-based deletion position
     concat(name.substr(lit(1), p), name.substr(p + lit(2), length(name)))
   }
@@ -53,7 +53,7 @@ object Mining {
     * map-side-combinable agg; the prune is a semi-join on the item key
     * (hint-free — the frequent-item set is corpus-dependent, AQE picks
     * broadcast when it fits). */
-  private def frequentBasketItems(li: DataFrame, minSupport: Long): DataFrame = {
+  private[graft] def frequentBasketItems(li: DataFrame, minSupport: Long): DataFrame = {
     val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val freq = b.groupBy("pk").agg(count(lit(1)).as("c"))
@@ -66,7 +66,7 @@ object Mining {
     * equi-join on the basket id (baskets are bounded — a TPC-H order
     * holds ≤7 lines — so the pair expansion per basket is a small
     * constant, never quadratic in the corpus) + one hash agg. */
-  private def pairCounts(items: DataFrame): DataFrame =
+  private[graft] def pairCounts(items: DataFrame): DataFrame =
     items.as("x")
       .join(items.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
