@@ -331,18 +331,20 @@ object ScaleBench {
     }
 
     // Mining family (q142/q144) across the replica ladder. Fuzzy join:
-    // deletion-neighborhood buckets have BOUNDED population on the
-    // dense-id name universe (a fixed digit position deletion is shared
-    // by ~10 names at any corpus size), so candidates must grow ~linear
-    // in N — the claim that separates the blocked join from all-pairs.
-    // Triangles: r offset copies of the co-purchase graph (node-disjoint
-    // union ⇒ triangles scale exactly ×r) measure the degree-oriented
-    // wedge join's wall growth on a graph ladder.
+    // on the dense-id name universe every candidate is a true lev≤1
+    // match (lengths differ by exactly 1, so the deletion-key equi-join
+    // admits no false positives), so the measured candidate count IS
+    // the true pair count — candidates track matches (~6-13 per name as
+    // id density grows), a vanishing fraction of the N² an all-pairs
+    // fuzzy join scans (0.02% at 75k names). Triangles: r offset copies
+    // of the LSH near-dup pair graph (dup groups are near-cliques, so
+    // triangles exist; node-disjoint union ⇒ triangles scale exactly
+    // ×r) measure the degree-oriented wedge join's wall growth.
     val mining = {
       import graft.operators.Mining
-      val e0 = Mining.pairCounts(Mining.frequentBasketItems(
-          Tables.load(spark, sfDir, "lineitem"), 30L))
-        .filter(col("n_baskets") >= 2).select("a", "b").localCheckpoint(true)
+      val e0 = Dedup.lshCandidatePairsOf(baseDocs)
+        .select(col("doc1").as("a"), col("doc2").as("b"))
+        .localCheckpoint(true)
       val m0 = e0.count()
       val rows = replicas.map { r =>
         val nNames = 1500L * r
