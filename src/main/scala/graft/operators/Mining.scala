@@ -92,6 +92,11 @@ object Mining {
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     val aLow = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // pinned ONCE: the wedge self-join and the closing-edge semi join
+    // both read `oriented` — without the checkpoint the whole edge
+    // derivation (possibly a multi-join chain) is duplicated into every
+    // branch of the plan tree (observed 6× on the co-purchase input).
+    // O(m) rows, the frame a distributed triangle count re-reads anyway.
     val oriented = ranked.select(
       when(aLow, col("a")).otherwise(col("b")).as("src"),
       when(aLow, col("b")).otherwise(col("a")).as("dst"),
@@ -99,6 +104,7 @@ object Mining {
       when(aLow, struct(col("db").as("d"), col("b").as("v")))
         .otherwise(struct(col("da").as("d"), col("a").as("v")))
         .as("dstR"))
+      .localCheckpoint(true)
     // wedges at the lowest-rank vertex: out-neighbor pairs ordered by
     // the DESTINATION rank so each unordered pair appears once
     val w = oriented.as("w1")
