@@ -203,8 +203,11 @@ object Mining {
         .select("dirty_id", "dname", "cid", "cname")
         .distinct()
       cand
-        .withColumn("lev", levenshtein(col("dname"), col("cname")))
-        .filter(col("lev") <= 1)
+        // thresholded levenshtein: banded DP, O(k·len) per pair instead
+        // of O(len²) — at verify volume that bound is the point; -1
+        // (over threshold) fails the <= 1 filter like any distance > 1
+        .withColumn("lev", levenshtein(col("dname"), col("cname"), 1))
+        .filter(col("lev").between(0, 1))
         // composite best key: lev major, id minor — one integer min
         .withColumn("composite", col("lev") * lit(1000000000L) + col("cid"))
         .groupBy("dirty_id", "dname")

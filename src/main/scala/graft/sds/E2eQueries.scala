@@ -186,6 +186,58 @@ object E2eQueries {
         .select("public_key", "organization_id", "name", "timestamp",
           "start_block_num", "end_block_num")
         .orderBy("public_key"), root)
+    },
+
+    // ---- q151: CDC change feed off the SCD2 store (Q-surface) -----------
+    // q56's fixture (50 agents × 2 versions over 100 blocks) read back
+    // through `Scd2Store.changes(since = 50)`: the 50 v2 post-images
+    // classify `opened`, the 50 v1 pre-images they retired classify
+    // `closed` — the oracle recomputes the intervals relationally and
+    // applies the same two predicates. The read is manifest-tag pruned
+    // like as-of (spec: ChangesSpec), so a near-head incremental poll
+    // costs batches-since-cursor, not chain depth.
+    Q("q151_sds_changes",
+      s"""WITH upd AS (
+        |  SELECT 'agent_' || CAST(s_suppkey % 50 AS VARCHAR) AS public_key,
+        |         'org_' || CAST(s_suppkey % 10 AS VARCHAR) AS organization_id,
+        |         s_name AS name,
+        |         CAST(s_suppkey AS BIGINT) AS "timestamp",
+        |         CAST(s_suppkey AS BIGINT) AS start_block_num
+        |  FROM supplier WHERE s_suppkey BETWEEN 1 AND 100),
+        |v AS (
+        |  SELECT *, lead(start_block_num)
+        |    OVER (PARTITION BY public_key ORDER BY start_block_num) AS nxt
+        |  FROM upd),
+        |t AS (
+        |  SELECT public_key, organization_id, name, "timestamp",
+        |         start_block_num,
+        |         CAST(coalesce(nxt, $MaxBlock) AS BIGINT) AS end_block_num
+        |  FROM v)
+        |SELECT * FROM (
+        |  SELECT *, 'opened' AS change_type FROM t
+        |  WHERE start_block_num > 50
+        |  UNION ALL
+        |  SELECT *, 'closed' FROM t
+        |  WHERE start_block_num <= 50 AND end_block_num > 50
+        |    AND end_block_num <> $MaxBlock)
+        |ORDER BY public_key, start_block_num""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val batches = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey").between(1, 100))
+        .select(col("s_suppkey").cast("long"), col("s_name"))
+        .as[(Long, String)]
+        .map { case (block, name) =>
+          val key = s"agent_${block % 50}"
+          (block, batch(block, s"id_$block", Seq(Change(agentAddress(key), "SET",
+            container(agentJson(publicKey = key, orgId = s"org_${block % 10}",
+              name = name, timestamp = block))))))
+        }.toDF("block", "value")
+      val (store, root) = ingest(s, batches, Seq((1L, 50L), (51L, 100L)))
+      detach(store.changes("agents", since = 50)
+        .select(col("public_key"), col("organization_id"), col("name"),
+          col("timestamp"), col("start_block_num"), col("end_block_num"),
+          col("change_type"))
+        .orderBy("public_key", "start_block_num"), root)
     }
   )
 }
