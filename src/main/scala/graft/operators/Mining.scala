@@ -384,6 +384,58 @@ object Mining {
       } finally e.unpersist()
     },
 
+    // ---- q152: item-item collaborative filtering -----------------------
+    // The classic recommender build: Jaccard similarity between items
+    // over the baskets that co-purchased them — sim = c/(sa+sb−c) from
+    // the co-count and the two supports, all integers until ONE IEEE
+    // division. Pair generation is the bounded per-basket self-join
+    // (q143's shape, c ≥ 2 floors the noise); the per-item top-3 goes
+    // through the custom TopKPerKey operator on an integer composite
+    // (sim micro-units major, neighbor id minor), so the exchange
+    // carries winners only — never an all-items window sort. The oracle
+    // replays the same arithmetic with a row_number window at its own
+    // scale.
+    Q("q152_item_cf",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY pk),
+        |p AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS c
+        |      FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS item, b AS other, c FROM p
+        |      UNION ALL SELECT b, a, c FROM p),
+        |s AS (SELECT e.item, e.other, e.c,
+        |        round(CAST(e.c AS DOUBLE) / (sa.cnt + sb.cnt - e.c), 6) AS sim
+        |      FROM e JOIN sup sa ON sa.pk = e.item
+        |             JOIN sup sb ON sb.pk = e.other),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |         ORDER BY sim DESC, other) AS rn FROM s)
+        |SELECT item, other, c AS n_co, sim FROM rk WHERE rn <= 3
+        |ORDER BY item, sim DESC, other""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sup = b.groupBy("pk").agg(count(lit(1)).as("cnt"))
+      val p = pairCounts(b).filter(col("n_baskets") >= 2)
+      val e = p.select(col("a").as("item"), col("b").as("other"),
+          col("n_baskets").as("c"))
+        .unionAll(p.select(col("b").as("item"), col("a").as("other"),
+          col("n_baskets").as("c")))
+      val scored = e
+        .join(sup.select(col("pk").as("item"), col("cnt").as("sa")), "item")
+        .join(sup.select(col("pk").as("other"), col("cnt").as("sb")), "other")
+        .withColumn("sim",
+          round(col("c").cast("double") / (col("sa") + col("sb") - col("c")), 6))
+        // integer composite: sim micro-units major (desc), other minor
+        // (asc) — ONE order column for the winners-only top-k operator
+        .withColumn("ord",
+          round(col("c").cast("double") / (col("sa") + col("sb") - col("c"))
+            * 1000000).cast("long") * lit(100000000L) - col("other"))
+      graft.plans.TopK.perKey(scored, Seq("item"), col("ord"), 3)
+        .select(col("item"), col("other"), col("c").as("n_co"), col("sim"))
+        .orderBy(col("item"), col("sim").desc, col("other"))
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which

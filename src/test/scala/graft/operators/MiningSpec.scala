@@ -132,6 +132,37 @@ class MiningSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 6.61)))
   }
 
+  test("q152: per-item top-3 runs through TopKPerKey, no window sort") {
+    val df = graft.SparkEntry.queries("q152_item_cf")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "expected the custom top-k operator")
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.contains("Window "), "corpus-wide window sort leaked in")
+    // and the selection is the same one a window would make
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("item")
+      .orderBy(col("sim").desc, col("other"))
+    val items = graft.core.Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val sup = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val pr = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val e = pr.select(col("a").as("item"), col("b").as("other"), col("c"))
+      .unionAll(pr.select(col("b").as("item"), col("a").as("other"), col("c")))
+    val ref = e
+      .join(sup.select(col("pk").as("item"), col("cnt").as("sa")), "item")
+      .join(sup.select(col("pk").as("other"), col("cnt").as("sb")), "other")
+      .withColumn("sim",
+        round(col("c").cast("double") / (col("sa") + col("sb") - col("c")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("item", "other", "c", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = df.as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == ref)
+  }
+
   test("q147: equi-depth bins are balanced and partition the row count") {
     val bins = graft.SparkEntry.queries("q147_equidepth_bins")(spark, sf0001)
       .select("bin", "n_rows").as[(Long, Long)].collect().toSeq
