@@ -190,9 +190,11 @@ object E2eQueries {
 
     // ---- q151: CDC change feed off the SCD2 store (Q-surface) -----------
     // q56's fixture (50 agents × 2 versions over 100 blocks) read back
-    // through `Scd2Store.changes(since = 50)`: the 50 v2 post-images
-    // classify `opened`, the 50 v1 pre-images they retired classify
-    // `closed` — the oracle recomputes the intervals relationally and
+    // through `Scd2Store.changes(since = 5)` (a cursor low enough that
+    // the sf0.001 smoke fixture — 9 blocks of single versions — still
+    // emits rows): post-images classify `opened`,
+    // retired pre-images `closed` — the oracle recomputes the intervals
+    // relationally and
     // applies the same two predicates. The read is manifest-tag pruned
     // like as-of (spec: ChangesSpec), so a near-head incremental poll
     // costs batches-since-cursor, not chain depth.
@@ -215,10 +217,10 @@ object E2eQueries {
         |  FROM v)
         |SELECT * FROM (
         |  SELECT *, 'opened' AS change_type FROM t
-        |  WHERE start_block_num > 50
+        |  WHERE start_block_num > 5
         |  UNION ALL
         |  SELECT *, 'closed' FROM t
-        |  WHERE start_block_num <= 50 AND end_block_num > 50
+        |  WHERE start_block_num <= 5 AND end_block_num > 5
         |    AND end_block_num <> $MaxBlock)
         |ORDER BY public_key, start_block_num""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -233,7 +235,7 @@ object E2eQueries {
               name = name, timestamp = block))))))
         }.toDF("block", "value")
       val (store, root) = ingest(s, batches, Seq((1L, 50L), (51L, 100L)))
-      detach(store.changes("agents", since = 50)
+      detach(store.changes("agents", since = 5)
         .select(col("public_key"), col("organization_id"), col("name"),
           col("timestamp"), col("start_block_num"), col("end_block_num"),
           col("change_type"))
