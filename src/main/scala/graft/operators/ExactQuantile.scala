@@ -74,19 +74,27 @@ object ExactQuantile {
       if (open.nonEmpty) {
         passes += 1
         require(passes <= 64, s"quantile narrowing failed to converge: $open")
-        // width per rank: ceil((hi-lo+1)/B), all literals folded into
-        // the plan — the scan emits (rankIdx, bucket) per matching rank
-        val specs = open.zipWithIndex.map { case (s, i) =>
-          val w = (s.hi - s.lo + buckets.toLong) / buckets.toLong
-          (i, s.lo, s.hi, w)
+        // Specs dedupe by INTERVAL: on pass 1 every rank shares the full
+        // [min, max] interval, so without the dedupe each row emitted one
+        // identical (rank, bucket) cell PER RANK — R× the explode volume
+        // of the dominant pass for counts that are all equal. Ranks
+        // sharing an interval share one spec and read the same bucket
+        // counts with their own local ranks. Width = ceil((hi-lo+1)/B),
+        // all literals folded into the plan.
+        val intervals = open.map(s => (s.lo, s.hi)).distinct
+        val specIdx = intervals.zipWithIndex.toMap
+        val specs = intervals.zipWithIndex.map { case ((lo, hi), j) =>
+          val w = (hi - lo + buckets.toLong) / buckets.toLong
+          (j, lo, hi, w)
         }
         val counts = histogramPass(df, valueCol, specs)
-          .collect() // bounded: ≤ open.size · buckets cells
+          .collect() // bounded: ≤ intervals.size · buckets cells
           .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
           .toMap
-        open = specs.map { case (i, lo, hi, w) =>
-          val st = open(i)
-          val (found, cum) = walkBuckets(i, lo, hi, w, st.localK, counts)
+        open = open.map { st =>
+          val j = specIdx((st.lo, st.hi))
+          val (_, lo, hi, w) = specs(j)
+          val (found, cum) = walkBuckets(j, lo, hi, w, st.localK, counts)
           require(found >= 0,
             s"rank ${st.lbl}: local rank ${st.localK} beyond interval [$lo,$hi]")
           St(st.lbl, lo + found * w, math.min(hi, lo + (found + 1) * w - 1),
@@ -142,17 +150,22 @@ object ExactQuantile {
       if (open.nonEmpty) {
         passes += 1
         require(passes <= 64, s"grouped narrowing failed to converge: $open")
-        val specs = open.zipWithIndex.map { case (s, i) =>
-          val w = (s.hi - s.lo + buckets.toLong) / buckets.toLong
-          (i, col(groupCol) === s.g, s.lo, s.hi, w)
+        // same interval dedupe as the global variant, keyed per group:
+        // a group's ranks share its full interval on pass 1
+        val keys = open.map(s => (s.g, s.lo, s.hi)).distinct
+        val keyIdx = keys.zipWithIndex.toMap
+        val specs = keys.zipWithIndex.map { case ((g, lo, hi), j) =>
+          val w = (hi - lo + buckets.toLong) / buckets.toLong
+          (j, col(groupCol) === g, lo, hi, w)
         }
         val counts = histogramPassCond(df, valueCol, specs)
           .collect()
           .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
           .toMap
-        open = specs.map { case (i, _, lo, hi, w) =>
-          val st = open(i)
-          val (found, cum) = walkBuckets(i, lo, hi, w, st.localK, counts)
+        open = open.map { st =>
+          val j = keyIdx((st.g, st.lo, st.hi))
+          val (_, _, lo, hi, w) = specs(j)
+          val (found, cum) = walkBuckets(j, lo, hi, w, st.localK, counts)
           require(found >= 0, s"rank (${st.g}, ${st.lbl}): local rank " +
             s"${st.localK} beyond interval [$lo,$hi]")
           St(st.g, st.lbl, lo + found * w,
