@@ -436,6 +436,69 @@ object Mining {
         .orderBy(col("item"), col("sim").desc, col("other"))
     },
 
+    // ---- q153: PMI collocations (log-free) -----------------------------
+    // Collocation discovery — the classic text-mining signal behind
+    // phrase detection (word2vec's phrase pass, NLTK's collocation
+    // finder): bigrams whose observed rate beats the independence
+    // baseline. Ranking uses the RAW likelihood ratio
+    // c_ab·M²/(N·c_a·c_b) — PMI without the log, same order since log
+    // is monotone — so the score is exact integer arithmetic until ONE
+    // engine-identical double division; a log-based score would hang
+    // cross-engine determinism on each engine's libm. Shapes: two
+    // map-side-combinable count aggs (unigrams, bigrams), two bounded
+    // joins on the word key, TakeOrderedAndProject top-50 — no window,
+    // nothing corpus-sized on the driver.
+    Q("q153_collocations",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS t FROM w),
+        |ua AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uni),
+        |bg AS (SELECT p.a AS a, p.b AS b FROM (
+        |   SELECT unnest(list_transform(range(1, len(ws)),
+        |     i -> {'a': ws[i], 'b': ws[i+1]})) AS p
+        |   FROM w)),
+        |pb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg
+        |       GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+        |SELECT pb.a, pb.b, pb.c AS n_ab,
+        |  round(CAST(pb.c * m.m * m.m AS DOUBLE)
+        |    / CAST(n.n * ua.c * ub.c AS DOUBLE), 6) AS pmi_ratio
+        |FROM pb JOIN ua ON ua.t = pb.a JOIN ua ub ON ub.t = pb.b, m, n
+        |WHERE pb.c >= 30
+        |ORDER BY pmi_ratio DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .persist() // two count passes + the bigram pass below
+      try {
+        val uni = w.select(explode(col("ws")).as("t"))
+        val ua = uni.groupBy("t").agg(count(lit(1)).as("c"))
+        val mTok = uni.count()
+        // Spark's sequence(1, 0) would DESCEND — guard short docs out
+        // (DuckDB's range(1, 1) is empty, so the engines agree)
+        val bg = w.filter(size(col("ws")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .persist()
+        try {
+          val nBig = bg.count()
+          val pb = bg.groupBy("a", "b").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= 30)
+          pb
+            .join(ua.select(col("t").as("a"), col("c").as("ca")), "a")
+            .join(ua.select(col("t").as("b"), col("c").as("cb")), "b")
+            .select(col("a"), col("b"), col("c").as("n_ab"),
+              round((col("c") * lit(mTok) * lit(mTok)).cast("double")
+                / (lit(nBig) * col("ca") * col("cb")).cast("double"), 6)
+                .as("pmi_ratio"))
+            .orderBy(col("pmi_ratio").desc, col("a"), col("b"))
+            .limit(50)
+        } finally bg.unpersist()
+      } finally w.unpersist()
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
