@@ -499,6 +499,101 @@ object Mining {
       } finally w.unpersist()
     },
 
+    // ---- q154: per-document keyword extraction -------------------------
+    // tf-idf keyword extraction with a LINEAR idf (tf·N/df): same
+    // per-document ranking intent as the log form, but the score stays
+    // one exact-integer product over one division — engine-identical,
+    // no libm. The probe set is filtered FIRST (doc_id % 97 = 0, ~1% of
+    // the corpus), so the per-doc ranking window sorts a bounded frame;
+    // the corpus-sized work is the two count aggs, both
+    // map-side-combinable. Corpus-wide per-key ranking is what
+    // TopKPerKey is for (q90/q136/q152) — here the filter IS the bound.
+    Q("q154_keyword_extraction",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        round(CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE), 6)
+        |          AS score
+        |      FROM tf JOIN df ON df.term = tf.term, n
+        |      WHERE tf.doc_id % 97 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .persist() // tf, df, and N passes
+      try {
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = tok.select("doc_id").distinct().count()
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") % 97 === 0)
+          .join(df, "term")
+          .withColumn("score",
+            round((col("tf") * lit(n)).cast("double") / col("df").cast("double"), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tf", "df", "score")
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      } finally tok.unpersist()
+    },
+
+    // ---- q155: local clustering coefficient ----------------------------
+    // The graph-quality metric over the co-purchase graph: per node,
+    // cc = 2·triangles/(deg·(deg−1)) — how close the neighborhood is to
+    // a clique. Composes the q144 degree-oriented triangle counts with
+    // the degree frame (one more equi-join); nodes with deg ≥ 2 and no
+    // triangle report 0, so the output is the full eligible node set,
+    // not just triangle members. Exact integers until one division.
+    Q("q155_clustering_coefficient",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |e AS (SELECT x.pk AS a, y.pk AS b
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |          SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |m AS (SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM m GROUP BY pk)
+        |SELECT deg.v AS pk, deg.d AS degree,
+        |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+        |  round(CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+        |    / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS clustering
+        |FROM deg LEFT JOIN tc ON tc.pk = deg.v
+        |WHERE deg.d >= 2
+        |ORDER BY pk""".stripMargin) { (s, dir) =>
+      val bf = frequentBasketItems(t(s, dir, "lineitem"), 30L)
+      val e = pairCounts(bf).filter(col("n_baskets") >= 2)
+        .select("a", "b").localCheckpoint(true) // deg + triangle reuse
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      deg.filter(col("d") >= 2)
+        .join(trianglesPerVertex(e), Seq("v"), "left")
+        .select(col("v").as("pk"), col("d").as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          round((lit(2) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+            / (col("d") * (col("d") - 1)).cast("double"), 6).as("clustering"))
+        .orderBy("pk")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
