@@ -594,6 +594,99 @@ object Mining {
         .orderBy("pk")
     },
 
+    // ---- q156: inter-event latency percentiles -------------------------
+    // The latency-SLO staple: per event type, exact p50/p95 of the gap
+    // between a user's consecutive events of that type. Gap derivation
+    // is a lag window PARTITIONED BY (user, type) — bounded per user,
+    // never corpus-wide — and the percentiles go through the grouped
+    // histogram-narrowing machinery (3 passes for a ~2.6e9 ms domain,
+    // constant in row count; exchange ≤ groups·B cells). Integer µs →
+    // ms throughout.
+    Q("q156_latency_percentiles",
+      """WITH g AS (
+        |  SELECT event_type AS g,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS gap_us
+        |  FROM events),
+        |e AS (SELECT g, gap_us // 1000 AS gap_ms FROM g
+        |      WHERE gap_us IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
+        |r AS (SELECT g, gap_ms, row_number() OVER (PARTITION BY g
+        |        ORDER BY gap_ms) AS rn FROM e)
+        |SELECT r.g AS event_type, n.n AS n_gaps,
+        |  max(CASE WHEN rn = (n.n + 1) // 2 THEN gap_ms END) AS p50_ms,
+        |  max(CASE WHEN rn = (n.n * 95 + 99) // 100 THEN gap_ms END) AS p95_ms
+        |FROM r JOIN n ON n.g = r.g
+        |GROUP BY r.g, n.n
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy("user_id", "g")
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("g"), col("ts"),
+          col("event_id"), (col("ts_ns") / 1000).cast("long").as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        // integer division (SQL `div`), matching the oracle's `//` —
+        // a double `/` + cast would truncate through float rounding
+        .select(col("g"), expr("gap_us div 1000").as("gap_ms"))
+        .persist() // stats + narrowing passes
+      try {
+        val counts = e.groupBy("g").agg(count(lit(1)).as("n"))
+          .collect() // bounded: one row per event type
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ks = counts.flatMap { case (g, n) =>
+          Seq(((g, "p50"), (n + 1) / 2), ((g, "p95"), (n * 95 + 99) / 100))
+        }
+        val vals = ExactQuantile.kthSmallestByGroup(e, "g", "gap_ms", ks)
+        counts.keys.toSeq.sorted.map { g =>
+          (g, counts(g), vals((g, "p50")), vals((g, "p95")))
+        }.toDF("event_type", "n_gaps", "p50_ms", "p95_ms")
+          .orderBy("event_type")
+      } finally e.unpersist()
+    },
+
+    // ---- q157: percent-of-total shares (ratio_to_report) ---------------
+    // The BI staple: each nation's revenue share within its region.
+    // Revenue is summed as exact integer cents (a double sum's partial
+    // order would wobble the last decimals across engines/partitionings)
+    // and the share is one division at the END, over the 25-row
+    // aggregate — the window runs on grouped output, never on raw rows.
+    Q("q157_revenue_share",
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, round(rev_cents / 100.0, 2) AS revenue,
+        |  round(CAST(rev_cents AS DOUBLE) / CAST(sum(rev_cents)
+        |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+        |FROM rev
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"))
+      val w = Window.partitionBy("r_name")
+      rev.select(col("r_name"), col("n_name"),
+          round(col("rev_cents") / 100.0d, 2).as("revenue"),
+          round(col("rev_cents").cast("double")
+            / sum(col("rev_cents")).over(w).cast("double"), 6)
+            .as("region_share"))
+        .orderBy("r_name", "n_name")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
