@@ -625,7 +625,7 @@ object Mining {
         .orderBy(col("ts"), col("event_id"))
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_type").as("g"), col("ts"),
-          col("event_id"), (col("ts_ns") / 1000).cast("long").as("tus"))
+          col("event_id"), expr("ts_ns DIV 1000").as("tus"))
         .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
         .filter(col("gap_us").isNotNull)
         // integer division (SQL `div`), matching the oracle's `//` —
@@ -685,6 +685,131 @@ object Mining {
             / sum(col("rev_cents")).over(w).cast("double"), 6)
             .as("region_share"))
         .orderBy("r_name", "n_name")
+    },
+
+    // ---- q158: session statistics + bounce profile ---------------------
+    // The web-analytics staple over q38's sessionization rule (30-min
+    // inactivity gap): sessions bucketed by event count (the bucket-1
+    // row IS the bounce profile), with session counts, event totals,
+    // and integer-division average duration. The windows are
+    // (user)-partitioned — bounded per user, never corpus-wide — and
+    // the rest is two hash aggs. All arithmetic integer µs/ms.
+    Q("q158_session_stats",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |f AS (SELECT user_id, tus, event_id,
+        |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) > 1800000000
+        |      OR lag(tus) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT user_id, tus, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f),
+        |per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |        (max(tus) - min(tus)) // 1000 AS dur_ms
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT CASE WHEN n_events >= 5 THEN 5 ELSE n_events END
+        |        AS bucket, n_events, dur_ms FROM per)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(dur_ms) // count(*) AS BIGINT) AS avg_dur_ms
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val gap = col("tus") - lag(col("tus"), 1).over(w)
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"),
+          col("event_id"))
+        .withColumn("new_s",
+          when(gap > 1800000000L || gap.isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(tus) - min(tus)) div 1000").as("dur_ms"))
+        .select(when(col("n_events") >= 5, 5L).otherwise(col("n_events"))
+          .as("bucket"), col("n_events"), col("dur_ms"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          expr("sum(dur_ms) div count(*)").as("avg_dur_ms"))
+        .orderBy("bucket")
+    },
+
+    // ---- q159: RFM customer segmentation -------------------------------
+    // The marketing-analytics classic: each user's Recency (days since
+    // last purchase), Frequency (purchase count), Monetary (cents sum)
+    // quartile-scored 1-4 — the quartile edges come from the exact
+    // narrowing machinery over the per-user aggregate (bounded rows),
+    // the score is q147's #{edges ≤ v}+1 rule folded into the plan as
+    // literals, and the 3-digit segment code rolls up to counts.
+    // Everything integer; no floats anywhere.
+    Q("q159_rfm_segments", {
+      def edges(metric: String) =
+        s"""r_$metric AS (SELECT $metric AS v, row_number()
+          |    OVER (ORDER BY $metric) AS rn FROM u),
+          |e_$metric AS (SELECT DISTINCT v FROM r_$metric JOIN n
+          |  ON rn IN ((1*n+3)//4, (2*n+3)//4, (3*n+3)//4))""".stripMargin
+      s"""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(d) AS mxd FROM p),
+        |u AS (SELECT user_id,
+        |    CAST(date_diff('day', max(d), (SELECT mxd FROM mx)) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM p GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |${edges("recency_days")},
+        |${edges("frequency")},
+        |${edges("monetary_cents")},
+        |scored AS (SELECT user_id,
+        |    1 + (SELECT count(*) FROM e_recency_days e
+        |         WHERE e.v <= u.recency_days) AS r_score,
+        |    1 + (SELECT count(*) FROM e_frequency e
+        |         WHERE e.v <= u.frequency) AS f_score,
+        |    1 + (SELECT count(*) FROM e_monetary_cents e
+        |         WHERE e.v <= u.monetary_cents) AS m_score,
+        |    monetary_cents
+        |  FROM u)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
+    }) { (s, dir) =>
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val mxd = p.agg(max(col("d"))).collect()(0).getDate(0)
+      val u = p.groupBy("user_id")
+        .agg(datediff(lit(mxd), max(col("d"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(col("cents")).as("monetary_cents"))
+        .persist() // three narrowings + the scoring pass
+      try {
+        val n = u.count()
+        val qs = Seq(1L, 2L, 3L).map(i => i.toString -> ((i * n + 3) / 4)).toMap
+        def score(metric: String): Column = {
+          val es = ExactQuantile.kthSmallest(u, metric, qs)
+            .values.toSeq.distinct.sorted
+          es.foldLeft(lit(1L)) { (acc, e) =>
+            acc + when(col(metric) >= lit(e), 1L).otherwise(0L)
+          }
+        }
+        u.select(
+            (score("recency_days") * 100 + score("frequency") * 10 +
+              score("monetary_cents")).as("segment"),
+            col("monetary_cents"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("monetary_cents")).as("monetary_cents"))
+          .orderBy("segment")
+      } finally u.unpersist()
     },
 
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
