@@ -812,6 +812,110 @@ object Mining {
       } finally u.unpersist()
     },
 
+    // ---- q160: cohort LTV curve ----------------------------------------
+    // q135's retention matrix with money on it: cumulative revenue per
+    // signup cohort across day offsets, per-user-normalized — the
+    // lifetime-value curve growth teams actually plot. Revenue
+    // accumulates as exact integer cents under a cohort-bounded running
+    // window over the (cohort, offset) AGGREGATE (≤ cohorts×31 rows),
+    // never over raw events; per-user LTV is one division at the end.
+    Q("q160_cohort_ltv",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM f GROUP BY 1),
+        |j AS (SELECT f.cohort,
+        |    date_diff('day', f.cohort, e.d) AS off, e.cents
+        |  FROM e JOIN f ON f.user_id = e.user_id
+        |  WHERE date_diff('day', f.cohort, e.d) <= 7),
+        |g AS (SELECT cohort, off, CAST(sum(cents) AS BIGINT) AS rev_cents
+        |      FROM j GROUP BY 1, 2),
+        |c AS (SELECT cohort, off, CAST(sum(rev_cents) OVER (
+        |        PARTITION BY cohort ORDER BY off
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |      FROM g)
+        |SELECT c.cohort, CAST(c.off AS INT) AS offset_days, c.cum_cents,
+        |  round(c.cum_cents / 100.0 / cs.cohort_n, 4) AS ltv_per_user
+        |FROM c JOIN cs ON cs.cohort = c.cohort
+        |ORDER BY c.cohort, offset_days""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      val f = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+      val w = Window.partitionBy("cohort").orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(f, "user_id")
+        .withColumn("off", datediff(col("d"), col("cohort")))
+        .filter(col("off") <= 7)
+        .groupBy("cohort", "off")
+        .agg(sum(col("cents")).as("rev_cents"))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .join(cs, "cohort")
+        .select(col("cohort"), col("off").cast("int").as("offset_days"),
+          col("cum_cents"),
+          round(col("cum_cents") / 100.0d / col("cohort_n"), 4)
+            .as("ltv_per_user"))
+        .orderBy("cohort", "offset_days")
+    },
+
+    // ---- q161: association rules (confidence + lift) -------------------
+    // q143's frequent pairs upgraded to directed RULES a→b with the two
+    // metrics that make them actionable: confidence = c_ab/c_a and
+    // lift = c_ab·N/(c_a·c_b) — integer counts until the final
+    // divisions, basket count N as a one-row literal. Emitted both
+    // directions (confidence is asymmetric), thresholded on confidence
+    // ≥ 0.05 after the same A-priori support prune.
+    Q("q161_association_rules",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+        |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b
+        |        GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |p AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT)
+        |        AS c FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |r AS (SELECT a AS lhs, b AS rhs, c FROM p
+        |      UNION ALL SELECT b, a, c FROM p),
+        |s AS (SELECT r.lhs, r.rhs, r.c AS n_co,
+        |    round(CAST(r.c AS DOUBLE) / CAST(sa.c AS DOUBLE), 6)
+        |      AS confidence,
+        |    round(CAST(r.c * nb.n AS DOUBLE)
+        |      / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+        |  FROM r JOIN sup sa ON sa.pk = r.lhs
+        |         JOIN sup sb ON sb.pk = r.rhs, nb)
+        |SELECT lhs, rhs, n_co, confidence, lift FROM s
+        |WHERE confidence >= 0.05
+        |ORDER BY lhs, rhs""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nBaskets = b.select("ok").distinct().count()
+      val sup = b.groupBy("pk").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 30)
+      val bf = b.join(sup.select("pk"), Seq("pk"), "left_semi")
+      val p = pairCounts(bf).filter(col("n_baskets") >= 3)
+      val r = p.select(col("a").as("lhs"), col("b").as("rhs"),
+          col("n_baskets").as("n_co"))
+        .unionAll(p.select(col("b").as("lhs"), col("a").as("rhs"),
+          col("n_baskets").as("n_co")))
+      r.join(sup.select(col("pk").as("lhs"), col("c").as("sa")), "lhs")
+        .join(sup.select(col("pk").as("rhs"), col("c").as("sb")), "rhs")
+        .select(col("lhs"), col("rhs"), col("n_co"),
+          round(col("n_co").cast("double") / col("sa").cast("double"), 6)
+            .as("confidence"),
+          round((col("n_co") * lit(nBaskets)).cast("double")
+            / (col("sa") * col("sb")).cast("double"), 6).as("lift"))
+        .filter(col("confidence") >= 0.05)
+        .orderBy("lhs", "rhs")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
