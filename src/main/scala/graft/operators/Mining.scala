@@ -916,6 +916,62 @@ object Mining {
         .orderBy("lhs", "rhs")
     },
 
+    // ---- q162: BFS hop distances (iterative frontier expansion) --------
+    // The remaining graph primitive next to CC (q59), PageRank (q127),
+    // recursion (q120), and triangles (q144): single-source shortest
+    // HOPS over the co-purchase graph from its min-id node, capped at 6
+    // hops. Each round is one equi-join of the (bounded) frontier
+    // against the pinned edge frame plus an anti-join against the
+    // visited set — the distributed BFS shape, no driver-side graph.
+    // The oracle's recursive CTE carries the same ≤6 cap and takes
+    // min(d) per node, which equals BFS layering exactly.
+    Q("q162_bfs_hops",
+      """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |e0 AS (SELECT x.pk AS a, y.pk AS b
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b, a FROM e0),
+        |seed AS (SELECT min(src) AS s FROM e),
+        |reach(v, d) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, reach.d + 1 FROM reach JOIN e ON e.src = reach.v
+        |  WHERE reach.d < 6)
+        |SELECT CAST(d AS BIGINT) AS hops, CAST(count(*) AS BIGINT)
+        |    AS n_nodes
+        |FROM (SELECT v, min(d) AS d FROM reach GROUP BY v)
+        |GROUP BY d ORDER BY hops""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bf = frequentBasketItems(t(s, dir, "lineitem"), 30L)
+      val e0 = pairCounts(bf).filter(col("n_baskets") >= 2).select("a", "b")
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true) // re-joined every round
+      val seed = e.agg(min(col("src"))).collect()(0).getLong(0)
+      var visited = Seq((seed, 0L)).toDF("v", "d").localCheckpoint(true)
+      var frontier = visited.select("v")
+      var hop = 0L
+      while (hop < 6 && !frontier.isEmpty) {
+        hop += 1
+        frontier = frontier
+          .join(e, col("v") === col("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .localCheckpoint(true) // bounded: one BFS layer
+        visited = visited
+          .unionByName(frontier.withColumn("d", lit(hop)))
+          .localCheckpoint(true)
+      }
+      visited.groupBy(col("d").as("hops"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
