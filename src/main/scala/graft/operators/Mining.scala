@@ -972,6 +972,118 @@ object Mining {
         .orderBy("hops")
     },
 
+    // ---- q163: conversion-lag percentiles -------------------------------
+    // Time-to-convert: exact p50/p95 of the view→purchase gap from the
+    // q78 as-of attribution join (user-bounded union+window, no range
+    // join), percentiles through the narrowing machinery — pass count
+    // set by the ms domain, not conversions. One summary row plus the
+    // attribution coverage rate.
+    Q("q163_conversion_lag",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 0 AS tag,
+        |         event_id AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS tag, NULL::BIGINT
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS asof_view_id,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS asof_view_tus
+        |  FROM u),
+        |g AS (SELECT (tus - asof_view_tus) // 1000 AS gap_ms
+        |      FROM w WHERE tag = 1 AND asof_view_id IS NOT NULL),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |       FROM w WHERE tag = 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |r AS (SELECT gap_ms, row_number() OVER (ORDER BY gap_ms) AS rn
+        |      FROM g)
+        |SELECT n.n AS n_conversions,
+        |  round(CAST(n.n AS DOUBLE) / np.n, 6) AS coverage,
+        |  max(CASE WHEN rn = (n.n + 1) // 2 THEN gap_ms END) AS p50_ms,
+        |  max(CASE WHEN rn = (n.n * 95 + 99) // 100 THEN gap_ms END)
+        |    AS p95_ms
+        |FROM r, n, np GROUP BY n.n, np.n""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val asof = Events.asofJoinOf(t(s, dir, "events"))
+      val g = asof.filter(col("view_id").isNotNull)
+        .select(col("gap_ms")).persist() // stats + narrowing passes
+      try {
+        val nConv = g.count()
+        val nPur = asof.count()
+        val ks = Map("p50" -> ((nConv + 1) / 2),
+          "p95" -> ((nConv * 95 + 99) / 100))
+        val vals = ExactQuantile.kthSmallest(g, "gap_ms", ks)
+        Seq((nConv,
+            BigDecimal(nConv.toDouble / nPur).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble,
+            vals("p50"), vals("p95")))
+          .toDF("n_conversions", "coverage", "p50_ms", "p95_ms")
+      } finally g.unpersist()
+    },
+
+    // ---- q164: hour-of-day activity profile -----------------------------
+    // Seasonality profiling: events per (type, hour-of-day) with the
+    // share within the type — one hash agg over derived hour, one
+    // bounded window over the 5×24 aggregate. UTC on both engines.
+    Q("q164_hourly_profile",
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod
+        |           FROM events),
+        |g AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY 1, 2)
+        |SELECT event_type, hod, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+        |    PARTITION BY event_type) AS DOUBLE), 6) AS share
+        |FROM g ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+      t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("n").cast("double")
+            / sum(col("n")).over(w).cast("double"), 6).as("share"))
+        .orderBy("event_type", "hod")
+    },
+
+    // ---- q165: frequent triples (A-priori level 3) -----------------------
+    // One level deeper than q143: 3-itemsets over the support-pruned
+    // baskets — candidate triples come from TWO chained per-basket
+    // equi-joins (bounded: C(7,3) per basket), never from pair×pair
+    // blowup, and the top-20 by support is a TakeOrderedAndProject.
+    Q("q165_frequent_triples",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |t AS (SELECT x.pk AS a, y.pk AS b, z.pk AS c,
+        |        CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM bf x
+        |      JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      JOIN bf z ON x.ok = z.ok AND y.pk < z.pk
+        |      GROUP BY 1, 2, 3)
+        |SELECT a, b, c, n_baskets FROM t
+        |ORDER BY n_baskets DESC, a, b, c LIMIT 20""".stripMargin) { (s, dir) =>
+      val bf = frequentBasketItems(t(s, dir, "lineitem"), 30L)
+      bf.as("x")
+        .join(bf.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .join(bf.as("z"),
+          col("x.ok") === col("z.ok") && col("y.pk") < col("z.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"),
+          col("z.pk").as("c"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .orderBy(col("n_baskets").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
