@@ -1084,6 +1084,109 @@ object Mining {
         .limit(20)
     },
 
+    // ---- q166: new-vs-returning daily split -----------------------------
+    // Growth accounting: per day, users active for the first time vs
+    // returning — one min-agg for first-seen, one distinct-count agg
+    // over the join back, all partial-combinable, exact integers plus
+    // one final share division.
+    Q("q166_new_vs_returning",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, e.d, f.first_d
+        |      FROM e JOIN f ON f.user_id = e.user_id)
+        |SELECT d,
+        |  CAST(count(CASE WHEN d = first_d THEN 1 END) AS BIGINT) AS new_users,
+        |  CAST(count(CASE WHEN d <> first_d THEN 1 END) AS BIGINT)
+        |    AS returning_users,
+        |  round(CAST(count(CASE WHEN d = first_d THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS new_share
+        |FROM a GROUP BY d ORDER BY d""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val f = e.groupBy("user_id").agg(min(col("d")).as("first_d"))
+      e.join(f, "user_id").distinct()
+        .groupBy("d")
+        .agg(
+          count(when(col("d") === col("first_d"), 1)).as("new_users"),
+          count(when(col("d") =!= col("first_d"), 1)).as("returning_users"),
+          round(count(when(col("d") === col("first_d"), 1)).cast("double")
+            / count(lit(1)), 6).as("new_share"))
+        .orderBy("d")
+    },
+
+    // ---- q167: revenue Pareto curve (concentration deciles) -------------
+    // The 80/20 question: user revenue deciles (ntile over the bounded
+    // per-user AGGREGATE, revenue-desc with id tiebreak so the split is
+    // total) with each decile's share of total revenue — exact integer
+    // cents until the one share division.
+    Q("q167_revenue_pareto",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT cents,
+        |    ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+        |  FROM u),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM u)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / (SELECT tc FROM tot), 6)
+        |    AS rev_share
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .persist() // total + decile pass over the bounded aggregate
+      try {
+        val total = u.agg(sum(col("cents"))).collect()(0).getLong(0)
+        val w = Window.orderBy(col("cents").desc, col("user_id"))
+        u.withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("rev_cents"))
+          .select(col("decile").cast("int").as("decile"), col("n_users"),
+            col("rev_cents"),
+            round(col("rev_cents").cast("double") / lit(total.toDouble), 6)
+              .as("rev_share"))
+          .orderBy("decile")
+      } finally u.unpersist()
+    },
+
+    // ---- q168: cross-source near-dup contamination matrix ---------------
+    // The corpus-mixing diagnostic: how many near-dup pairs CROSS source
+    // boundaries (a doc scraped twice via different feeds inflates one
+    // source's apparent novelty). Composes the proven LSH candidate
+    // chain with one broadcast-friendly doc→source join and a 5×5
+    // matrix agg; the unordered source pair is canonicalized with
+    // least/greatest so both engines bucket identically.
+    Q("q168_crosssource_neardup", {
+      s"""WITH ${Dedup.lshCandSqlCtes},
+        |src AS (SELECT doc_id, source FROM documents),
+        |m AS (SELECT least(s1.source, s2.source) AS source_a,
+        |        greatest(s1.source, s2.source) AS source_b,
+        |        CASE WHEN s1.source <> s2.source THEN 1 ELSE 0 END
+        |          AS crossed
+        |      FROM cand
+        |      JOIN src s1 ON s1.doc_id = cand.doc1
+        |      JOIN src s2 ON s2.doc_id = cand.doc2)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(crossed) AS BIGINT) AS n_cross
+        |FROM m GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+    }) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Dedup.lshCandidatePairs(s, dir)
+        .select("doc1", "doc2")
+        .join(src.select(col("doc_id").as("doc1"), col("source").as("sa")), "doc1")
+        .join(src.select(col("doc_id").as("doc2"), col("source").as("sb")), "doc2")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          when(col("sa") =!= col("sb"), 1L).otherwise(0L).as("crossed"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("crossed")).as("n_cross"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
