@@ -1187,6 +1187,77 @@ object Mining {
         .orderBy("source_a", "source_b")
     },
 
+    // ---- q169: near-dup cluster-size distribution ------------------------
+    // The dedup health check: how big do duplicate groups get? Composes
+    // the proven CC labeling into a size histogram — a fat tail here
+    // means one template is flooding the corpus (and is exactly the
+    // skew case the CC label-propagation path and the apply anti-join
+    // are hardened for). Counts only; the oracle re-derives components
+    // with the recursive min-reachable CTE.
+    Q("q169_dup_cluster_sizes", {
+      s"""WITH RECURSIVE ${Dedup.lshCandSqlCtes},
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e
+        |  ON reach.r = e.src),
+        |lbl AS (
+        |  SELECT node, least(node, min(r)) AS canonical_id
+        |  FROM reach GROUP BY node),
+        |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS size
+        |       FROM lbl GROUP BY 1)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY size ORDER BY size""".stripMargin
+    }) { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(s, dir).select("doc1", "doc2"))
+        .groupBy("canonical_id").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("size"), col("n_clusters"),
+          (col("size") * col("n_clusters")).as("n_docs"))
+        .orderBy("size")
+    },
+
+    // ---- q170: vocabulary growth curve (Heaps' law) ----------------------
+    // The corpus statistic behind tokenizer/budget planning: distinct
+    // vocabulary vs corpus prefix size at ten checkpoints — one
+    // exploded-token pass with ten conditional distinct counts (each a
+    // hash agg; the checkpoint thresholds are plan literals from the
+    // max doc id), no self-joins, no windows.
+    Q("q170_vocab_growth",
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |SELECT k,
+        |  CAST(count(DISTINCT CASE WHEN tok.doc_id < k * mx.m // 10
+        |    THEN tok.t END) AS BIGINT) AS vocab,
+        |  CAST(count(DISTINCT CASE WHEN tok.doc_id < k * mx.m // 10
+        |    THEN tok.doc_id END) AS BIGINT) AS docs
+        |FROM tok, mx, (SELECT unnest(range(1, 11)) AS k)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val m = docsDf.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+      val tok = docsDf.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      // ONE aggregation pass with 20 conditional distinct counts
+      // (Catalyst plans multi-distinct via Expand — still a single scan)
+      val aggs = (1L to 10L).flatMap { k =>
+        val thr = k * m / 10
+        Seq(countDistinct(when(col("doc_id") < thr, col("t"))).as(s"v$k"),
+          countDistinct(when(col("doc_id") < thr, col("doc_id"))).as(s"d$k"))
+      }
+      val row = tok.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (1 to 10).map(k =>
+          (k.toLong, row.getLong(2 * (k - 1)), row.getLong(2 * k - 1)))
+        .toDF("k", "vocab", "docs")
+        .orderBy("k")
+    },
+
     // ---- q147: equi-DEPTH binning (quantile-driven) --------------------
     // q71 bins by equal WIDTH — useless on skewed data, where one bin
     // takes most rows. Equal-DEPTH bins need the 9 decile edges, which
