@@ -251,9 +251,23 @@ object ScaleBench {
           require(m.length == 8)
           v.unpersist()
         }
+        // real-vocabulary scaling (10× rung): 256 merges via the batched
+        // trainer — passes ≈ k/batch instead of k corpus-vocab aggs, the
+        // property that makes a 50k-token production vocab trainable
+        val batched = if (r == 10) {
+          var bm = 0; var bp = 0
+          val batchedSec = timed {
+            val (bv, bms, bps) = graft.operators.Curation
+              .trainBpeBatchedOf(d, k = 256, batchSize = 32)
+            bm = bms.length; bp = bps
+            bv.unpersist()
+          }
+          s""","batched_merges":$bm,"batched_passes":$bp,""" +
+            s""""batched_sec":${f"$batchedSec%.2f"}"""
+        } else ""
         spark.catalog.clearCache(); System.gc()
         s"""{"replicas":$r,"docs":$n,"vocab":$vocab,""" +
-          s""""train_sec":${f"$trainSec%.2f"}}"""
+          s""""train_sec":${f"$trainSec%.2f"}$batched}"""
       }
       rows.mkString("[", ",", "]")
     }
@@ -365,9 +379,14 @@ object ScaleBench {
           cands = cand.count()
           fp = cand.filter(levenshtein(col("dname"), col("cname")) <= 1).count()
         }
+        // replica id offset derived from the ACTUAL id domain, not a
+        // hardcoded bound — overlapping replicas would silently break
+        // the 'triangles scale exactly ×r' invariant this bench records
+        val idStride = e0.agg(greatest(max(col("a")), max(col("b"))))
+          .head().getLong(0) + 1L
         val e = (0 until r).map(i => e0.select(
-            (col("a") + lit(i * 10000000L)).as("a"),
-            (col("b") + lit(i * 10000000L)).as("b")))
+            (col("a") + lit(i * idStride)).as("a"),
+            (col("b") + lit(i * idStride)).as("b")))
           .reduce(_ unionAll _).localCheckpoint(true)
         var tri = 0L
         val triSec = timed {

@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * per-partition transforms.
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape, typed Encoders — is real and tested. The codec calls are
-  * STUBS (this environment has no image/audio libraries): `StubCodec`
-  * derives deterministic fake pixels/frames from the bytes so tests can
-  * assert exact outputs. Swapping in a real codec changes only the
-  * function bodies marked "stub", not the dataflow.
+  * batch shape, typed Encoders — is real and tested, and so are FOUR
+  * pure-JVM codecs implemented below: PNG (incl. Adam7 interlace), GIF
+  * (real LZW, local color tables, animation frames), baseline JPEG
+  * (grayscale + color 4:2:0 Huffman/IDCT), and WAV PCM. Decode,
+  * feature-extract, and resize try the real codecs first; `StubCodec`
+  * remains ONLY as the deterministic fallback for payloads that are not
+  * decodable media at all (e.g. text bytes posing as blobs in the q42
+  * oracle fixture) and for genuinely out-of-scope formats (video
+  * containers — no pure-JVM video decode exists offline).
   *
   * Scale posture: media blobs never pass through a shuffle — decode and
   * feature extraction are mapPartitions stages fused after the scan, and
@@ -65,6 +69,11 @@ object Media {
     * out-of-scope shape. */
   private[multimodal] val MaxDecodedBytes: Long = 1L << 24
 
+  /** Frame-walk cap for animated GIFs in feature extraction: bounds the
+    * per-row decode work on a hostile payload declaring huge frame
+    * counts (same spirit as [[MaxDecodedBytes]]). */
+  private[multimodal] val MaxAnimFrames: Int = 4096
+
   /** Deterministic stand-in for the real codec layer. Every function is
     * pure on the payload bytes, so outputs are reproducible in tests. */
   object StubCodec {
@@ -99,30 +108,91 @@ object Media {
       rows.map { m =>
         // REAL codecs first (PNG, GIF-LZW, baseline JPEG pixel decode);
         // opaque payloads keep the deterministic stub so non-image
-        // media stay oracle-checkable
-        val mean = PngCodec.decode(m.content).map(PngCodec.meanIntensity)
-          .orElse(GifCodec.decode(m.content).map(GifCodec.meanIntensity))
-          .orElse(JpegCodec.decode(m.content).map(JpegCodec.meanIntensity))
+        // media stay oracle-checkable. Each codec is tried at most once
+        // per row and its result reused for intensity AND frame count.
+        val png = PngCodec.decode(m.content)
+        val gif = if (png.isEmpty) GifCodec.decode(m.content) else None
+        val jpg = if (png.isEmpty && gif.isEmpty) JpegCodec.decode(m.content)
+                  else None
+        val mean = png.map(PngCodec.meanIntensity)
+          .orElse(gif.map(GifCodec.meanIntensity))
+          .orElse(jpg.map(JpegCodec.meanIntensity))
           .getOrElse {
             val px = StubCodec.decodeIntensities(m.content)
             if (px.isEmpty) 0.0 else px.sum / px.length
           }
+        // frame count: the REAL GIF frame walk for animated GIFs, 1 for
+        // any other decodable still image, stub only for opaque bytes
+        val frames =
+          if (gif.isDefined)
+            GifCodec.decodeFrames(m.content, MaxAnimFrames)
+              .map(_.length).getOrElse(1)
+          else if (png.isDefined || jpg.isDefined) 1
+          else StubCodec.sampleFrames(m.content, 1024).length
         MediaFeatures(
           media_id = m.media_id,
           kind = m.kind,
           size_bytes = m.content.length.toLong,
           sha = StubCodec.sha256(m.content),
           mean_intensity = mean,
-          n_frames = StubCodec.sampleFrames(m.content, 1024).length)
+          n_frames = frames)
       }
     }
   }
 
-  /** Resize stage: payload-to-payload, partition-local. */
+  /** Decode any supported still image to a gray plane accessor:
+    * (width, height, (x, y) → 0..255). PNG color collapses channels
+    * (alpha excluded) to their mean; GIF/JPEG decode gray directly. */
+  private[multimodal] def decodeGrayPlane(b: Array[Byte])
+      : Option[(Int, Int, (Int, Int) => Int)] =
+    PngCodec.decode(b).map { p =>
+      val nc = math.min(p.channels, 3)
+      (p.width, p.height, (x: Int, y: Int) => {
+        val off = (y * p.width + x) * p.channels
+        var s = 0; var i = 0
+        while (i < nc) { s += p.pixels(off + i) & 0xff; i += 1 }
+        s / nc
+      })
+    }.orElse(GifCodec.decode(b).map(p =>
+      (p.width, p.height,
+        (x: Int, y: Int) => p.pixels(y * p.width + x) & 0xff)))
+      .orElse(JpegCodec.decode(b).map(p =>
+        (p.width, p.height,
+          (x: Int, y: Int) => p.pixels(y * p.width + x) & 0xff)))
+
+  /** AREA-AVERAGE resample of a gray plane to (tw, th): each target
+    * pixel averages its source rectangle [x·sw/tw, (x+1)·sw/tw) ×
+    * [y·sh/th, (y+1)·sh/th) (≥1 source pixel — upscales degrade to
+    * nearest-neighbor). The real counterpart of the old stub resize. */
+  private[multimodal] def resamplePlane(sw: Int, sh: Int,
+      src: (Int, Int) => Int, tw: Int, th: Int): (Int, Int) => Int =
+    (x: Int, y: Int) => {
+      val x0 = x * sw / tw; val x1 = math.max(x0 + 1, (x + 1) * sw / tw)
+      val y0 = y * sh / th; val y1 = math.max(y0 + 1, (y + 1) * sh / th)
+      var s = 0; var n = 0; var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { s += src(xx, yy); n += 1; xx += 1 }
+        yy += 1
+      }
+      s / n
+    }
+
+  /** Resize stage: payload-to-payload, partition-local. Decodable images
+    * (PNG/GIF/JPEG) take the REAL path — pixel decode, area-average
+    * resample to (w, h), re-encode as a valid grayscale GIF89a (real
+    * LZW; index == intensity, so a downstream decode reads the resized
+    * pixels back exactly). Opaque payloads keep the deterministic stub
+    * so the stage never drops rows. */
   def resizeAll(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m =>
-      m.copy(content = StubCodec.resize(m.content, w, h), width = w, height = h)))
+    media.mapPartitions(_.map { m =>
+      val real = decodeGrayPlane(m.content).map { case (sw, sh, src) =>
+        GifCodec.encodeGray(w, h, resamplePlane(sw, sh, src, w, h))
+      }
+      m.copy(content = real.getOrElse(StubCodec.resize(m.content, w, h)),
+        width = w, height = h)
+    })
   }
 
   /** REAL pure-JVM image header codec — no native libraries, so it runs

@@ -257,6 +257,79 @@ object Curation {
     (v, merges.toSeq)
   }
 
+  /** Batched BPE training — the real-vocabulary scale path. Exact greedy
+    * ([[trainBpeOf]]) runs one corpus-vocab aggregation pass PER MERGE:
+    * fine for 8 merges, hopeless for a 50k-token production vocabulary.
+    * The standard trick (used by every large BPE trainer): per pass,
+    * rank pairs once and greedily accept up to `batchSize` pairs that
+    * are pairwise NON-CONFLICTING — no symbol (left, right, or merged)
+    * shared between accepted pairs — then apply them all in one replace
+    * chain. Disjoint symbols make the chained replaces confluent, so
+    * the batch is order-independent; counts for later pairs in a batch
+    * are one step stale, which is the standard accepted approximation
+    * (batchSize=1 reproduces exact greedy bit-for-bit — spec-pinned).
+    * Pass count ≈ k/batchSize instead of k. Stops early when the
+    * vocabulary exhausts its pairs; returns (vocab, merges, passes). */
+  private[graft] def trainBpeBatchedOf(d: DataFrame, k: Int, batchSize: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val w = d
+      .select(explode(split(norm(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var v = w.withColumn("seq",
+      array_join(transform(split(col("word"), ""),
+        c => concat(lit("|"), c, lit("|"))), " "))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var passes = 0
+    var exhausted = false
+    def inner(x: String) = x.substring(1, x.length - 1)
+    while (merges.length < k && !exhausted) {
+      passes += 1
+      // over-fetch 4× the batch so conflict skips still fill it; the
+      // limit plans as TakeOrderedAndProject — a bounded driver read
+      val top = v
+        .select(col("freq"), split(col("seq"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), j -> struct(sy[j-1] AS l, sy[j] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(math.min(batchSize, k - merges.length) * 4).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, Long)]
+        for (row <- top
+             if chosen.length < math.min(batchSize, k - merges.length)) {
+          val (l, r) = (row.getString(0), row.getString(1))
+          val m = "|" + inner(l) + inner(r) + "|"
+          if (!used(l) && !used(r) && !used(m)) {
+            chosen += ((l, r, m, row.getLong(2)))
+            used ++= Seq(l, r, m)
+          }
+        }
+        // top was non-empty so its first row is always accepted
+        chosen.foreach { case (l, r, _, cnt) =>
+          merges += ((merges.length + 1, inner(l), inner(r),
+            inner(l) + inner(r), cnt))
+        }
+        val seqCol = chosen.foldLeft(col("seq")) { case (c, (l, r, m, _)) =>
+          call_function("replace", c, lit(l + " " + r), lit(m))
+        }
+        val nv = v.withColumn("seq", seqCol).persist()
+        nv.count() // pin this step before dropping the previous one
+        v.unpersist()
+        v = nv
+      }
+    }
+    (v, merges.toSeq, passes)
+  }
+
   /** The oracle's training replay: v0 (wrapped chars) then per step a
     * pair-count CTE, a LIMIT-1 argmax CTE, and the replace application —
     * all MATERIALIZED (each v$i is referenced by the next two CTEs). */

@@ -886,18 +886,32 @@ object Dedup {
       .localCheckpoint(true) // read by the prefix side and both verify sides
     val pref = lists
       .select(col("doc_id"), col("n"),
-        explode(slice(col("wa"), lit(1),
+        posexplode(slice(col("wa"), lit(1),
           ((col("n") - (col("n") * 7 + 9 -
-            pmod(col("n") * 7 + 9, lit(10))) / 10 + 1)).cast("int")))
-          .as("w"))
+            pmod(col("n") * 7 + 9, lit(10))) / 10 + 1)).cast("int"))))
+      .withColumnRenamed("pos", "p") // 0-based position within the prefix
+      .withColumnRenamed("col", "w")
     // length filter (PPJoin): J ≥ t forces |A|,|B| within a factor t of
-    // each other — prune size-mismatched candidates inside the join
+    // each other — prune size-mismatched candidates inside the join.
+    // The groupBy below replaces the old distinct (same exchange) and
+    // feeds the POSITIONAL filter (PPJoin's second prune): both arrays
+    // share one global (df, w) order, so the matched prefix token with
+    // the smallest position in A is the smallest matched token and has
+    // the smallest position in B too — and no common token can precede
+    // it in either array (it would be a smaller matched prefix token).
+    // Hence inter ≤ min(n1-ia, n2-jb); pairs whose bound can't reach
+    // the t=0.7 requirement 17·inter ≥ 7·(n1+n2) are EXACTLY prunable
+    // before the expensive array_intersect verify.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 7 <= col("b.n") * 10 &&
           col("b.n") * 7 <= col("a.n") * 10)
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(max(col("a.n")).as("n1"), max(col("b.n")).as("n2"),
+        min(col("a.p")).as("ia"), min(col("b.p")).as("jb"))
+      .filter(least(col("n1") - col("ia"), col("n2") - col("jb")) * 17 >=
+        (col("n1") + col("n2")) * 7)
+      .select("doc1", "doc2")
     val verified = cand
       .join(lists.select(col("doc_id").as("doc1"), col("wa").as("wa1"),
         col("n").as("n1")), "doc1")

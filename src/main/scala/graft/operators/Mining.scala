@@ -31,10 +31,14 @@ object Mining {
     * makes the join EXACT — O(N·L) keys instead of the O(N²) all-pairs
     * a naive fuzzy join needs. Pure per-row HOF expression. */
   private[graft] def deletionKeys(s: Column): Column =
-    array_union(
+    // empty-string guard: sequence(0, -1) DESCENDS in Spark, so without
+    // the branch "" would yield a malformed two-key array; its only
+    // lev≤1 neighbors are itself and 1-char strings (whose own deletion
+    // key is ""), so [s] alone keeps the candidate superset exact
+    when(length(s) === 0, array(s)).otherwise(array_union(
       array(s),
       transform(sequence(lit(0), length(s) - 1),
-        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))))
 
   /** Deterministic "dirty" name: drop the (custkey % len)-th character —
     * both engines derive the same corrupted snapshot in-query (q115's
@@ -208,8 +212,15 @@ object Mining {
         // (over threshold) fails the <= 1 filter like any distance > 1
         .withColumn("lev", levenshtein(col("dname"), col("cname"), 1))
         .filter(col("lev").between(0, 1))
-        // composite best key: lev major, id minor — one integer min
-        .withColumn("composite", col("lev") * lit(1000000000L) + col("cid"))
+        // composite best key: lev major, id minor — one integer min.
+        // The encoding is only total while cid < 1e9 (custkey passes
+        // that around sf6600); the guard makes the bound LOUD instead
+        // of a silent best-match divergence past it.
+        .withColumn("composite", col("lev") * lit(1000000000L) +
+          when(col("cid") < lit(1000000000L), col("cid"))
+            .otherwise(raise_error(lit(
+              "q142: custkey >= 1e9 overflows the lev-major composite"))
+              .cast("long")))
         .groupBy("dirty_id", "dname")
         .agg(count(lit(1)).as("n_matches"),
           (min(col("composite")) % lit(1000000000L)).as("best_id"),
@@ -427,10 +438,17 @@ object Mining {
         .withColumn("sim",
           round(col("c").cast("double") / (col("sa") + col("sb") - col("c")), 6))
         // integer composite: sim micro-units major (desc), other minor
-        // (asc) — ONE order column for the winners-only top-k operator
+        // (asc) — ONE order column for the winners-only top-k operator.
+        // simU ≤ 1e6 so simU·1e12 ≤ 1e18 < Long.Max; the minor term is
+        // total while other < 1e12 (partkey reaches 1e8 at sf500 —
+        // guarded loud rather than silently bleeding into sim digits)
         .withColumn("ord",
           round(col("c").cast("double") / (col("sa") + col("sb") - col("c"))
-            * 1000000).cast("long") * lit(100000000L) - col("other"))
+            * 1000000).cast("long") * lit(1000000000000L) -
+            when(col("other") < lit(1000000000000L), col("other"))
+              .otherwise(raise_error(lit(
+                "q152: partkey >= 1e12 overflows the sim-major composite"))
+                .cast("long")))
       graft.plans.TopK.perKey(scored, Seq("item"), col("ord"), 3)
         .select(col("item"), col("other"), col("c").as("n_co"), col("sim"))
         .orderBy(col("item"), col("sim").desc, col("other"))
@@ -1138,11 +1156,48 @@ object Mining {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-        .persist() // total + decile pass over the bounded aggregate
+        .persist() // total + narrowing passes over the bounded aggregate
       try {
-        val total = u.agg(sum(col("cents"))).collect()(0).getLong(0)
-        val w = Window.orderBy(col("cents").desc, col("user_id"))
-        u.withColumn("decile", ntile(10).over(w))
+        val st = u.agg(count(lit(1)).as("n"), sum(col("cents"))).head()
+        val n = st.getLong(0)
+        val total = st.getLong(1)
+        require(n > 0, "q167: no purchase events")
+        // ntile(10) boundary RANKS in (cents DESC, user_id ASC) order:
+        // first n%10 deciles hold ceil(n/10) users, the rest floor(n/10).
+        val q10 = n / 10
+        val r = n % 10
+        val edgeRankDesc = (1 to 9).map(i => i * q10 + math.min(i, r))
+        // Decile EDGES without a global window (the single-partition
+        // ntile WindowExec this replaces moved every user through one
+        // task): histogram-narrow the exact cents value at each edge
+        // rank (desc rank e = asc rank n-e+1, duplicates included),
+        // then resolve the user_id tiebreak INSIDE each edge's cents
+        // tie block with a second narrowing over user_id — every pass
+        // is a scan + bounded hash-agg, no sort, no data-row shuffle.
+        val cEdge = ExactQuantile.kthSmallest(u, "cents",
+          edgeRankDesc.zipWithIndex.map { case (e, i) =>
+            s"e$i" -> (n - e + 1) }.toMap)
+        val distinctC = cEdge.values.toSeq.distinct
+        val gtCols = distinctC.map(c =>
+          sum(when(col("cents") > c, 1L).otherwise(0L)).as(s"c$c"))
+        val gtRow = u.agg(gtCols.head, gtCols.tail: _*).head()
+        val cntGt = distinctC.zipWithIndex
+          .map { case (c, j) => c -> gtRow.getLong(j) }.toMap
+        val edges: Seq[(Long, Long)] = distinctC.flatMap { c =>
+          val local = edgeRankDesc.zipWithIndex.collect {
+            case (e, i) if cEdge(s"e$i") == c => s"u$i" -> (e - cntGt(c))
+          }.toMap
+          val uid = ExactQuantile.kthSmallest(
+            u.filter(col("cents") === c), "user_id", local)
+          local.keys.toSeq.map(k => (c, uid(k)))
+        }
+        // map-side decile assignment: 1 + #edges strictly earlier in
+        // (cents DESC, user_id ASC) order — nine broadcast literals
+        val decile = edges.foldLeft(lit(1)) { case (acc, (c, uEdge)) =>
+          acc + when(col("cents") < c ||
+            (col("cents") === c && col("user_id") > uEdge), 1).otherwise(0)
+        }
+        u.withColumn("decile", decile)
           .groupBy("decile")
           .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("rev_cents"))
           .select(col("decile").cast("int").as("decile"), col("n_users"),

@@ -20,7 +20,9 @@ object Quality {
 
   /** Profile one column of `df`: row count, nulls, exact distinct count,
     * min/max (string form), and the most frequent value with its count
-    * (ties to the smallest value string — deterministic). The top-value
+    * (ties to the largest value string — deterministic: max(struct)
+    * compares cnt then value, matching the oracle's cnt DESC, v DESC).
+    * The top-value
     * agg is a hash groupBy on the column, combined map-side; for an
     * unbounded-domain column at extreme scale the MG-sketch path (q121)
     * is the drop-in replacement. */

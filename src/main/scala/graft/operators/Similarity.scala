@@ -52,14 +52,19 @@ object Similarity {
     val sub = n.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
-    val seeds = n.filter(col("vec_id") % PqSeedStep === 0)
-      // K-sized seed set: the global window runs over ~N/step rows
-      .withColumn("rk", row_number().over(Window.orderBy("vec_id")))
-      .filter(col("rk") <= PqKs)
-    val cent = seeds.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .select(col("m"), (col("rk") - 1).cast("int").as("k"),
-        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("cv"))
-      .localCheckpoint(true) // read by encode AND both distance tables
+    // Seed selection plans as TakeOrderedAndProject (orderBy+limit): every
+    // partition forwards at most PqKs rows, no global window — and the
+    // Ks·M centroid table (16×8 rows of 8 doubles) is driver-built and
+    // broadcast, so encoding never re-scans the corpus for seeds.
+    val seedRows = n.filter(col("vec_id") % PqSeedStep === 0)
+      .orderBy("vec_id").limit(PqKs)
+      .select(col("v")).collect() // bounded: ≤ PqKs rows by the limit
+    val spark = n.sparkSession
+    import spark.implicits._
+    val cent = seedRows.zipWithIndex.flatMap { case (row, k) =>
+      val v = row.getSeq[Double](0)
+      (0 until PqM).map(m => (m, k, v.slice(m * PqSub, m * PqSub + PqSub)))
+    }.toSeq.toDF("m", "k", "cv")
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x)

@@ -411,10 +411,17 @@ object IncrementalDedup {
     * gate shrinks it so a short drive crosses real fold boundaries. */
   def processBatch(batchDocs: DataFrame, storeDir: String,
                    threshold: Double = DefaultThreshold,
-                   compactAfter: Int = CompactThreshold): DataFrame = {
+                   compactAfter: Int = CompactThreshold,
+                   precomputedSigs: Option[DataFrame] = None): DataFrame = {
     import graft.core.Prof
     val spark = batchDocs.sparkSession
-    val batchSigs = Dedup.minhashBandedSignatures(batchDocs).persist()
+    // `precomputedSigs` lets a caller driving SEVERAL stores over the
+    // same batches (q94/q98 share identical 5-batch ingest) pay the
+    // shingle/minhash aggregation once: signatures are a pure function
+    // of the batch text, so a checkpointed copy is store-independent.
+    val ownSigs = precomputedSigs.isEmpty
+    val batchSigs = precomputedSigs.getOrElse(
+      Dedup.minhashBandedSignatures(batchDocs).persist())
     // the batch in store-row shapes: exploded index rows + registry rows
     val xRows = withBh(Dedup.explodeBandBuckets(batchSigs)).persist()
     val batchReg = withDh(batchSigs.drop(
@@ -541,7 +548,8 @@ object IncrementalDedup {
             writeIndexDir(spark, storeDir, xRows) ++
               writeRegistryDir(spark, storeDir, batchReg))
     } }
-    batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
+    if (ownSigs) batchSigs.unpersist()
+    xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)
     if (committedDirs(spark, storeDir).size > compactAfter)

@@ -334,6 +334,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-doc ordering must be sort_array, not a window")
   }
 
+  test("q167: Pareto deciles assign map-side — no window, no global sort") {
+    val p = plan("q167_revenue_pareto")
+    assert(!p.contains("Window"),
+      "decile assignment must be broadcast-edge comparisons, not ntile:\n" +
+        p.take(1500))
+  }
+
+  test("no partition-less window anywhere in main source") {
+    // Window.orderBy without partitionBy moves ALL rows through one task
+    // — the q167/q99 scale-killers round 10's verdict flagged. Pin it to
+    // zero so a future query can't reintroduce one silently.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    val hits = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        new String(Files.readAllBytes(p)).linesIterator.zipWithIndex
+          .filter(_._1.contains("Window.orderBy"))
+          .map { case (l, i) => s"$p:${i + 1}: ${l.trim}" }
+      }.toList
+    assert(hits.isEmpty, "partition-less windows found:\n" + hits.mkString("\n"))
+  }
+
   test("q139: image near-dup candidates come from a band equi-join") {
     val p = plan("q139_image_phash_neardup")
     assert(!p.contains("CartesianProduct") &&

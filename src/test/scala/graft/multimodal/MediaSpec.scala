@@ -45,6 +45,27 @@ class MediaSpec extends SparkSpec {
     assert(padded.content(0) === 5 && padded.content(15) === 0)
   }
 
+  test("resize: decodable image takes the REAL path — decode, area-average, re-encode") {
+    // 8×4 gray GIF with pixel value x*10 + y — area averages are exact
+    val src = Media.GifCodec.encodeGray(8, 4, (x, y) => x * 10 + y)
+    val out = Media.resizeAll(Seq(row(3L, src)).toDS(), 4, 2).collect().head
+    assert((out.width, out.height) === (4, 2))
+    val p = Media.GifCodec.decode(out.content)
+      .getOrElse(fail("resized payload is not a decodable GIF"))
+    assert((p.width, p.height) === (4, 2))
+    // target (x,y) averages the 2×2 source block at (2x, 2y):
+    // mean of {20x+y', ...} = (4·(20x) + 2·10 + 4·y + 2)/4 with int div
+    for (x <- 0 until 4; y <- 0 until 2) {
+      val vals = for (dx <- 0 to 1; dy <- 0 to 1) yield (2 * x + dx) * 10 + (2 * y + dy)
+      assert((p.pixels(y * 4 + x) & 0xff) === vals.sum / 4,
+        s"pixel ($x,$y)")
+    }
+    // animated GIF: n_frames comes from the real frame walk now
+    val anim = Media.GifCodec.encodeGrayAnimated(6, 6, 3, (f, x, y) => f + x + y)
+    val feats = Media.extractFeatures(Seq(row(4L, anim)).toDS()).collect().head
+    assert(feats.n_frames === 3)
+  }
+
   test("feature pipeline introduces no shuffle (mapPartitions plan)") {
     val media = Media.fromDocuments(graft.core.Tables.load(spark, sf0001, "documents"))
     val plan = Media.extractFeatures(media).queryExecution.executedPlan.toString

@@ -99,6 +99,42 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("batched BPE: batchSize=1 reproduces exact greedy; exhaustion is graceful") {
+    import spark.implicits._
+    val d = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val (v1, m1, p1) = Curation.trainBpeBatchedOf(d, k = 3, batchSize = 1)
+    assert(m1 === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
+    assert(p1 === 3)
+    v1.unpersist()
+    // over-asking stops at pair exhaustion instead of throwing (the
+    // scale path records what it learned; exact greedy stays loud)
+    val (v2, m2, _) = Curation.trainBpeBatchedOf(d, k = 50, batchSize = 4)
+    assert(m2.length >= 3 && m2.length < 50)
+    v2.unpersist()
+  }
+
+  test("batched BPE: real corpus — valid merges, fewer passes, detok invariant") {
+    val d = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val (v, merges, passes) = Curation.trainBpeBatchedOf(d, k = 16, batchSize = 4)
+    assert(merges.length === 16)
+    assert(passes < 16, s"batching must cut passes below k, ran $passes")
+    assert(merges.forall { case (_, l, r, m, c) => m == l + r && c > 0 })
+    // within a pass's batch the chosen symbols are disjoint — across the
+    // whole table every merged symbol is unique
+    assert(merges.map(_._4).distinct.length === merges.length)
+    val bad = v.collect().filter { r =>
+      val word = r.getString(0)
+      val toks = r.getString(2).split(" ").map(t => t.substring(1, t.length - 1))
+      toks.mkString("") != word || toks.exists(_.isEmpty)
+    }
+    assert(bad.isEmpty, s"detokenization broke for: ${bad.take(3).mkString(",")}")
+    v.unpersist()
+  }
+
   test("q108/q109: detokenization invariant on the real corpus") {
     val (v, merges) = Curation.trainBpe(spark, sf001)
     assert(merges.length === 8)
