@@ -31,7 +31,7 @@ object Pipeline {
     * @param strict raise on namespace addresses with unknown entity infix
     *               (AnotherFamily error, `src/event_handler.rs:196-200`)
     */
-  def applyBatch(store: Scd2Store, raw: DataFrame, strict: Boolean = true): Unit = {
+  def applyBatch(store: SdsStore, raw: DataFrame, strict: Boolean = true): Unit = {
     val withBlock = Decode.withBlock(Decode.parseEnvelope(raw))
     // Per-batch reuse: decode once, feed 11 table extractions + blocks.
     withBlock.persist()
@@ -190,7 +190,7 @@ object Pipeline {
   }
 
   /** Start the streaming pipeline over a Dataset[String] of JSON batches. */
-  def start(batches: Dataset[String], store: Scd2Store, checkpointDir: String,
+  def start(batches: Dataset[String], store: SdsStore, checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     batches.toDF("value").writeStream
       .option("checkpointLocation", checkpointDir)
@@ -199,7 +199,7 @@ object Pipeline {
       .start()
 
   /** File-source replay: a directory of JSON-lines EventList batch files. */
-  def fromFiles(spark: SparkSession, inputDir: String, store: Scd2Store,
+  def fromFiles(spark: SparkSession, inputDir: String, store: SdsStore,
                 checkpointDir: String): StreamingQuery = {
     import spark.implicits._
     start(spark.readStream.text(inputDir).as[String].coalesce(1), store, checkpointDir)
@@ -230,8 +230,15 @@ object ZmqSource {
   // single source of truth for the handshake constants: Negotiate
   val NullBlockId = graft.sources.Negotiate.NullBlockId
   val KnownCount = graft.sources.Negotiate.KnownCount
+  // The exact frames this connector speaks — envelope, subscribe
+  // request/response, namespace REGEX_ANY filter — are implemented and
+  // loopback-tested in graft.sources.ZmqWire (only the raw DEALER
+  // socket is absent offline): a production deployment passes the
+  // socket's send/recv pair to ZmqWire.respondViaFrames and drives
+  // Negotiate.negotiate with it.
   def connect(endpoint: String): Nothing =
     throw new UnsupportedOperationException(
-      s"ZMQ validator connector not available in this environment (endpoint=$endpoint); " +
-        "use Pipeline.fromFiles or a MemoryStream")
+      s"ZMQ socket layer not available in this environment (endpoint=$endpoint); " +
+        "the wire codec is graft.sources.ZmqWire — plug a DEALER socket in, " +
+        "or use Pipeline.fromFiles / a MemoryStream")
 }

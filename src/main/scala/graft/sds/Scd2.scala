@@ -165,7 +165,7 @@ object Scd2 {
   * costs only the retained live-set copies, history is shared.
   */
 final class Scd2Store(spark: SparkSession, root: String,
-                      retainGenerations: Int = 1) {
+                      retainGenerations: Int = 1) extends SdsStore {
   import java.nio.charset.StandardCharsets.UTF_8
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
