@@ -418,10 +418,9 @@ object IncrementalDedup {
     // `precomputedSigs` lets a caller driving SEVERAL stores over the
     // same batches (q94/q98 share identical 5-batch ingest) pay the
     // shingle/minhash aggregation once: signatures are a pure function
-    // of the batch text, so a checkpointed copy is store-independent.
-    val ownSigs = precomputedSigs.isEmpty
-    val batchSigs = precomputedSigs.getOrElse(
-      Dedup.minhashBandedSignatures(batchDocs).persist())
+    // of the batch text, so a spilled copy is store-independent.
+    val batchSigs = precomputedSigs
+      .getOrElse(Dedup.minhashBandedSignatures(batchDocs)).persist()
     // the batch in store-row shapes: exploded index rows + registry rows
     val xRows = withBh(Dedup.explodeBandBuckets(batchSigs)).persist()
     val batchReg = withDh(batchSigs.drop(
@@ -548,8 +547,7 @@ object IncrementalDedup {
             writeIndexDir(spark, storeDir, xRows) ++
               writeRegistryDir(spark, storeDir, batchReg))
     } }
-    if (ownSigs) batchSigs.unpersist()
-    xRows.unpersist(); batchReg.unpersist()
+    batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)
     if (committedDirs(spark, storeDir).size > compactAfter)
