@@ -775,5 +775,48 @@ object Curation {
         .localCheckpoint(true)
       f.unpersist(); v.unpersist()
       out
+    },
+
+    // ---- q173: tokenizer fertility by language --------------------------
+    // The multilingual-tokenizer health metric (how many subword tokens
+    // per whitespace word, and how many chars each token carries, per
+    // language): a vocabulary trained on a mixed corpus over-fragments
+    // under-represented languages, and THIS report is how that shows up
+    // — the number every multilingual-model paper tables. Composes the
+    // proven q108 trainer with the q109 apply-join, grouped by the
+    // documents' language column; both ratios round once at the end,
+    // everything upstream is exact integers.
+    Q("q173_tokenizer_fertility", {
+      s"""WITH $bpeCtes,
+         |tok AS MATERIALIZED (SELECT word,
+         |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$BpeMerges),
+         |dw AS (SELECT lang, unnest(string_split($normSql, ' ')) AS word
+         |       FROM documents),
+         |j AS (SELECT lang, t.n_tok, length(word) AS wc
+         |      FROM dw JOIN tok t USING (word))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(wc) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS fertility,
+         |  round(CAST(sum(wc) AS DOUBLE) / sum(n_tok), 6) AS chars_per_token
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val (v, _) = trainBpe(s, dir)
+      val tok = v.select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_tok"))
+      val out = docs(s, dir)
+        .select(col("lang"), explode(split(norm(col("text")), " ")).as("word"))
+        .join(tok, "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum("n_tok").as("bpe_tokens"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          round(sum("n_tok").cast("double") / count(lit(1)), 6).as("fertility"),
+          round(sum(length(col("word"))).cast("double") / sum("n_tok"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+        .localCheckpoint(true) // pin before the vocab cache drops
+      v.unpersist()
+      out
     })
 }

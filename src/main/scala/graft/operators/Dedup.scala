@@ -838,34 +838,103 @@ object Dedup {
     // No window anywhere: the per-doc ordering is a sort_array over the
     // doc's OWN (df, word) structs inside one hash agg.
     Q("q138_exact_setsim_join",
-      s"""WITH sh0 AS ($shinglesSql),
-        |tt AS (SELECT doc_id,
-        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS w FROM sh0),
-        |dfq AS (SELECT w, count(*) AS df FROM tt GROUP BY 1),
-        |lists AS (SELECT tt.doc_id,
-        |    list(tt.w ORDER BY dfq.df, tt.w) AS wa,
-        |    count(*) AS n
-        |  FROM tt JOIN dfq USING (w) GROUP BY 1),
-        |pref AS (SELECT doc_id, n,
-        |    unnest(wa[1 : CAST(n - (7 * n + 9) // 10 + 1 AS INT)]) AS w
-        |  FROM lists),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-        |    AND a.n * 7 <= b.n * 10 AND b.n * 7 <= a.n * 10),
-        |v AS (SELECT c.doc1, c.doc2,
-        |    len(list_intersect(l1.wa, l2.wa)) AS inter, l1.n AS n1, l2.n AS n2
-        |  FROM cand c JOIN lists l1 ON l1.doc_id = c.doc1
-        |              JOIN lists l2 ON l2.doc_id = c.doc2)
-        |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+      s"""SELECT doc1, doc2, inter,
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
-        |FROM v WHERE inter * 10 >= 7 * (n1 + n2 - inter)
+        |FROM ($setsimExactPairsSql) e
         |ORDER BY doc1, doc2""".stripMargin) { (s, dir) =>
-      exactSetSimJoinOf(shinglesOf(docs(s, dir)))._1.orderBy("doc1", "doc2")
+      exactSetSimJoinOf(shinglesOf(docs(s, dir)))._1
+        .select("doc1", "doc2", "inter", "jaccard")
+        .orderBy("doc1", "doc2")
+    },
+
+    // ---- q172: LSH recall evaluation against the exact join -------------
+    // The dedup-tuning diagnostic every pipeline owner wants: how much
+    // does the scale path (banded MinHash, q30) MISS relative to the
+    // exact set-similarity join (q138), and where — per true-Jaccard
+    // band. Composes the two proven chains with one pair-key left join;
+    // buckets are exact integer comparisons (inter·10 vs k·union), so
+    // no float boundary can disagree between engines. The shape of the
+    // answer (recall rising toward 1.0 as true Jaccard rises) is the
+    // banding S-curve every LSH deployment is tuned by.
+    Q("q172_lsh_recall_eval", {
+      s"""WITH $lshCandSqlCtes,
+        |exact AS (SELECT * FROM ($setsimExactPairsSql) e),
+        |b AS (SELECT
+        |    CASE WHEN inter = n1 + n2 - inter THEN '1.0'
+        |         WHEN inter * 10 >= 9 * (n1 + n2 - inter) THEN '0.9'
+        |         WHEN inter * 10 >= 8 * (n1 + n2 - inter) THEN '0.8'
+        |         ELSE '0.7' END AS bucket,
+        |    CASE WHEN c.doc1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM exact LEFT JOIN cand c
+        |    ON c.doc1 = exact.doc1 AND c.doc2 = exact.doc2),
+        |g AS (SELECT bucket, count(*) AS n_exact, sum(hit) AS n_hit
+        |      FROM b GROUP BY 1
+        |      UNION ALL SELECT 'all', count(*), sum(hit) FROM b)
+        |SELECT bucket, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / nullif(n_exact, 0), 6) AS recall
+        |FROM g ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      val exact = exactSetSimJoinOf(shinglesOf(docs(s, dir)))._1
+        .select("doc1", "doc2", "inter", "n1", "n2")
+      val lsh = lshCandidatePairs(s, dir)
+        .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+      val union = col("n1") + col("n2") - col("inter")
+      val b = exact.join(lsh, Seq("doc1", "doc2"), "left")
+        .select(
+          when(col("inter") === union, "1.0")
+            .when(col("inter") * 10 >= union * 9, "0.9")
+            .when(col("inter") * 10 >= union * 8, "0.8")
+            .otherwise("0.7").as("bucket"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .persist() // grouped pass + the 'all' row read the same tiny frame
+      try {
+        val per = b.groupBy("bucket")
+          .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+        val all = b.agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+          .select(lit("all").as("bucket"), col("n_exact"), col("n_hit"))
+        per.unionByName(all)
+          .withColumn("recall",
+            when(col("n_exact") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 6)))
+          .orderBy("bucket")
+          .localCheckpoint(true) // pin before b.unpersist
+      } finally b.unpersist()
     }
   )
 
+  /** The q138 exact set-similarity chain as ONE oracle SQL SELECT
+    * (doc1, doc2, inter, n1, n2 at t=0.7) — shared by q138 and the q172
+    * recall evaluation so the two oracles can never drift. Nested into
+    * q172 as a subquery because its `cand` CTE name collides with the
+    * LSH chain's. */
+  // def, not val: referenced by `defs`, which initializes earlier in the
+  // object — a val here would still be null at that point
+  private[operators] def setsimExactPairsSql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+      |tt AS (SELECT doc_id,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS w FROM sh0),
+      |dfq AS (SELECT w, count(*) AS df FROM tt GROUP BY 1),
+      |lists AS (SELECT tt.doc_id,
+      |    list(tt.w ORDER BY dfq.df, tt.w) AS wa,
+      |    count(*) AS n
+      |  FROM tt JOIN dfq USING (w) GROUP BY 1),
+      |pref AS (SELECT doc_id, n,
+      |    unnest(wa[1 : CAST(n - (7 * n + 9) // 10 + 1 AS INT)]) AS w
+      |  FROM lists),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+      |    AND a.n * 7 <= b.n * 10 AND b.n * 7 <= a.n * 10),
+      |v AS (SELECT c.doc1, c.doc2,
+      |    len(list_intersect(l1.wa, l2.wa)) AS inter, l1.n AS n1, l2.n AS n2
+      |  FROM cand c JOIN lists l1 ON l1.doc_id = c.doc1
+      |              JOIN lists l2 ON l2.doc_id = c.doc2)
+      |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      |FROM v WHERE inter * 10 >= 7 * (n1 + n2 - inter)""".stripMargin
+
   /** q138's PPJoin chain over any (doc_id, s) shingle frame: returns the
-    * verified pair frame (doc1, doc2, inter, jaccard at t=0.7) plus the
+    * verified pair frame (doc1, doc2, inter, n1, n2, jaccard at t=0.7) plus the
     * CANDIDATE frame pre-verification — ScaleBench measures the latter's
     * growth to pin the prefix-filtering claim. Shingles are hashed to
     * 60-bit ints up front (q81/q91's convention, mirrored by the
@@ -921,6 +990,7 @@ object Dedup {
         .cast("long"))
       .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
       .select(col("doc1"), col("doc2"), col("inter"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
         round(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
     (verified, cand)

@@ -1394,5 +1394,71 @@ object Mining {
           coalesce(col("n"), lit(0L)).as("n_errors"))
         .withColumn("err_3d", sum(col("n_errors")).over(w))
         .orderBy("user_id", "d")
+    },
+
+    // ---- q171: PII detection + redaction --------------------------------
+    // The privacy gate every training-data pipeline runs before release
+    // (C4 and every successor scrub emails/phones): regex detection +
+    // replacement, MAP-ONLY per row — no shuffle until the per-nation
+    // count agg, so a 100 TB scrub is scan-bound. The corpus has no
+    // embedded PII, so each customer's "contact line" is derived
+    // in-query from deterministic arithmetic (the q115/q142 snapshot
+    // technique) — both engines synthesize identical text, then the
+    // Spark side must FIND and REDACT it by actually running the
+    // patterns. Regexes stay in the RE2 ∩ Java common subset (no
+    // lookaround, no \d classes) so both engines match identically;
+    // counts and char totals are exact integers.
+    Q("q171_pii_redact",
+      """WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey FROM customer),
+        |txt AS (SELECT k, c_nationkey,
+        |    c_name || ' can be reached at '
+        |      || printf('%02d-%03d-%03d-%04d', 10 + k % 15, 100 + k % 900,
+        |                100 + (k // 7) % 900, 1000 + (k // 3) % 9000)
+        |      || ' or ' || lower(replace(c_name, '#', '')) || '@example.com'
+        |      AS line
+        |  FROM c),
+        |red AS (SELECT k, c_nationkey, line,
+        |    CAST(len(regexp_extract_all(line,
+        |      '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(line,
+        |      '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |    regexp_replace(regexp_replace(line,
+        |      '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+        |      AS clean
+        |  FROM txt)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+        |  CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+        |  CAST(sum(length(line)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(clean)) AS BIGINT) AS chars_after
+        |FROM red JOIN nation n ON n.n_nationkey = red.c_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
+      val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val k = col("c_custkey")
+      val line = concat(col("c_name"), lit(" can be reached at "),
+        format_string("%02d-%03d-%03d-%04d",
+          lit(10) + k % 15, lit(100) + k % 900,
+          lit(100) + floor(k / 7) % 900, lit(1000) + floor(k / 3) % 9000),
+        lit(" or "), lower(regexp_replace(col("c_name"), "#", "")),
+        lit("@example.com"))
+      val red = t(s, dir, "customer")
+        .select(col("c_nationkey"), line.as("line"))
+        .withColumn("n_email", regexp_count(col("line"), lit(emailRe)).cast("long"))
+        .withColumn("n_phone", regexp_count(col("line"), lit(phoneRe)).cast("long"))
+        .withColumn("clean", regexp_replace(
+          regexp_replace(col("line"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      red.join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_email")).as("emails_redacted"),
+          sum(col("n_phone")).as("phones_redacted"),
+          sum(length(col("line"))).as("chars_before"),
+          sum(length(col("clean"))).as("chars_after"))
+        .orderBy("n_name")
     })
 }

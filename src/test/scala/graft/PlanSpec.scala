@@ -358,6 +358,19 @@ class PlanSpec extends SparkSpec {
     assert(hits.isEmpty, "partition-less windows found:\n" + hits.mkString("\n"))
   }
 
+  test("q171: PII redaction is map-only to the agg, nation dim broadcast") {
+    val p = plan("q171_pii_redact")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "redaction must stay per-row + broadcast dim:\n" + p.take(1500))
+  }
+
+  test("q172: recall eval joins pair keys equi-only") {
+    val p = plan("q172_lsh_recall_eval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q139: image near-dup candidates come from a band equi-join") {
     val p = plan("q139_image_phash_neardup")
     assert(!p.contains("CartesianProduct") &&
