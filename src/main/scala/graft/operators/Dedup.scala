@@ -900,6 +900,91 @@ object Dedup {
           .orderBy("bucket")
           .localCheckpoint(true) // pin before b.unpersist
       } finally b.unpersist()
+    },
+
+    // ---- q174: LSH precision + MinHash estimation error -----------------
+    // q172 measures what the scale path MISSES; this measures what it
+    // FALSELY CLAIMS and how far the MinHash estimate sits from the
+    // true Jaccard — the other half of the dedup-tuning story (a
+    // pipeline deleting "duplicates" at est ≥ 0.7 needs the precision
+    // number before anyone pushes the button). Claimed pairs (integer
+    // threshold n_equal·10 ≥ 7K) join the per-doc hashed shingle sets
+    // for an exact verify — bounded by the CLAIMED pair count, never
+    // corpus²; the per-pair |est − true| error is folded in integer
+    // micro-units (|n_equal·uni − K·inter| over K·uni, floor+0.5) so
+    // both engines sum identical longs and divide once at the end.
+    Q("q174_lsh_precision_eval", {
+      s"""WITH $lshCandSqlCtes,
+        |sh2 AS ($shinglesSql),
+        |tt AS (SELECT doc_id,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS w FROM sh2),
+        |lists AS (SELECT doc_id, list(w ORDER BY w) AS wa, count(*) AS n
+        |          FROM tt GROUP BY 1),
+        |cl AS (SELECT c.n_equal,
+        |    len(list_intersect(l1.wa, l2.wa)) AS inter,
+        |    l1.n + l2.n - len(list_intersect(l1.wa, l2.wa)) AS uni
+        |  FROM cand c JOIN lists l1 ON l1.doc_id = c.doc1
+        |              JOIN lists l2 ON l2.doc_id = c.doc2
+        |  WHERE c.n_equal * 10 >= 7 * $MinhashK),
+        |p AS (SELECT n_equal,
+        |    CASE WHEN inter * 10 >= 7 * uni THEN 1 ELSE 0 END AS istrue,
+        |    CAST(floor(1000000.0 * abs(n_equal * uni - $MinhashK * inter)
+        |      / ($MinhashK * uni) + 0.5) AS BIGINT) AS err
+        |  FROM cl),
+        |g AS (SELECT CAST(n_equal AS VARCHAR) AS agree,
+        |        count(*) AS n_claimed, sum(istrue) AS n_true,
+        |        sum(err) AS sum_err
+        |      FROM p GROUP BY 1
+        |      UNION ALL SELECT 'all', count(*), sum(istrue), sum(err) FROM p)
+        |SELECT agree, CAST(n_claimed AS BIGINT) AS n_claimed,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  round(CAST(n_true AS DOUBLE) / nullif(n_claimed, 0), 6) AS precision,
+        |  round(CAST(sum_err AS DOUBLE) / nullif(n_claimed, 0) / 1000000.0, 6)
+        |    AS mean_abs_err
+        |FROM g ORDER BY agree""".stripMargin
+    }) { (s, dir) =>
+      val claimed = lshCandidatePairs(s, dir)
+        .filter(col("n_equal") * 10 >= 7 * MinhashK)
+        .select("doc1", "doc2", "n_equal")
+      val tt = shingles(s, dir).select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("w"))
+      val lists = tt.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("w"))).as("wa"),
+          count(lit(1)).as("n"))
+      val p = claimed
+        .join(lists.select(col("doc_id").as("doc1"), col("wa").as("wa1"),
+          col("n").as("n1")), "doc1")
+        .join(lists.select(col("doc_id").as("doc2"), col("wa").as("wa2"),
+          col("n").as("n2")), "doc2")
+        .withColumn("inter",
+          size(array_intersect(col("wa1"), col("wa2"))).cast("long"))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .select(col("n_equal"),
+          when(col("inter") * 10 >= col("uni") * 7, 1L).otherwise(0L)
+            .as("istrue"),
+          floor(lit(1000000.0d) *
+            abs(col("n_equal") * col("uni") - lit(MinhashK) * col("inter")) /
+            (lit(MinhashK) * col("uni")) + 0.5).cast("long").as("err"))
+        .persist() // grouped pass + the 'all' row read the same tiny frame
+      try {
+        val per = p.groupBy(col("n_equal").cast("string").as("agree"))
+          .agg(count(lit(1)).as("n_claimed"), sum(col("istrue")).as("n_true"),
+            sum(col("err")).as("sum_err"))
+        val all = p.agg(count(lit(1)).as("n_claimed"),
+            sum(col("istrue")).as("n_true"), sum(col("err")).as("sum_err"))
+          .select(lit("all").as("agree"), col("n_claimed"), col("n_true"),
+            col("sum_err"))
+        per.unionByName(all)
+          .select(col("agree"), col("n_claimed"), col("n_true"),
+            when(col("n_claimed") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_true").cast("double") / col("n_claimed"), 6))
+              .as("precision"),
+            when(col("n_claimed") === 0, lit(null).cast("double"))
+              .otherwise(round(col("sum_err").cast("double") /
+                col("n_claimed") / 1e6, 6)).as("mean_abs_err"))
+          .orderBy("agree")
+          .localCheckpoint(true) // pin before p.unpersist
+      } finally p.unpersist()
     }
   )
 

@@ -865,6 +865,53 @@ object Text {
           (col("n_tokens") >= 20 && col("ent") < 2.0).cast("int")
             .as("low_entropy"))
         .orderBy("doc_id")
+    },
+
+    // ---- q175: language-ID confusion matrix ------------------------------
+    // The model-eval report shape for the q25 classifier: labeled (gold)
+    // language × detected language with within-label rates — fr/zh have
+    // no marker profile, so their rows show exactly WHERE the heuristic
+    // dumps out-of-vocabulary languages (the number that tells you the
+    // detector needs a new profile before the corpus mix shifts). Two
+    // tiny aggregates + one equi-join on the label; the detection chain
+    // is per-row map work, identical to q25's.
+    Q("q175_langid_confusion", {
+      val padded = s"(' ' || $normSql || ' ')"
+      val en = Seq(" the ", " a ", " of ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      val es = Seq(" el ", " la ", " los ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      val de = Seq(" der ", " und ", " das ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
+      s"""WITH d AS (SELECT lang AS labeled_lang,
+        |    CASE WHEN $en >= $es AND $en >= $de THEN 'en'
+        |         WHEN $es >= $de THEN 'es' ELSE 'de' END AS detected_lang
+        |  FROM documents),
+        |m AS (SELECT labeled_lang, detected_lang, count(*) AS n_docs
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT labeled_lang, count(*) AS n_label FROM d GROUP BY 1)
+        |SELECT m.labeled_lang, m.detected_lang,
+        |  CAST(m.n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(m.n_docs AS DOUBLE) / t.n_label, 6) AS label_share
+        |FROM m JOIN t USING (labeled_lang)
+        |ORDER BY labeled_lang, detected_lang""".stripMargin
+    }) { (s, dir) =>
+      def score(kws: Seq[String]): Column =
+        kws.map(k => occurrences(col("_p"), k)).reduce(_ + _)
+      val d = docs(s, dir)
+        .withColumn("_p", concat(lit(" "), norm(col("text")), lit(" ")))
+        .withColumn("_en", score(Seq(" the ", " a ", " of ")))
+        .withColumn("_es", score(Seq(" el ", " la ", " los ")))
+        .withColumn("_de", score(Seq(" der ", " und ", " das ")))
+        .select(col("lang").as("labeled_lang"),
+          when(col("_en") >= col("_es") && col("_en") >= col("_de"), "en")
+            .when(col("_es") >= col("_de"), "es").otherwise("de")
+            .as("detected_lang"))
+      val m = d.groupBy("labeled_lang", "detected_lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val t = d.groupBy("labeled_lang").agg(count(lit(1)).as("n_label"))
+      m.join(broadcast(t), "labeled_lang")
+        .select(col("labeled_lang"), col("detected_lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_label"), 6)
+            .as("label_share"))
+        .orderBy("labeled_lang", "detected_lang")
     }
   )
 }
