@@ -321,8 +321,12 @@ object Curation {
         val seqCol = chosen.foldLeft(col("seq")) { case (c, (l, r, m, _)) =>
           call_function("replace", c, lit(l + " " + r), lit(m))
         }
-        val nv = v.withColumn("seq", seqCol).persist()
-        nv.count() // pin this step before dropping the previous one
+        // localCheckpoint, not persist: a persist chain keeps the FULL
+        // replace lineage (passes × batchSize nested calls), and
+        // re-analyzing it every pass made the 10×/256-merge scale row
+        // planning-bound (~12 s/pass on a 170-word vocab). Truncating
+        // per pass keeps analysis O(batchSize) regardless of pass count.
+        val nv = v.withColumn("seq", seqCol).localCheckpoint(true)
         v.unpersist()
         v = nv
       }
@@ -818,5 +822,82 @@ object Curation {
         .localCheckpoint(true) // pin before the vocab cache drops
       v.unpersist()
       out
+    },
+
+    // ---- q177: classifier calibration (reliability by score decile) -----
+    // The reliability diagram behind every model-based quality filter:
+    // per SCORE decile of the trained q104 classifier, how often does
+    // the gold gate actually pass? A well-calibrated filter shows the
+    // pass rate rising monotonically with the decile — and the table is
+    // what sets the keep-threshold before a corpus-scale filter run.
+    // Scores quantize to integer micro-units (floor(z·1e6 + 0.5) — one
+    // IEEE expression in the SAME association order on both engines);
+    // decile edges replicate ntile(10) EXACTLY via the q167 rank-
+    // narrowing technique (score pass + doc_id tiebreak pass), so no
+    // single-partition window exists on the Spark side while the oracle
+    // uses plain ntile.
+    Q("q177_classifier_calibration", {
+      s"""WITH f AS MATERIALIZED ($featureSql),
+         |$gdCtes,
+         |sc AS (SELECT doc_id, y,
+         |    CAST(floor((w0 + w1 * x1 + w2 * x2 + w3 * x3) * 1000000 + 0.5)
+         |      AS BIGINT) AS su
+         |  FROM f, i$GdSteps),
+         |d AS (SELECT y, su,
+         |    ntile(10) OVER (ORDER BY su, doc_id) AS decile FROM sc)
+         |SELECT CAST(decile AS INT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(y) AS BIGINT) AS n_gold_pass,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS gold_pass_rate,
+         |  round(CAST(sum(su) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |    AS mean_score
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+    }) { (s, dir) =>
+      val f = featureFrame(s, dir).persist()
+      try {
+        val w = trainWeights(f)
+        val sc0 = f.select(col("doc_id"), col("y"),
+          floor(logit(w) * 1e6 + 0.5).cast("long").as("su")).persist()
+        try {
+          val n = sc0.count()
+          require(n > 0, "q177: empty feature frame")
+          val q10 = n / 10
+          val r = n % 10
+          val edgeRank = (1 to 9).map(i => i * q10 + math.min(i, r))
+          // exact ntile edges over (su ASC, doc_id ASC) — the q167
+          // narrowing pattern, ascending form
+          val suEdge = ExactQuantile.kthSmallest(sc0, "su",
+            edgeRank.zipWithIndex.map { case (e, i) => s"e$i" -> e }.toMap)
+          val distinctC = suEdge.values.toSeq.distinct
+          val ltCols = distinctC.map(c =>
+            sum(when(col("su") < c, 1L).otherwise(0L)).as(s"c$c"))
+          val ltRow = sc0.agg(ltCols.head, ltCols.tail: _*).head()
+          val cntLt = distinctC.zipWithIndex
+            .map { case (c, j) => c -> ltRow.getLong(j) }.toMap
+          val edges: Seq[(Long, Long)] = distinctC.flatMap { c =>
+            val local = edgeRank.zipWithIndex.collect {
+              case (e, i) if suEdge(s"e$i") == c => s"u$i" -> (e - cntLt(c))
+            }.toMap
+            val uid = ExactQuantile.kthSmallest(
+              sc0.filter(col("su") === c), "doc_id", local)
+            local.keys.toSeq.map(k => (c, uid(k)))
+          }
+          val decile = edges.foldLeft(lit(1)) { case (acc, (c, uEdge)) =>
+            acc + when(col("su") > c ||
+              (col("su") === c && col("doc_id") > uEdge), 1).otherwise(0)
+          }
+          sc0.withColumn("decile", decile)
+            .groupBy("decile")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("y")).cast("long").as("n_gold_pass"),
+              round(sum(col("y")) / count(lit(1)), 6).as("gold_pass_rate"),
+              round(sum(col("su")).cast("double") / count(lit(1)) / 1e6, 6)
+                .as("mean_score"))
+            .select(col("decile").cast("int").as("decile"), col("n_docs"),
+              col("n_gold_pass"), col("gold_pass_rate"), col("mean_score"))
+            .orderBy("decile")
+            .localCheckpoint(true) // pin before the caches drop
+        } finally sc0.unpersist()
+      } finally { f.unpersist(); () }
     })
 }

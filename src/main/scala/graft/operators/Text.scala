@@ -912,6 +912,70 @@ object Text {
           round(col("n_docs").cast("double") / col("n_label"), 6)
             .as("label_share"))
         .orderBy("labeled_lang", "detected_lang")
+    },
+
+    // ---- q176: HTML text extraction -------------------------------------
+    // The step every web-crawl pipeline runs FIRST (trafilatura/
+    // jusText's regex tier): drop script blocks, strip tags, unescape
+    // entities, normalize whitespace — map-only per row, so a 100 TB
+    // crawl is scan-bound. The corpus has no HTML, so each doc is
+    // deterministically wrapped in-query (tag soup with a script block
+    // whose body contains a DECOY entity, and entity-bearing footer
+    // text); the roundtrip check compares the regex-extracted text to
+    // the expected string built by PLAIN CONCATENATION — the regex
+    // pipeline must recover it exactly, including removing the script
+    // before unescaping (the decoy &lt; would corrupt the text if the
+    // order were wrong). Patterns are in the RE2 ∩ Java subset.
+    Q("q176_html_strip",
+      """WITH h AS (SELECT doc_id, source,
+        |    '<html><head><title>T' || doc_id
+        |      || '</title><script type="text/javascript">if (x &lt; 1) { x = 2; }</script></head><body><p>'
+        |      || text || '</p><div class="ft">Tom &amp; Jerry &gt; all</div></body></html>'
+        |      AS html,
+        |    'T' || doc_id || ' ' || text || ' Tom & Jerry > all' AS expected
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, html, expected,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(html)) AS BIGINT) AS html_chars,
+        |  CAST(sum(length(extracted)) AS BIGINT) AS text_chars,
+        |  CAST(sum(CASE WHEN extracted = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_roundtrip,
+        |  round(CAST(sum(length(extracted)) AS DOUBLE)
+        |    / sum(length(html)), 6) AS text_ratio
+        |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val html = concat(lit("<html><head><title>T"), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">if (x &lt; 1) { x = 2; }</script></head><body><p>"),
+        col("text"),
+        lit("</p><div class=\"ft\">Tom &amp; Jerry &gt; all</div></body></html>"))
+      val expected = concat(lit("T"), col("doc_id"), lit(" "), col("text"),
+        lit(" Tom & Jerry > all"))
+      val noScript = regexp_replace(col("html"), "<script[^>]*>.*?</script>", " ")
+      val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+      val unescaped = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&amp;", "&")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), html.as("html"),
+          expected.as("expected"))
+        .withColumn("extracted",
+          trim(regexp_replace(unescaped, "\\s+", " ")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("html"))).as("html_chars"),
+          sum(length(col("extracted"))).as("text_chars"),
+          sum(when(col("extracted") === col("expected"), 1L).otherwise(0L))
+            .as("n_roundtrip"),
+          round(sum(length(col("extracted"))).cast("double") /
+            sum(length(col("html"))), 6).as("text_ratio"))
+        .orderBy("source")
     }
   )
 }
