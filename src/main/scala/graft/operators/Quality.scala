@@ -168,5 +168,73 @@ object Quality {
         .unionByName(check("orders.price_cap_450k", nOrders, aggRow.getLong(1), s))
         .unionByName(check("orders.orderdate_complete", nOrders, aggRow.getLong(2), s))
         .orderBy("check")
+    },
+
+    // ---- q179: corpus drift monitor (crawl-over-crawl distribution) -----
+    // The data-drift alarm every corpus pipeline runs between snapshots:
+    // per-source L1 distance between the two crawls' word distributions
+    // (0 = identical mix, 2 = disjoint). Snapshot B is the q115
+    // deterministic mutation (every 17th doc re-crawled with appended
+    // text, every 19th gone). The per-word term |c_a·N_b − c_b·N_a| is
+    // summed EXACTLY in DECIMAL(38)/HUGEINT — products reach ~1e15 per
+    // word at large SFs and a silent long overflow would fabricate
+    // drift — with ONE division at the end. Cost shape: two word-count
+    // aggregations + one full-outer equi-join on (source, word) — never
+    // anything doc×doc.
+    Q("q179_corpus_drift",
+      """WITH a AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |b AS (SELECT source, unnest(string_split(
+        |          CASE WHEN doc_id % 17 = 0 THEN text || ' recrawled update'
+        |               ELSE text END, ' ')) AS w
+        |      FROM documents WHERE doc_id % 19 <> 0),
+        |ca AS (SELECT source, w, count(*) AS c FROM a GROUP BY 1, 2),
+        |cb AS (SELECT source, w, count(*) AS c FROM b GROUP BY 1, 2),
+        |na AS (SELECT source, sum(c) AS n FROM ca GROUP BY 1),
+        |nb AS (SELECT source, sum(c) AS n FROM cb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.source, cb.source) AS source,
+        |        coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        |      FROM ca FULL OUTER JOIN cb
+        |        ON cb.source = ca.source AND cb.w = ca.w),
+        |t AS (SELECT j.source,
+        |        sum(abs(CAST(j.c_a AS HUGEINT) * nb.n
+        |              - CAST(j.c_b AS HUGEINT) * na.n)) AS num,
+        |        max(na.n) AS n_a, max(nb.n) AS n_b
+        |      FROM j JOIN na ON na.source = j.source
+        |             JOIN nb ON nb.source = j.source
+        |      GROUP BY 1)
+        |SELECT source, CAST(n_a AS BIGINT) AS words_a,
+        |  CAST(n_b AS BIGINT) AS words_b,
+        |  round(CAST(num AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS l1_drift
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val a = d.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      val b = d.filter(col("doc_id") % 19 =!= 0)
+        .select(col("source"), explode(split(
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" recrawled update")))
+            .otherwise(col("text")), " ")).as("w"))
+      val ca = a.groupBy("source", "w").agg(count(lit(1)).as("c_a"))
+      val cb = b.groupBy("source", "w").agg(count(lit(1)).as("c_b"))
+      val na = ca.groupBy("source").agg(sum(col("c_a")).as("n_a"))
+      val nb = cb.groupBy("source").agg(sum(col("c_b")).as("n_b"))
+      val j = ca.join(cb, Seq("source", "w"), "full_outer")
+        .select(col("source"),
+          coalesce(col("c_a"), lit(0L)).as("c_a"),
+          coalesce(col("c_b"), lit(0L)).as("c_b"))
+      j.join(broadcast(na), "source").join(broadcast(nb), "source")
+        .groupBy("source")
+        .agg(
+          sum(abs(col("c_a").cast("decimal(38,0)") * col("n_b")
+            - col("c_b").cast("decimal(38,0)") * col("n_a"))).as("num"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .select(col("source"), col("n_a").as("words_a"),
+          col("n_b").as("words_b"),
+          round(col("num").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("l1_drift"))
+        .orderBy("source")
     })
 }

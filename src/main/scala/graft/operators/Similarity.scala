@@ -1007,6 +1007,78 @@ object Similarity {
         .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
       val thr = ExactQuantile.kthSmallest(d, "d_micro", Map("p99" -> k))("p99")
       d.filter(col("d_micro") > thr).orderBy("vec_id")
+    },
+
+    // ---- q178: incremental IVF index maintenance ------------------------
+    // The streaming-ANN upkeep path: new vectors (every 5th id — "this
+    // hour's arrivals") are assigned to the EXISTING codebook without
+    // retraining — one broadcast-K map-side argmax over the delta only,
+    // the O(batch) operation that keeps a serving index fresh between
+    // (rare, offline) retrains. The report is the retrain-trigger
+    // dashboard: per-cluster base/delta populations, growth, and
+    // centroid-affinity drift (new points sitting farther from their
+    // centroid than old ones ⇒ the codebook no longer spans the data).
+    // Per-row similarity quantizes to micro-unit longs (floor(cos·1e6
+    // + 0.5)) so the per-cluster means are exact-integer sums with one
+    // final division, and the drift subtraction happens on those two
+    // deterministic quotients.
+    Q("q178_ivf_incremental",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+        |         WHERE vec_id % 64 = 0 AND vec_id % 5 <> 0),
+        |asg AS (SELECT vec_id, c_id, su, vec_id % 5 = 0 AS is_delta FROM (
+        |    SELECT nn.vec_id, cent.c_id,
+        |      CAST(floor(list_dot_product(nn.v, cent.cv) / (nn.nrm * cent.cn)
+        |        * 1000000 + 0.5) AS BIGINT) AS su,
+        |      row_number() OVER (PARTITION BY nn.vec_id
+        |        ORDER BY list_dot_product(nn.v, cent.cv) / (nn.nrm * cent.cn)
+        |          DESC, cent.c_id) AS crk
+        |    FROM n nn, cent) WHERE crk = 1),
+        |g AS (SELECT c_id,
+        |        sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS n_base,
+        |        sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta,
+        |        sum(CASE WHEN is_delta THEN 0 ELSE su END) AS sb,
+        |        sum(CASE WHEN is_delta THEN su ELSE 0 END) AS sd
+        |      FROM asg GROUP BY 1)
+        |SELECT c_id AS cluster, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_delta AS BIGINT) AS n_delta,
+        |  round(CAST(n_delta AS DOUBLE) / nullif(n_base, 0), 6) AS growth,
+        |  round(CAST(sb AS DOUBLE) / nullif(n_base, 0) / 1000000.0, 6)
+        |    AS mean_sim_base,
+        |  round(CAST(sd AS DOUBLE) / nullif(n_delta, 0) / 1000000.0, 6)
+        |    AS mean_sim_delta
+        |FROM g ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val vecs = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = vecs
+        .filter(col("vec_id") % 64 === 0 && col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      vecs.join(broadcast(cent))
+        .withColumn("_csim", expr("cosine_sim(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("_csim"), -col("c_id"))).as("c_id"),
+          max(col("_csim")).as("cos"))
+        .select(col("vec_id"), col("c_id"),
+          floor(col("cos") * 1e6 + 0.5).cast("long").as("su"),
+          (col("vec_id") % 5 === 0).as("is_delta"))
+        .groupBy(col("c_id"))
+        .agg(
+          sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_base"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+          sum(when(col("is_delta"), 0L).otherwise(col("su"))).as("sb"),
+          sum(when(col("is_delta"), col("su")).otherwise(0L)).as("sd"))
+        .select(col("c_id").as("cluster"), col("n_base"), col("n_delta"),
+          when(col("n_base") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_delta").cast("double") / col("n_base"), 6))
+            .as("growth"),
+          when(col("n_base") === 0, lit(null).cast("double"))
+            .otherwise(round(col("sb").cast("double") / col("n_base") / 1e6, 6))
+            .as("mean_sim_base"),
+          when(col("n_delta") === 0, lit(null).cast("double"))
+            .otherwise(round(col("sd").cast("double") / col("n_delta") / 1e6, 6))
+            .as("mean_sim_delta"))
+        .orderBy("cluster")
     }
   )
 }
