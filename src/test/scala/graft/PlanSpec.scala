@@ -371,6 +371,27 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q176: HTML extraction is map-only to the agg — no join, no window") {
+    val p = plan("q176_html_strip")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "the scrub must stay per-row:\n" + p.take(1500))
+  }
+
+  test("q178: incremental IVF assignment broadcasts the codebook") {
+    val p = plan("q178_ivf_incremental")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook must broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(1500))
+  }
+
+  test("q179: drift join is equi-only, decimal sums exact") {
+    val p = plan("q179_corpus_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("FullOuter"), "snapshot diff must be a full outer join")
+  }
+
   test("q139: image near-dup candidates come from a band equi-join") {
     val p = plan("q139_image_phash_neardup")
     assert(!p.contains("CartesianProduct") &&
