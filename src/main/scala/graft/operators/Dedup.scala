@@ -985,6 +985,66 @@ object Dedup {
           .orderBy("agree")
           .localCheckpoint(true) // pin before p.unpersist
       } finally p.unpersist()
+    },
+
+    // ---- q180: exact duplicated-window ladder ---------------------------
+    // The fixed-granularity form of exact SUBSTRING dedup (Lee et al.
+    // run a suffix array to find any 50-token duplicate; the
+    // distributed-first approximation is a ladder of window lengths):
+    // for L ∈ {16, 32, 64} tokens, which docs share an exact L-token
+    // window with ANOTHER doc? Each rung is hashed sliding windows →
+    // one hash groupBy (8-byte keys, never doc×doc) → a distinct-doc
+    // semi-join back; the histogram says how much verbatim duplication
+    // survives at each granularity — what decides the dedup window
+    // length before a corpus-scale substring-dedup run.
+    Q("q180_dup_window_ladder",
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+        |           FROM documents),
+        |l AS (SELECT unnest([16, 32, 64]) AS L),
+        |win AS (SELECT w.doc_id, l.L,
+        |    unnest(list_transform(range(1, len(ws) - l.L + 2),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + l.L - 1), ' '))))
+        |      AS h
+        |  FROM w, l WHERE len(ws) >= l.L),
+        |dup AS (SELECT L, h FROM win GROUP BY L, h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dd AS (SELECT L, count(*) AS n_dup FROM (
+        |    SELECT DISTINCT win.doc_id, win.L FROM win JOIN dup USING (L, h))
+        |  GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents)
+        |SELECT l.L AS win_len, CAST(tot.n AS BIGINT) AS n_docs,
+        |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_docs_dup,
+        |  round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / tot.n, 6)
+        |    AS dup_frac
+        |FROM l LEFT JOIN dd ON dd.L = l.L, tot
+        |ORDER BY win_len""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val total = docs(s, dir).count()
+      val w = docs(s, dir)
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      val lengths = Seq(16, 32, 64)
+      val win = w
+        .withColumn("L", explode(typedLit(lengths)))
+        .filter(size(col("ws")) >= col("L"))
+        .select(col("doc_id"), col("L"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - L + 1)," +
+              " i -> md5(array_join(slice(ws, i, L), ' ')))")).as("h"))
+        .localCheckpoint(true) // read by the dup groupBy AND the semi-join
+      val dup = win.groupBy("L", "h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("L", "h")
+      val dd = win.join(dup, Seq("L", "h"), "left_semi")
+        .select("doc_id", "L").distinct()
+        .groupBy("L").agg(count(lit(1)).as("n_dup"))
+      lengths.toDF("win_len")
+        .join(dd.withColumnRenamed("L", "win_len"), Seq("win_len"), "left")
+        .select(col("win_len"), lit(total).as("n_docs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_docs_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / total, 6)
+            .as("dup_frac"))
+        .orderBy("win_len")
     }
   )
 
