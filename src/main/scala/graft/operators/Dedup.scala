@@ -1065,6 +1065,98 @@ object Dedup {
           round(coalesce(col("n_dup"), lit(0L)).cast("double") / total, 6)
             .as("dup_frac"))
         .orderBy("win_len")
+    },
+
+    // ---- q181: dedup-funnel yield report --------------------------------
+    // The dashboard a dedup run ships with: how many docs/tokens does
+    // EACH stage remove, per source? Three independent keep-rules
+    // (exact: min-id per md5 fingerprint — q28's rule; near-dup: CC
+    // canonical over the LSH pairs — q59's rule; window: no shared
+    // 32-token window with a LOWER doc_id — q180's granularity) applied
+    // as cumulative intersections, so every stage's count is
+    // deterministic and independently recomputable. Each flag is one
+    // hash-groupBy + equi-join on 8-byte keys; the whole funnel
+    // composes the session-spilled candidate/list artifacts.
+    Q("q181_dedup_funnel", {
+      s"""WITH RECURSIVE $lshCandSqlCtes,
+        |edges AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM cand
+        |  UNION SELECT doc2, doc1 FROM cand),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lbl AS (SELECT node, least(node, min(r)) AS canonical_id
+        |        FROM reach GROUP BY node),
+        |base AS (SELECT doc_id, source,
+        |    len(string_split($normSql, ' ')) AS toks,
+        |    md5($normSql) AS fp, string_split($normSql, ' ') AS ws
+        |  FROM documents),
+        |ex AS (SELECT fp, min(doc_id) AS keeper FROM base GROUP BY 1),
+        |win AS (SELECT b.doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 32 + 2),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + 31), ' ')))) AS h
+        |  FROM base b WHERE len(ws) >= 32),
+        |wmin AS (SELECT h, min(doc_id) AS mind FROM win GROUP BY 1),
+        |wflag AS (SELECT win.doc_id, min(wmin.mind) AS wmind
+        |          FROM win JOIN wmin USING (h) GROUP BY 1),
+        |f AS (SELECT b.source, b.toks,
+        |    b.doc_id = ex.keeper AS k1,
+        |    (lbl.canonical_id IS NULL OR lbl.canonical_id = b.doc_id) AS k2,
+        |    (wflag.wmind IS NULL OR wflag.wmind >= b.doc_id) AS k3
+        |  FROM base b
+        |  JOIN ex ON ex.fp = b.fp
+        |  LEFT JOIN lbl ON lbl.node = b.doc_id
+        |  LEFT JOIN wflag ON wflag.doc_id = b.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS after_exact,
+        |  CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS after_neardup,
+        |  CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS after_window,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_in,
+        |  CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_out
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(norm(col("text")), " ").as("ws"),
+          md5(norm(col("text"))).as("fp"))
+        .withColumn("toks", size(col("ws")).cast("long"))
+        .localCheckpoint(true) // read by three flag joins + the final agg
+      val ex = base.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+      val cc = connectedComponents(
+        lshCandidatePairs(s, dir).select("doc1", "doc2"))
+        .select(col("doc_id"), col("canonical_id"))
+      val win = base.filter(size(col("ws")) >= 32)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 31)," +
+              " i -> md5(array_join(slice(ws, i, 32), ' ')))")).as("h"))
+      val wmin = win.groupBy("h").agg(min(col("doc_id")).as("mind"))
+      val wflag = win.join(wmin, "h")
+        .groupBy("doc_id").agg(min(col("mind")).as("wmind"))
+      base
+        .join(ex, "fp")
+        .join(cc, Seq("doc_id"), "left")
+        .join(wflag, Seq("doc_id"), "left")
+        .select(col("source"), col("toks"),
+          (col("doc_id") === col("keeper")).as("k1"),
+          (col("canonical_id").isNull ||
+            col("canonical_id") === col("doc_id")).as("k2"),
+          (col("wmind").isNull || col("wmind") >= col("doc_id")).as("k3"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("k1"), 1L).otherwise(0L)).as("after_exact"),
+          sum(when(col("k1") && col("k2"), 1L).otherwise(0L))
+            .as("after_neardup"),
+          sum(when(col("k1") && col("k2") && col("k3"), 1L).otherwise(0L))
+            .as("after_window"),
+          sum(col("toks")).as("tokens_in"),
+          sum(when(col("k1") && col("k2") && col("k3"), col("toks"))
+            .otherwise(0L)).as("tokens_out"))
+        .orderBy("source")
     }
   )
 
