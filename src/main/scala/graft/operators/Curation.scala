@@ -935,5 +935,55 @@ object Curation {
             .localCheckpoint(true) // pin before the caches drop
         } finally sc0.unpersist()
       } finally { f.unpersist(); () }
+    },
+
+    // ---- q182: padding-waste / packing-efficiency report ----------------
+    // The compute-budget question behind every context-length choice:
+    // at C ∈ {512, 1024, 2048} tokens, how much of each batch is
+    // PADDING if every doc gets its own sequence (ceil(t/C)·C per doc)
+    // versus concat-packing (q106's layout: global ceil(Σt/C)·C)? The
+    // difference is the fraction of the training FLOPs packing saves —
+    // the number that justifies the packing pipeline. Everything is
+    // exact integer arithmetic off one token-count aggregation; the
+    // three context lengths ride one explode.
+    Q("q182_padding_waste",
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT unnest([512, 1024, 2048]) AS ctx),
+        |p AS (SELECT c.ctx, t.toks,
+        |    ((t.toks + c.ctx - 1) // c.ctx) * c.ctx AS padded
+        |  FROM t, c)
+        |SELECT ctx AS context_len,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(sum(padded) AS BIGINT) AS unpacked_slots,
+        |  CAST(((sum(toks) + ctx - 1) // ctx) * ctx AS BIGINT)
+        |    AS packed_slots,
+        |  round(1.0 - CAST(sum(toks) AS DOUBLE) / sum(padded), 6)
+        |    AS unpacked_waste,
+        |  round(1.0 - CAST(sum(toks) AS DOUBLE)
+        |    / (((sum(toks) + ctx - 1) // ctx) * ctx), 6) AS packed_waste
+        |FROM p GROUP BY ctx ORDER BY ctx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = docs(s, dir)
+        .select(size(split(norm(col("text")), " ")).cast("long").as("toks"))
+      t.crossJoin(Seq(512, 1024, 2048).toDF("ctx"))
+        .select(col("ctx"), col("toks"),
+          (floor((col("toks") + col("ctx") - 1) / col("ctx")) * col("ctx"))
+            .cast("long").as("padded"))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+          sum(col("padded")).as("unpacked_slots"))
+        .select(col("ctx").as("context_len"), col("n_docs"), col("tokens"),
+          col("unpacked_slots"),
+          (floor((col("tokens") + col("ctx") - 1) / col("ctx")) * col("ctx"))
+            .cast("long").as("packed_slots"),
+          round(lit(1.0) - col("tokens").cast("double") /
+            col("unpacked_slots"), 6).as("unpacked_waste"),
+          round(lit(1.0) - col("tokens").cast("double") /
+            (floor((col("tokens") + col("ctx") - 1) / col("ctx")) * col("ctx")),
+            6).as("packed_waste"))
+        .orderBy("context_len")
     })
 }
