@@ -154,7 +154,8 @@ object Curation {
 
   private def trainWeightsCached(s: SparkSession, dir: String,
                                  f: DataFrame): Array[Double] =
-    weightsCache.getOrElseUpdate(
+    if (graft.core.SessionSpill.noMemo) trainWeights(f)
+    else weightsCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), trainWeights(f))
 
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -162,13 +163,13 @@ object Curation {
 
   private def trainBpeCached(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    if (graft.core.SessionSpill.noMemo) return trainBpe(s, dir)
     val (path, merges) = bpeCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val (v, m) = trainBpe(s, dir)
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val root = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-          s"graft_bpe_${s.sparkContext.applicationId}/$safe")
+          graft.core.SessionSpill.root(s, "graft_bpe"), safe)
         v.write.mode("overwrite").parquet(root.toString)
         v.unpersist()
         (root.toString, m)

@@ -219,12 +219,12 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[operators] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    if (graft.core.SessionSpill.noMemo) return lshCandidatePairsOf(docs(s, dir))
     val path = lshPairsCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val root = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-          s"graft_lsh_pairs_${s.sparkContext.applicationId}/$safe")
+          graft.core.SessionSpill.root(s, "graft_lsh_pairs"), safe)
         lshCandidatePairsOf(docs(s, dir))
           .write.mode("overwrite").parquet(root.toString)
         root.toString
@@ -1229,12 +1229,12 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def setsimListsCached(s: SparkSession, dir: String): DataFrame = {
+    if (graft.core.SessionSpill.noMemo) return setsimListsOf(shingles(s, dir))
     val path = listsCache.getOrElseUpdate(
       (s.sparkContext.applicationId, dir), {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val root = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-          s"graft_setsim_lists_${s.sparkContext.applicationId}/$safe")
+          graft.core.SessionSpill.root(s, "graft_setsim_lists"), safe)
         setsimListsOf(shingles(s, dir))
           .write.mode("overwrite").parquet(root.toString)
         root.toString

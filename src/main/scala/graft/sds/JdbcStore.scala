@@ -150,8 +150,9 @@ final class JdbcScd2Store(spark: SparkSession, url: String,
   // ---- SdsStore ----------------------------------------------------------
 
   override def table(name: String): DataFrame = {
-    // resolve DDL eagerly so a fresh database reads an empty table
-    withTx(ensureTable(_, name))
+    // resolve DDL eagerly so a fresh database reads an empty table —
+    // but only the first read per table pays the connection
+    if (!created.contains(name)) withTx(ensureTable(_, name))
     val df = spark.read.jdbc(url, s""""$name"""", props)
     // JDBC type round-trip keeps names (quoted) but can widen
     // nullability; re-assert the engine schema column order
@@ -197,10 +198,10 @@ final class JdbcScd2Store(spark: SparkSession, url: String,
       ensureTable(conn, "blocks")
       val ps = conn.prepareStatement(
         """DELETE FROM "blocks" WHERE "block_num" = ?""")
-      try rows.foreach { r =>
-        ps.setLong(1, r.getLong(0)); ps.addBatch()
-      } finally ()
-      try ps.executeBatch() finally ps.close()
+      try {
+        rows.foreach { r => ps.setLong(1, r.getLong(0)); ps.addBatch() }
+        ps.executeBatch()
+      } finally ps.close()
       insertAll(conn, "blocks", rows)
     }
   }

@@ -93,6 +93,7 @@ object ZmqWire {
     def varint(): Long = {
       var shift = 0; var out = 0L
       while (true) {
+        require(pos < end, "truncated frame: varint runs past frame end")
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -102,16 +103,22 @@ object ZmqWire {
       out
     }
     def delimited(): (Int, Int) = {
-      val len = varint().toInt
+      val len64 = varint()
+      require(len64 >= 0 && len64 <= (end - pos).toLong,
+        "length-delimited field overruns frame")
+      val len = len64.toInt
       val s = pos; pos += len
-      require(pos <= end, "length-delimited field overruns frame")
       (s, s + len)
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 =>
+        require(pos + 8 <= end, "truncated frame: fixed64 runs past frame end")
+        pos += 8
       case 2 => delimited()
-      case 5 => pos += 4
+      case 5 =>
+        require(pos + 4 <= end, "truncated frame: fixed32 runs past frame end")
+        pos += 4
       case t => throw new IllegalArgumentException(s"unsupported wire type $t")
     }
   }

@@ -127,10 +127,11 @@ object StreamingQueries {
                          batchIdx: Int,
                          b: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    if (graft.core.SessionSpill.noMemo)
+      return graft.operators.Dedup.minhashBandedSignatures(b)
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-      s"graft_drive_sigs_${s.sparkContext.applicationId}/${safe}/b$batchIdx")
+      graft.core.SessionSpill.root(s, "graft_drive_sigs"), s"${safe}/b$batchIdx")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
       fs.delete(root, true) // partial write from a crashed attempt
@@ -149,9 +150,7 @@ object StreamingQueries {
                                     dir: String, storeName: String,
                                     compactAfter: Int): org.apache.spark.sql.DataFrame = {
     val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-    val root = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
-      s"${storeName}_${s.sparkContext.applicationId}")
+    val root = graft.core.SessionSpill.root(s, storeName)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val batches = Seq(

@@ -64,6 +64,39 @@ class ZmqWireSpec extends AnyFunSuite {
     assert(requests === 3)
   }
 
+  test("malformed frames fail with a descriptive protocol error, not an array overrun") {
+    val good = envelope(ClientEventsSubscribeRequest, "abc", Array[Byte](1, 2))
+    // every MID-FIELD truncation must be a clean require(); cuts at a
+    // field boundary (3 = after message_type, 8 = after correlation_id)
+    // are legal proto3 frames with default-valued trailing fields
+    for (cut <- (1 until good.length).filterNot(Set(3, 8))) {
+      val e = intercept[IllegalArgumentException] {
+        parseEnvelope(good.take(cut))
+      }
+      assert(e.getMessage != null)
+    }
+    // length-delimited field claiming more bytes than the frame holds
+    val lie = good.clone(); lie(4) = 100.toByte // correlation_id len 3 → 100
+    assert(intercept[IllegalArgumentException](parseEnvelope(lie))
+      .getMessage.contains("overruns"))
+    // huge varint length that would wrap negative as an Int
+    val neg = Array[Byte](0x12, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(intercept[IllegalArgumentException](parseEnvelope(neg))
+      .getMessage.contains("overruns"))
+    // unknown fixed64/fixed32 fields get skipped — but only within bounds
+    val fx64short = Array[Byte](0x39, 1, 2, 3) // field 7, wire 1, 3 of 8 bytes
+    assert(intercept[IllegalArgumentException](parseEnvelope(fx64short))
+      .getMessage.contains("fixed64"))
+    val fx32short = Array[Byte](0x3d, 1, 2) // field 7, wire 5, 2 of 4 bytes
+    assert(intercept[IllegalArgumentException](parseEnvelope(fx32short))
+      .getMessage.contains("fixed32"))
+    // varint with an endless continuation bit
+    val endless = Array[Byte](0x08, 0x80.toByte)
+    assert(intercept[IllegalArgumentException](parseEnvelope(endless))
+      .getMessage.contains("truncated"))
+  }
+
   test("correlation-id mismatch and wrong message type are protocol errors") {
     val badCid: Array[Byte] => Array[Byte] = { _ =>
       envelope(ClientEventsSubscribeResponse, "not-the-cid",
