@@ -114,19 +114,35 @@ object Media {
         val gif = if (png.isEmpty) GifCodec.decode(m.content) else None
         val jpg = if (png.isEmpty && gif.isEmpty) JpegCodec.decode(m.content)
                   else None
+        val avi = if (png.isEmpty && gif.isEmpty && jpg.isEmpty)
+                    Video.AviCodec.parse(m.content)
+                  else None
         val mean = png.map(PngCodec.meanIntensity)
           .orElse(gif.map(GifCodec.meanIntensity))
           .orElse(jpg.map(JpegCodec.meanIntensity))
+          .orElse(avi.map { c =>
+            // pooled intensity over every decoded MJPEG frame
+            val fs = Video.AviCodec.sampleDecodedFrames(c, stride = 1)
+            var sum = 0L; var n = 0L
+            fs.foreach { p =>
+              val px = p.pixels; var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              n += px.length
+            }
+            if (n == 0) 0.0 else sum.toDouble / (n * 255.0)
+          })
           .getOrElse {
             val px = StubCodec.decodeIntensities(m.content)
             if (px.isEmpty) 0.0 else px.sum / px.length
           }
-        // frame count: the REAL GIF frame walk for animated GIFs, 1 for
-        // any other decodable still image, stub only for opaque bytes
+        // frame count: the REAL frame walk for animated GIFs and AVI
+        // containers, 1 for any other decodable still image, stub only
+        // for genuinely opaque bytes
         val frames =
           if (gif.isDefined)
             GifCodec.decodeFrames(m.content, MaxAnimFrames)
               .map(_.length).getOrElse(1)
+          else if (avi.isDefined) avi.get.framePayloads.length
           else if (png.isDefined || jpg.isDefined) 1
           else StubCodec.sampleFrames(m.content, 1024).length
         MediaFeatures(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
-import graft.multimodal.Media
+import graft.multimodal.{Media, Video}
 
 /** Driver-contract surface for the multimodal plumbing (SURVEY.md §2.6).
   * The media table is derived deterministically from `documents`
@@ -423,6 +423,38 @@ object Multimodal {
           col("hamming").cast("int").as("hamming"),
           (col("n1") * col("n2")).as("n_cross_pairs"))
         .orderBy("canonical1", "canonical2")
+    },
+
+    // q183: REAL VIDEO FRAME SAMPLING — MJPEG-in-AVI, pure JVM. Every
+    // document row becomes a complete valid AVI container (RIFF LIST
+    // hdrl/avih/strl + LIST movi with one '00dc' MJPEG chunk per frame
+    // + idx1), each frame a real baseline JPEG through the full lossy
+    // encoder. The engine walks the chunk tree by size (the q117 WAV
+    // RIFF technique), decodes every 2nd frame through the full
+    // Huffman+IDCT inverse (the q89 decoder), and reports the pooled
+    // sampled-frame intensity. Frame f's 8×8 block (bx,by) is constant
+    // at a+3bx+5by+7f — block-constant frames survive the lossy JPEG
+    // pipeline bit-exactly, so the oracle is closed-form: per sampled
+    // frame 64·(bw·bh·a + 3bh·Σbx + 5bw·Σby) plus 64·bw·bh·7f pooled
+    // over sampled f ∈ {0,2,…} (Σf = ks(ks−1) for ks sampled frames).
+    Q("q183_avi_frame_sample",
+      """WITH m AS (SELECT doc_id, (doc_id % 4 + 1) AS bw, (doc_id % 2 + 1) AS bh,
+        |    (doc_id % 64) AS a, CAST(doc_id % 4 + 2 AS BIGINT) AS f FROM documents),
+        |k AS (SELECT *, (f + 1) // 2 AS ks FROM m)
+        |SELECT doc_id AS media_id,
+        |  CAST(bw * 8 AS INT) AS width,
+        |  CAST(bh * 8 AS INT) AS height,
+        |  CAST(f AS INT) AS n_frames,
+        |  CAST(ks AS INT) AS n_sampled,
+        |  round(CAST(64 * ks * (bw * bh * a + 3 * bh * (bw * (bw - 1) // 2)
+        |      + 5 * bw * (bh * (bh - 1) // 2))
+        |      + 64 * bw * bh * 7 * ks * (ks - 1)
+        |    AS DOUBLE) / (ks * 64 * bw * bh * 255.0), 6) AS mean_intensity
+        |FROM k ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val avis = Video.synthMjpegAvis(Tables.load(s, dir, "documents"))
+      Video.sampleAviFrames(avis, stride = 2).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
+        .orderBy("media_id")
     }
   )
 }
