@@ -823,18 +823,27 @@ object Curation {
     // per whitespace word, and how many chars each token carries, per
     // language): a vocabulary trained on a mixed corpus over-fragments
     // under-represented languages, and THIS report is how that shows up
-    // — the number every multilingual-model paper tables. Composes the
-    // proven q108 trainer with the q109 apply-join, grouped by the
-    // documents' language column; both ratios round once at the end,
-    // everything upstream is exact integers.
+    // — the number every multilingual-model paper tables. The corpus is
+    // the LOCALIZED one (graft.core.Localize, shared with q25/q175);
+    // the q108 BPE vocabulary stays trained on the raw English-shaped
+    // corpus, which is precisely the under-representation story: es/de/
+    // fr marker words and zh's reversed tokens are OUT-OF-VOCABULARY,
+    // and an OOV word falls back to character-level tokens (n_tok =
+    // word length — the BPE base alphabet with no applicable merges),
+    // so zh fertility lands near chars-per-word while en keeps the
+    // trained segmentation. LEFT join against the vocab + coalesce is
+    // the whole fallback; everything upstream stays exact integers.
     Q("q173_tokenizer_fertility", {
       s"""WITH $bpeCtes,
          |tok AS MATERIALIZED (SELECT word,
          |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM v$BpeMerges),
-         |dw AS (SELECT lang, unnest(string_split($normSql, ' ')) AS word
+         |dw AS (SELECT lang, unnest(${graft.core.Localize.tokensSql(normSql)})
+         |         AS word
          |       FROM documents),
-         |j AS (SELECT lang, t.n_tok, length(word) AS wc
-         |      FROM dw JOIN tok t USING (word))
+         |j AS (SELECT lang,
+         |        coalesce(t.n_tok, CAST(length(word) AS BIGINT)) AS n_tok,
+         |        length(word) AS wc
+         |      FROM dw LEFT JOIN tok t USING (word))
          |SELECT lang, CAST(count(*) AS BIGINT) AS ws_tokens,
          |  CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
          |  CAST(sum(wc) AS BIGINT) AS n_chars,
@@ -846,8 +855,11 @@ object Curation {
       val tok = v.select(col("word"),
         size(split(col("seq"), " ")).cast("long").as("n_tok"))
       val out = docs(s, dir)
-        .select(col("lang"), explode(split(norm(col("text")), " ")).as("word"))
-        .join(tok, "word")
+        .select(col("lang"), explode(
+          graft.core.Localize.tokens(col("lang"), norm(col("text")))).as("word"))
+        .join(tok, Seq("word"), "left")
+        .withColumn("n_tok",
+          coalesce(col("n_tok"), length(col("word")).cast("long")))
         .groupBy("lang")
         .agg(count(lit(1)).as("ws_tokens"),
           sum("n_tok").as("bpe_tokens"),

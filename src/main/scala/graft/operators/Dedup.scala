@@ -30,6 +30,12 @@ object Dedup {
     * paths (q30 LSH banding, q34 hyperplane LSH, q54 IVF) are the design. */
   val MaxBruteForceVectors: Long = 500_000L
 
+  /** q184's boilerplate cap: a 16-token window shared by more docs than
+    * this is dropped before pairing — a viral n-gram would otherwise
+    * blow up the matched-window self-join quadratically (the standard
+    * suffix-dedup convention; both engines apply the same cap). */
+  val MaxSpanWindowDocs: Int = 64
+
   /** The q32 design bound, shared so `ScaleBench` trips the REAL guard:
     * brute-force all-pairs only while the corpus fits one executor. */
   private[graft] def requireBruteForceable(n: Long): Unit =
@@ -1065,6 +1071,73 @@ object Dedup {
           round(coalesce(col("n_dup"), lit(0L)).cast("double") / total, 6)
             .as("dup_frac"))
         .orderBy("win_len")
+    },
+
+    // ---- q184: longest shared duplicated span ---------------------------
+    // The suffix-extension upgrade of q180's fixed rungs: the ACTUAL
+    // duplicated-span length distribution. A shared span of length
+    // 16+k−1 between two docs is exactly a run of k consecutive matched
+    // 16-token windows on one diagonal (i−j constant), so the longest
+    // shared span per pair = 16 + longest island − 1, with islands
+    // found by the classic gaps-and-islands grouping
+    // (i − row_number() PARTITION BY pair, diagonal). Everything is
+    // equi-joins on window hashes plus PARTITIONED windows — never a
+    // doc×doc text comparison and never a global sort. Window hashes
+    // shared by more than MaxSpanWindowDocs docs are dropped as
+    // boilerplate before pairing (the CCNet/suffix-dedup convention) —
+    // the k² pair blowup on a viral n-gram is the one thing that
+    // wouldn't survive 100 TB, and both engines apply the same cap.
+    Q("q184_longest_dup_span",
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+        |           FROM documents),
+        |win AS (SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+        |  FROM w, unnest(range(1, len(ws) - 16 + 2)) t(i)
+        |  WHERE len(ws) >= 16),
+        |freq AS (SELECT h FROM win GROUP BY h
+        |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxSpanWindowDocs),
+        |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.i AS i, b.i AS j
+        |      FROM win a JOIN freq f ON a.h = f.h
+        |      JOIN win b ON b.h = a.h
+        |      WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT d1, d2, i,
+        |        i - row_number() OVER (PARTITION BY d1, d2, i - j
+        |                               ORDER BY i) AS isl,
+        |        i - j AS g
+        |      FROM m),
+        |runs AS (SELECT d1, d2, g, isl, count(*) AS run
+        |         FROM r GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT d1, d2, CAST(16 + max(run) - 1 AS INT) AS span_len
+        |         FROM runs GROUP BY 1, 2)
+        |SELECT span_len, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM best GROUP BY span_len ORDER BY span_len""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir)
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 16)
+      val win = w
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws) - 15)," +
+            " i -> md5(array_join(slice(ws, i, 16), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+        .localCheckpoint(true) // read by freq AND both self-join sides
+      val freq = win.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd").between(2, MaxSpanWindowDocs))
+        .select("h")
+      val shared = win.join(freq, "h")
+      val m = shared.select(col("h"), col("doc_id").as("d1"), col("i"))
+        .join(shared.select(col("h"), col("doc_id").as("d2"),
+          col("i").as("j")), "h")
+        .filter(col("d1") < col("d2"))
+      val runs = m
+        .withColumn("g", col("i") - col("j"))
+        .withColumn("isl", col("i") - row_number().over(
+          Window.partitionBy("d1", "d2", "g").orderBy("i")))
+        .groupBy("d1", "d2", "g", "isl").agg(count(lit(1)).as("run"))
+      runs.groupBy("d1", "d2").agg(max(col("run")).as("mx"))
+        .select((lit(16) + col("mx") - lit(1)).cast("int").as("span_len"))
+        .groupBy("span_len").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("span_len")
     },
 
     // ---- q181: dedup-funnel yield report --------------------------------

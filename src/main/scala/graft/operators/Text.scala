@@ -162,8 +162,15 @@ object Text {
     // Argmax over per-language marker-word occurrence counts; the
     // padded-text trick counts word-boundary matches. Ties resolve by
     // the fixed en > es > de chain — deterministic on both engines.
+    // Runs over the LOCALIZED corpus (graft.core.Localize: the label-
+    // driven transliteration that gives each language a genuinely
+    // different token distribution) so the detector actually
+    // discriminates: es/de localize to their marker words, fr localizes
+    // to real words the detector has NO profile for, zh reverses every
+    // token — both of the latter fall through to the 'en' tie default,
+    // which is exactly the failure mode q175's confusion matrix reports.
     Q("q25_lang_id", {
-      val padded = s"(' ' || $normSql || ' ')"
+      val padded = s"(' ' || ${graft.core.Localize.textSql(normSql)} || ' ')"
       val en = Seq(" the ", " a ", " of ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
       val es = Seq(" el ", " la ", " los ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
       val de = Seq(" der ", " und ", " das ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
@@ -182,7 +189,8 @@ object Text {
       def score(kws: Seq[String]): Column =
         kws.map(k => occurrences(col("_p"), k)).reduce(_ + _)
       docs(s, dir)
-        .withColumn("_p", concat(lit(" "), norm(col("text")), lit(" ")))
+        .withColumn("_p", concat(lit(" "),
+          graft.core.Localize.text(col("lang"), norm(col("text"))), lit(" ")))
         .withColumn("_en", score(Seq(" the ", " a ", " of ")))
         .withColumn("_es", score(Seq(" el ", " la ", " los ")))
         .withColumn("_de", score(Seq(" der ", " und ", " das ")))
@@ -869,14 +877,18 @@ object Text {
 
     // ---- q175: language-ID confusion matrix ------------------------------
     // The model-eval report shape for the q25 classifier: labeled (gold)
-    // language × detected language with within-label rates — fr/zh have
-    // no marker profile, so their rows show exactly WHERE the heuristic
-    // dumps out-of-vocabulary languages (the number that tells you the
-    // detector needs a new profile before the corpus mix shifts). Two
-    // tiny aggregates + one equi-join on the label; the detection chain
-    // is per-row map work, identical to q25's.
+    // language × detected language with within-label rates, over the
+    // SAME localized corpus as q25 (the two must agree — the shared
+    // Localize expression pins that). es/de detect correctly except for
+    // the few docs that carry no marker word (an honest miss-rate on
+    // the diagonal); fr/zh have no detector profile, so their rows show
+    // exactly WHERE the heuristic dumps out-of-vocabulary languages —
+    // the off-diagonal mass that tells you the detector needs a new
+    // profile before the corpus mix shifts. Two tiny aggregates + one
+    // broadcast join on the label; the detection chain is per-row map
+    // work, identical to q25's.
     Q("q175_langid_confusion", {
-      val padded = s"(' ' || $normSql || ' ')"
+      val padded = s"(' ' || ${graft.core.Localize.textSql(normSql)} || ' ')"
       val en = Seq(" the ", " a ", " of ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
       val es = Seq(" el ", " la ", " los ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
       val de = Seq(" der ", " und ", " das ").map(k => occurrencesSql(padded, k)).mkString("(", "+", ")")
@@ -896,7 +908,8 @@ object Text {
       def score(kws: Seq[String]): Column =
         kws.map(k => occurrences(col("_p"), k)).reduce(_ + _)
       val d = docs(s, dir)
-        .withColumn("_p", concat(lit(" "), norm(col("text")), lit(" ")))
+        .withColumn("_p", concat(lit(" "),
+          graft.core.Localize.text(col("lang"), norm(col("text"))), lit(" ")))
         .withColumn("_en", score(Seq(" the ", " a ", " of ")))
         .withColumn("_es", score(Seq(" el ", " la ", " los ")))
         .withColumn("_de", score(Seq(" der ", " und ", " das ")))

@@ -398,4 +398,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "phash pairs must band-join, never all-pairs:\n" + p.take(2000))
   }
+
+  test("q183: AVI frame sampling stays partition-local — no join, no window") {
+    val p = plan("q183_avi_frame_sample")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "video decode must be per-row map work:\n" + p.take(1500))
+  }
+
+  test("q184: span pairing is equi-only; islands window is partitioned") {
+    val p = plan("q184_longest_dup_span")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "matched windows must equi-join on the hash, never all-pairs:\n" +
+        p.take(2000))
+  }
 }
