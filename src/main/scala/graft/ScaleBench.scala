@@ -344,6 +344,42 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
+    // Longest-dup-span family (q184) across the replica ladder. Under
+    // replication every ORIGINALLY-shared window's doc count multiplies
+    // by r, so at high r the MaxSpanWindowDocs boilerplate cap ENGAGES —
+    // exactly the guard that keeps the matched-window self-join from
+    // squaring on a viral n-gram at 100 TB. capped_hashes records how
+    // much the cap removed (honest: the wall at 50× is cheap BECAUSE
+    // the cap fired, not because the chain is sublinear).
+    val span = {
+      val rows = replicas.map { r =>
+        val d = Amplify.docs(baseDocs, r)
+          .select("doc_id", "text").localCheckpoint(true)
+        val n = d.count()
+        var pairs = 0L; var spanRows = 0L; var capped = 0L
+        val sec = timed {
+          val hist = Dedup.longestDupSpanOf(d).localCheckpoint(true)
+          spanRows = hist.count()
+          pairs = Option(hist.agg(sum("n_pairs")).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
+        // cap audit outside the timed window: distinct-doc window
+        // frequencies above the boilerplate bound
+        capped = d
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 15)," +
+              " i -> md5(array_join(slice(ws, i, 16), ' ')))")).as("h"))
+          .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > Dedup.MaxSpanWindowDocs).count()
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"docs":$n,"span_lengths":$spanRows,""" +
+          s""""pairs":$pairs,"capped_hashes":$capped,"sec":${f"$sec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Mining family (q142/q144) across the replica ladder. Fuzzy join:
     // on the dense-id name universe every candidate is a true lev≤1
     // match (lengths differ by exactly 1, so the deletion-key equi-join
@@ -731,7 +767,8 @@ object ScaleBench {
       s""""ann_recall_clustered":$recallClustered,""" +
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
       s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
-      s""""setsim":$setsim,"mining":$mining,"asof_depth":$asofDepth}"""
+      s""""setsim":$setsim,"mining":$mining,"span":$span,""" +
+      s""""asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

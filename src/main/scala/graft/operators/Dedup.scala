@@ -36,6 +36,43 @@ object Dedup {
     * suffix-dedup convention; both engines apply the same cap). */
   val MaxSpanWindowDocs: Int = 64
 
+  /** q184's chain over an arbitrary (doc_id, text) frame — also what
+    * `ScaleBench` measures on the replica ladder (where duplication
+    * growth drives shared windows INTO the boilerplate cap: the cap
+    * engaging is the scale story, recorded not hidden). Longest shared
+    * token span per doc pair = 16 + longest run of consecutive matched
+    * 16-token windows on one diagonal − 1; runs via gaps-and-islands
+    * under a (pair, diagonal)-PARTITIONED window. */
+  private[graft] def longestDupSpanOf(docsDf: DataFrame): DataFrame = {
+    val w = docsDf
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 16)
+    val win = w
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ws) - 15)," +
+          " i -> md5(array_join(slice(ws, i, 16), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .localCheckpoint(true) // read by freq AND both self-join sides
+    val freq = win.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, MaxSpanWindowDocs))
+      .select("h")
+    val shared = win.join(freq, "h")
+    val m = shared.select(col("h"), col("doc_id").as("d1"), col("i"))
+      .join(shared.select(col("h"), col("doc_id").as("d2"),
+        col("i").as("j")), "h")
+      .filter(col("d1") < col("d2"))
+    val runs = m
+      .withColumn("g", col("i") - col("j"))
+      .withColumn("isl", col("i") - row_number().over(
+        Window.partitionBy("d1", "d2", "g").orderBy("i")))
+      .groupBy("d1", "d2", "g", "isl").agg(count(lit(1)).as("run"))
+    runs.groupBy("d1", "d2").agg(max(col("run")).as("mx"))
+      .select((lit(16) + col("mx") - lit(1)).cast("int").as("span_len"))
+      .groupBy("span_len").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("span_len")
+  }
+
   /** The q32 design bound, shared so `ScaleBench` trips the REAL guard:
     * brute-force all-pairs only while the corpus fits one executor. */
   private[graft] def requireBruteForceable(n: Long): Unit =
@@ -1111,33 +1148,7 @@ object Dedup {
         |         FROM runs GROUP BY 1, 2)
         |SELECT span_len, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM best GROUP BY span_len ORDER BY span_len""".stripMargin) { (s, dir) =>
-      val w = docs(s, dir)
-        .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 16)
-      val win = w
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ws) - 15)," +
-            " i -> md5(array_join(slice(ws, i, 16), ' ')))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
-        .localCheckpoint(true) // read by freq AND both self-join sides
-      val freq = win.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd").between(2, MaxSpanWindowDocs))
-        .select("h")
-      val shared = win.join(freq, "h")
-      val m = shared.select(col("h"), col("doc_id").as("d1"), col("i"))
-        .join(shared.select(col("h"), col("doc_id").as("d2"),
-          col("i").as("j")), "h")
-        .filter(col("d1") < col("d2"))
-      val runs = m
-        .withColumn("g", col("i") - col("j"))
-        .withColumn("isl", col("i") - row_number().over(
-          Window.partitionBy("d1", "d2", "g").orderBy("i")))
-        .groupBy("d1", "d2", "g", "isl").agg(count(lit(1)).as("run"))
-      runs.groupBy("d1", "d2").agg(max(col("run")).as("mx"))
-        .select((lit(16) + col("mx") - lit(1)).cast("int").as("span_len"))
-        .groupBy("span_len").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("span_len")
+      longestDupSpanOf(docs(s, dir))
     },
 
     // ---- q181: dedup-funnel yield report --------------------------------

@@ -503,23 +503,27 @@ object IncrementalDedup {
     }
     Prof("q94 maintain+commit") { reg match {
       case Some(rg) =>
-        // One SMALL checkpoint each for the id sets whose derivation
-        // reads the PRE-commit store: exact-replay ids and stale
-        // (changed-text) ids. The fresh frames themselves stay LAZY —
-        // their lineage reads only the persisted batch frames plus
-        // these checkpointed id sets, never a store directory, so the
-        // commit's GC cannot invalidate them, and each is materialized
-        // ONCE, inside its write. (The previous shape checkpointed the
-        // full fresh frames — three data-sized materializations per
-        // batch, with the registry semi-join executed twice — and was
-        // the largest steady per-batch cost in the q94 phase profile.)
-        val exactIds = rg.join(batchReg, sigCols, "left_semi").select("doc_id")
+        // ONE small checkpoint for the id sets whose derivation reads
+        // the PRE-commit store: the registry probe joins the batch once
+        // on doc_id and a null-safe all-columns equality flag splits
+        // exact-replay ids (signature unchanged) from stale ids
+        // (changed text). The fresh frames themselves stay LAZY — their
+        // lineage reads only the persisted batch frames plus this
+        // checkpointed id set, never a store directory, so the commit's
+        // GC cannot invalidate them. (Earlier shapes checkpointed two
+        // id frames from two separate probe-reading joins — semi on all
+        // columns + semi/anti pair — which doubled the store read and
+        // the checkpoint count per batch; registry rows are unique per
+        // doc_id on both sides, so the doc_id join + flag is the same
+        // partition of ids.)
+        val sigOnly = sigCols.filterNot(_ == "doc_id")
+        val flags = rg.as("r").join(batchReg.as("n"), Seq("doc_id"))
+          .select(col("doc_id"),
+            sigOnly.map(c => col(s"r.$c") <=> col(s"n.$c"))
+              .reduce(_ && _).as("is_exact"))
           .localCheckpoint(true)
-        val staleIds = rg
-          .join(batchReg.select("doc_id"), Seq("doc_id"), "left_semi")
-          .join(batchReg, sigCols, "left_anti")
-          .select("doc_id")
-          .localCheckpoint(true)
+        val exactIds = flags.filter(col("is_exact")).select("doc_id")
+        val staleIds = flags.filter(!col("is_exact")).select("doc_id")
         val freshReg = batchReg.join(exactIds, Seq("doc_id"), "left_anti")
         val freshIdx = xRows.join(exactIds, Seq("doc_id"), "left_anti")
         if (!staleIds.isEmpty) {
