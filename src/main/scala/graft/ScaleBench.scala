@@ -344,13 +344,14 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
-    // Longest-dup-span family (q184) across the replica ladder. Under
-    // replication every ORIGINALLY-shared window's doc count multiplies
-    // by r, so at high r the MaxSpanWindowDocs boilerplate cap ENGAGES —
-    // exactly the guard that keeps the matched-window self-join from
-    // squaring on a viral n-gram at 100 TB. capped_hashes records how
-    // much the cap removed (honest: the wall at 50× is cheap BECAUSE
-    // the cap fired, not because the chain is sublinear).
+    // Longest-dup-span family (q184) across the replica ladder.
+    // Amplify.docs word-ciphers each replica's text, so windows stay
+    // DISJOINT across replicas (pairs scale ~linearly in r, the
+    // realistic independent-corpus growth; measured 50× data ≈ 5×
+    // wall). capped_hashes audits the MaxSpanWindowDocs boilerplate
+    // guard — the thing that keeps the matched-window self-join from
+    // squaring on a viral n-gram at 100 TB; 0 here means no window
+    // crossed the bound, so the measured wall is the UNCAPPED chain.
     val span = {
       val rows = replicas.map { r =>
         val d = Amplify.docs(baseDocs, r)

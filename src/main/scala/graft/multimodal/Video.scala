@@ -175,6 +175,144 @@ object Video {
     }.toDF("media_id", "content")
   }
 
+  /** Deterministic AVIs with REPEATED frames for the shot-statistics
+    * gate: frame f's base is a + 7·(f/2), so consecutive frame PAIRS
+    * are bit-identical (one "shot" per pair, a trailing odd frame its
+    * own shot) — the decoder must prove it can tell identical frames
+    * from changed ones through the full decode path. */
+  def synthShotAvis(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = ((d % 4 + 1) * 8).toInt; val h = ((d % 2 + 1) * 8).toInt
+        val a = (d % 64).toInt; val nf = (d % 4 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          JpegCodec.encodeGrayBaseline(w, h,
+            (x, y) => a + 3 * (x / 8) + 5 * (y / 8) + 7 * (f / 2))
+        }
+        (d, AviCodec.encodeMjpeg(w, h, fps = 10, frames))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Per-video temporal structure: frame count, DISTINCT decoded
+    * frames, shot count (runs of identical adjacent frames), and the
+    * mean per-pixel |delta| across consecutive frame pairs. */
+  case class ShotStats(media_id: Long, n_frames: Int, n_distinct: Int,
+                       n_shots: Int, mean_frame_delta: Double)
+
+  /** VIDEO SHOT STATISTICS: decode every frame, fingerprint the pixel
+    * planes, count distinct frames and identical-adjacent runs, and
+    * average the per-pixel absolute delta over consecutive pairs —
+    * the within-video frame-dedup + change-detection report a video
+    * curation pipeline keys sampling decisions on. Partition-local
+    * per row; nothing but the fixed-width stats row leaves the map. */
+  def shotStats(media: DataFrame): Dataset[ShotStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AviCodec.parse(bytes) match {
+          case Some(c) =>
+            val fs = AviCodec.sampleDecodedFrames(c, stride = 1)
+            if (fs.isEmpty) ShotStats(id, c.framePayloads.length, 0, 0, -1.0)
+            else {
+              // one md5 fingerprint per frame (dims + pixels) — O(n)
+              // hashing even on a hostile frame count, no pairwise
+              // array comparisons
+              val keys = fs.map(p => frameKey(p))
+              val distinct = keys.distinct.length
+              var shots = 1; var deltaSum = 0.0; var pairs = 0
+              for (f <- 1 until fs.length) {
+                val (a, b) = (fs(f - 1), fs(f))
+                if (keys(f) != keys(f - 1)) shots += 1
+                // mean per-pixel |delta|; a dimension change counts as
+                // a full-scale change (never hit by the fixtures)
+                deltaSum +=
+                  (if (a.pixels.length != b.pixels.length) 255.0
+                   else {
+                     var s = 0L; var i = 0
+                     while (i < a.pixels.length) {
+                       s += math.abs((a.pixels(i) & 0xff) - (b.pixels(i) & 0xff))
+                       i += 1
+                     }
+                     s.toDouble / a.pixels.length
+                   })
+                pairs += 1
+              }
+              ShotStats(id, fs.length, distinct, shots,
+                if (pairs == 0) 0.0 else deltaSum / pairs)
+            }
+          case None => ShotStats(id, -1, -1, -1, -1.0)
+        }
+      })
+  }
+
+  /** Content fingerprint of one decoded frame: md5 over dims + pixel
+    * plane — the frame-level identity the shot stats and the video
+    * dedup both key on. */
+  private def frameKey(p: JpegPixels): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.ByteBuffer.allocate(8)
+      .putInt(p.width).putInt(p.height).array())
+    md.update(p.pixels)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Whole-video content fingerprint: md5 over dims + the ordered frame
+    * keys — two videos share it iff every decoded frame matches in
+    * order. */
+  def videoFingerprint(bytes: Array[Byte]): Option[String] =
+    AviCodec.parse(bytes).map { c =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"${c.width}x${c.height}:".getBytes("US-ASCII"))
+      AviCodec.sampleDecodedFrames(c, stride = 1)
+        .foreach(p => md.update(frameKey(p).getBytes("US-ASCII")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+  /** Deterministic AVIs for the exact-video-dedup gate: every THREE
+    * consecutive doc_ids share one g = doc_id − doc_id%3, and ALL video
+    * parameters derive from g — docs whose g collides modulo 64 (the
+    * lcm of every parameter's modulus: 4, 2, 64, 4) produce
+    * bit-identical videos; everything else differs in at least one
+    * decoded pixel or dimension. */
+  def synthGroupAvis(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val g = d - d % 3
+        val w = ((g % 4 + 1) * 8).toInt; val h = ((g % 2 + 1) * 8).toInt
+        val a = (g % 64).toInt; val nf = (g % 4 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          JpegCodec.encodeGrayBaseline(w, h,
+            (x, y) => a + 3 * (x / 8) + 5 * (y / 8) + 7 * f)
+        }
+        (d, AviCodec.encodeMjpeg(w, h, fps = 10, frames))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** EXACT VIDEO DEDUP: decode → whole-video content fingerprint → ONE
+    * hash groupBy on the fingerprint (the q28 exact-dedup shape on a
+    * new modality — never pairwise), reported as a dup-group-size
+    * histogram. At 100 TB this is a map-side decode + a 16-byte-key
+    * exchange, the same plan as text exact-dedup. */
+  def videoDupGroups(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, videoFingerprint(bytes).getOrElse("unparsable"))
+      }).toDF("media_id", "fp")
+    fps.groupBy("fp").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size").cast("int").as("group_size"),
+        col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_videos"))
+      .orderBy("group_size")
+  }
+
   /** Sampled-video feature row — the q116 GIF shape on a real video
     * container: geometry, real frame count, frames sampled, pooled
     * sampled-frame intensity. */

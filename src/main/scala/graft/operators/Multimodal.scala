@@ -455,6 +455,51 @@ object Multimodal {
       Video.sampleAviFrames(avis, stride = 2).toDF()
         .withColumn("mean_intensity", round(col("mean_intensity"), 6))
         .orderBy("media_id")
+    },
+
+    // q185: VIDEO SHOT STATISTICS — within-video frame dedup + change
+    // detection, the report a video curation pipeline keys sampling
+    // decisions on. Fixtures repeat frames in PAIRS (frame f's base is
+    // a + 7·(f/2)), so the engine must prove — through the full
+    // container walk + JPEG decode — that it can tell bit-identical
+    // frames from changed ones: distinct = shots = ceil(nf/2), and the
+    // mean per-pixel |delta| across consecutive pairs is exactly
+    // 7·(shots−1)/(nf−1) because every boundary shifts EVERY pixel by
+    // 7 and every within-shot pair by 0.
+    Q("q185_video_shot_stats",
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS f
+        |           FROM documents),
+        |k AS (SELECT *, (f + 1) // 2 AS shots FROM m)
+        |SELECT doc_id AS media_id,
+        |  CAST(f AS INT) AS n_frames,
+        |  CAST(shots AS INT) AS n_distinct,
+        |  CAST(shots AS INT) AS n_shots,
+        |  round(7.0 * (shots - 1) / (f - 1), 6) AS mean_frame_delta
+        |FROM k ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val avis = Video.synthShotAvis(Tables.load(s, dir, "documents"))
+      Video.shotStats(avis).toDF()
+        .withColumn("mean_frame_delta", round(col("mean_frame_delta"), 6))
+        .orderBy("media_id")
+    },
+
+    // q186: EXACT VIDEO DEDUP — the q28 exact-dedup shape on the video
+    // modality: decode every frame, fingerprint the ordered frame
+    // content, ONE hash groupBy on the 16-byte fingerprint (never
+    // pairwise), reported as a dup-group-size histogram. The fixture
+    // derives every video parameter from g = doc_id − doc_id%3, so
+    // videos are bit-identical exactly when g ≡ g' (mod 64) — the
+    // oracle counts those congruence classes while the engine has to
+    // EARN the same histogram through the codec path.
+    Q("q186_video_exact_dedup",
+      """WITH v AS (SELECT ((doc_id - doc_id % 3) % 64) AS cls
+        |           FROM documents),
+        |g AS (SELECT cls, count(*) AS sz FROM v GROUP BY cls)
+        |SELECT CAST(sz AS INT) AS group_size,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sz * count(*) AS BIGINT) AS n_videos
+        |FROM g GROUP BY sz ORDER BY group_size""".stripMargin) { (s, dir) =>
+      val avis = Video.synthGroupAvis(Tables.load(s, dir, "documents"))
+      Video.videoDupGroups(avis)
     }
   )
 }

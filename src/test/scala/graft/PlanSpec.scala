@@ -405,6 +405,19 @@ class PlanSpec extends SparkSpec {
       "video decode must be per-row map work:\n" + p.take(1500))
   }
 
+  test("q185: shot stats stay partition-local — no join, no window") {
+    val p = plan("q185_video_shot_stats")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "shot detection must be per-row map work:\n" + p.take(1500))
+  }
+
+  test("q186: video dedup is hash groupBys on the fingerprint — no join") {
+    val p = plan("q186_video_exact_dedup")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "exact video dedup must never pair videos:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("q184: span pairing is equi-only; islands window is partitioned") {
     val p = plan("q184_longest_dup_span")
     assert(!p.contains("CartesianProduct") &&

@@ -109,6 +109,44 @@ class VideoSpec extends SparkSpec {
     assert(math.abs(f.mean_intensity - 24.0 / 255.0) < 1e-9)
   }
 
+  test("shot stats: repeated frames collapse to shots, delta is exact") {
+    // frames with bases 10,10,17,17,24 → 3 shots, distinct 3, deltas
+    // over 4 consecutive pairs: 0,7,0,7 → mean 3.5
+    val frames = Seq(10, 10, 17, 17, 24).map(frame(8, 8, _))
+    val avi = AviCodec.encodeMjpeg(8, 8, 10, frames)
+    val r = Video.shotStats(Seq((1L, avi)).toDF("media_id", "content"))
+      .collect().head
+    assert(r.n_frames === 5 && r.n_distinct === 3 && r.n_shots === 3)
+    assert(math.abs(r.mean_frame_delta - 3.5) < 1e-9)
+    // a single-frame video: 1 shot, no pairs, delta 0
+    val one = Video.shotStats(Seq((2L, AviCodec.encodeMjpeg(8, 8, 10,
+      Seq(frame(8, 8, 5))))).toDF("media_id", "content")).collect().head
+    assert(one.n_frames === 1 && one.n_shots === 1 && one.mean_frame_delta === 0.0)
+  }
+
+  test("video dedup: identical content groups, any pixel change splits") {
+    val a = AviCodec.encodeMjpeg(8, 8, 10, Seq(frame(8, 8, 1), frame(8, 8, 8)))
+    val b = AviCodec.encodeMjpeg(8, 8, 10, Seq(frame(8, 8, 1), frame(8, 8, 8)))
+    val c = AviCodec.encodeMjpeg(8, 8, 10, Seq(frame(8, 8, 1), frame(8, 8, 9)))
+    assert(Video.videoFingerprint(a) === Video.videoFingerprint(b))
+    assert(Video.videoFingerprint(a) !== Video.videoFingerprint(c))
+    val hist = Video.videoDupGroups(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "content"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hist.toSeq === Seq((1, 1L, 1L), (2, 1L, 2L)))
+  }
+
+  test("q186 fixture: g ≡ g' (mod 64) is exactly video identity") {
+    val ids = Seq(0L, 1L, 2L, 192L, 3L, 67L) // g: 0,0,0,192,3,66
+    val fps = Video.synthGroupAvis(ids.toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+      .view.mapValues(b => Video.videoFingerprint(b).get).toMap
+    assert(fps(0L) === fps(1L) && fps(1L) === fps(2L), "triple shares g")
+    assert(fps(0L) === fps(192L), "g=192 ≡ 0 (mod 64) collides by design")
+    assert(fps(0L) !== fps(3L), "g=3 differs")
+    assert(fps(3L) !== fps(67L), "g=66 vs 3: different class")
+  }
+
   test("q183 fixture closed form holds for a hand-checked doc_id") {
     val d = 7L // bw=4, bh=2, a=7, nf=1+2=... d%4+2 = 5? 7%4=3 → nf=5
     val avis = Video.synthMjpegAvis(Seq(d).toDF("doc_id"))
