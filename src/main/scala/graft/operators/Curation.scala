@@ -923,14 +923,22 @@ object Curation {
           val ltRow = sc0.agg(ltCols.head, ltCols.tail: _*).head()
           val cntLt = distinctC.zipWithIndex
             .map { case (c, j) => c -> ltRow.getLong(j) }.toMap
-          val edges: Seq[(Long, Long)] = distinctC.flatMap { c =>
-            val local = edgeRank.zipWithIndex.collect {
-              case (e, i) if suEdge(s"e$i") == c => s"u$i" -> (e - cntLt(c))
-            }.toMap
-            val uid = ExactQuantile.kthSmallest(
-              sc0.filter(col("su") === c), "doc_id", local)
-            local.keys.toSeq.map(k => (c, uid(k)))
-          }
+          // ALL tie blocks narrowed in ONE grouped pass sequence (the
+          // q129 machinery): up to 9 per-edge narrowings collapse to
+          // ~2 shared scans — group predicates ride inside the
+          // histogram cells
+          val tieKs: Map[(String, String), Long] = distinctC.flatMap { c =>
+            edgeRank.zipWithIndex.collect {
+              case (e, i) if suEdge(s"e$i") == c =>
+                (c.toString, s"u$i") -> (e - cntLt(c))
+            }
+          }.toMap
+          val uidByGroup = ExactQuantile.kthSmallestByGroup(
+            sc0.withColumn("_g", col("su").cast("string")), "_g", "doc_id",
+            tieKs)
+          val edges: Seq[(Long, Long)] =
+            tieKs.keys.toSeq.map { case (g, lbl) =>
+              (g.toLong, uidByGroup((g, lbl))) }
           val decile = edges.foldLeft(lit(1)) { case (acc, (c, uEdge)) =>
             acc + when(col("su") > c ||
               (col("su") === c && col("doc_id") > uEdge), 1).otherwise(0)

@@ -1183,14 +1183,21 @@ object Mining {
         val gtRow = u.agg(gtCols.head, gtCols.tail: _*).head()
         val cntGt = distinctC.zipWithIndex
           .map { case (c, j) => c -> gtRow.getLong(j) }.toMap
-        val edges: Seq[(Long, Long)] = distinctC.flatMap { c =>
-          val local = edgeRankDesc.zipWithIndex.collect {
-            case (e, i) if cEdge(s"e$i") == c => s"u$i" -> (e - cntGt(c))
-          }.toMap
-          val uid = ExactQuantile.kthSmallest(
-            u.filter(col("cents") === c), "user_id", local)
-          local.keys.toSeq.map(k => (c, uid(k)))
-        }
+        // all tie blocks narrowed in ONE grouped pass sequence (the
+        // q129 machinery): up to 9 per-edge narrowings collapse to ~2
+        // shared scans
+        val tieKs: Map[(String, String), Long] = distinctC.flatMap { c =>
+          edgeRankDesc.zipWithIndex.collect {
+            case (e, i) if cEdge(s"e$i") == c =>
+              (c.toString, s"u$i") -> (e - cntGt(c))
+          }
+        }.toMap
+        val uidByGroup = ExactQuantile.kthSmallestByGroup(
+          u.withColumn("_g", col("cents").cast("string")), "_g", "user_id",
+          tieKs)
+        val edges: Seq[(Long, Long)] =
+          tieKs.keys.toSeq.map { case (g, lbl) =>
+            (g.toLong, uidByGroup((g, lbl))) }
         // map-side decile assignment: 1 + #edges strictly earlier in
         // (cents DESC, user_id ASC) order — nine broadcast literals
         val decile = edges.foldLeft(lit(1)) { case (acc, (c, uEdge)) =>
