@@ -1151,6 +1151,81 @@ object Dedup {
       longestDupSpanOf(docs(s, dir))
     },
 
+    // ---- q187: substring-dedup CUT accounting ---------------------------
+    // q180 picks the window length, q184 measures span lengths, q181
+    // counts whole-doc survivors — this is the actual CUT step's
+    // yield: under the earlier-id-wins rule (a 16-token window whose
+    // hash appears in any LOWER doc_id is duplicated material), how
+    // many TOKENS does span removal excise per source? Removed
+    // positions are the UNION of [i, i+15] intervals over flagged
+    // window starts — merged per doc by gaps-and-islands (starts ≤16
+    // apart are one contiguous cut), so overlapping windows never
+    // double-count. One hash groupBy for the window minima, one
+    // equi-join back, per-doc PARTITIONED windows for the merge —
+    // never doc×doc, never a global sort.
+    Q("q187_substring_dedup_cut",
+      s"""WITH base AS (SELECT doc_id, source,
+        |    string_split($normSql, ' ') AS ws FROM documents),
+        |win AS (SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(ws, i, i + 15), ' ')) AS h
+        |  FROM base, unnest(range(1, len(ws) - 16 + 2)) t(i)
+        |  WHERE len(ws) >= 16),
+        |wmin AS (SELECT h, min(doc_id) AS mind FROM win GROUP BY 1),
+        |rem AS (SELECT w.doc_id, w.i FROM win w JOIN wmin USING (h)
+        |        WHERE wmin.mind < w.doc_id),
+        |r AS (SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 16
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM rem),
+        |r2 AS (SELECT doc_id, i, sum(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM r),
+        |isls AS (SELECT doc_id, isl, max(i) - min(i) + 16 AS cut
+        |         FROM r2 GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, sum(cut) AS removed FROM isls GROUP BY 1)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(cov.removed) AS BIGINT) AS docs_touched,
+        |  CAST(sum(len(ws)) AS BIGINT) AS tokens_in,
+        |  CAST(coalesce(sum(cov.removed), 0) AS BIGINT) AS tokens_removed,
+        |  round(CAST(coalesce(sum(cov.removed), 0) AS DOUBLE)
+        |    / sum(len(ws)), 6) AS removed_frac
+        |FROM base LEFT JOIN cov USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(norm(col("text")), " ").as("ws"))
+        .localCheckpoint(true) // read by the window explode AND the final agg
+      val win = base.filter(size(col("ws")) >= 16)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws) - 15)," +
+            " i -> md5(array_join(slice(ws, i, 16), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      val wmin = win.groupBy("h").agg(min(col("doc_id")).as("mind"))
+      val rem = win.join(wmin, "h")
+        .filter(col("mind") < col("doc_id"))
+        .select("doc_id", "i")
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val cov = rem
+        .withColumn("prev", lag(col("i"), 1).over(byDoc))
+        .withColumn("brk",
+          when(col("prev").isNull || col("i") - col("prev") > 16, 1)
+            .otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(byDoc))
+        .groupBy("doc_id", "isl")
+        .agg((max(col("i")) - min(col("i")) + 16).as("cut"))
+        .groupBy("doc_id").agg(sum(col("cut")).as("removed"))
+      base.join(cov, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("removed")).as("docs_touched"),
+          sum(size(col("ws"))).cast("long").as("tokens_in"),
+          coalesce(sum(col("removed")), lit(0L)).as("tokens_removed"),
+          round(coalesce(sum(col("removed")), lit(0L)).cast("double") /
+            sum(size(col("ws"))), 6).as("removed_frac"))
+        .orderBy("source")
+    },
+
     // ---- q181: dedup-funnel yield report --------------------------------
     // The dashboard a dedup run ships with: how many docs/tokens does
     // EACH stage remove, per source? Three independent keep-rules

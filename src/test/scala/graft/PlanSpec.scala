@@ -418,6 +418,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("q187: cut accounting joins equi-only — never doc×doc") {
+    val p = plan("q187_substring_dedup_cut")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "flagged windows must equi-join on hash:\n" + p.take(2000))
+  }
+
   test("q184: span pairing is equi-only; islands window is partitioned") {
     val p = plan("q184_longest_dup_span")
     assert(!p.contains("CartesianProduct") &&
