@@ -1894,31 +1894,114 @@ object Media {
       .mapPartitions(_.map { case (id, bytes) =>
         GifCodec.decode(bytes) match {
           case Some(p) =>
-            val w = p.width; val h = p.height
-            val sums = new Array[Long](64); val cnts = new Array[Long](64)
-            var total = 0L
-            var i = 0
-            while (i < w * h) {
-              val x = i % w; val y = i / w
-              val v = (p.pixels(i) & 0xff).toLong
-              val b = (y * 8 / h) * 8 + (x * 8 / w)
-              sums(b) += v; cnts(b) += 1; total += v
-              i += 1
-            }
-            val tc = w.toLong * h
-            val sb = new java.lang.StringBuilder(64)
-            var nAbove = 0
-            var j = 0
-            while (j < 64) {
-              val bit = cnts(j) > 0 && sums(j) * tc > total * cnts(j)
-              sb.append(if (bit) '1' else '0')
-              if (bit) nAbove += 1
-              j += 1
-            }
-            PerceptualHash(id, sb.toString, nAbove)
+            val (ph, nAbove) = aHash64(p.width, p.height, p.pixels)
+            PerceptualHash(id, ph, nAbove)
           case None => PerceptualHash(id, "", -1)
         }
       })
+  }
+
+  /** The integer-exact 8×8 aHash kernel shared by every modality's
+    * fingerprint leg (GIF images in q122/q139, decoded video keyframes
+    * in q188): fixed-grid bucket means vs the image mean, decided by
+    * cross-multiplication so no float threshold can diverge from the
+    * oracle's relational recomputation. */
+  private[multimodal] def aHash64(w: Int, h: Int,
+                                  pixels: Array[Byte]): (String, Int) = {
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val v = (pixels(i) & 0xff).toLong
+      val b = (y * 8 / h) * 8 + (x * 8 / w)
+      sums(b) += v; cnts(b) += 1; total += v
+      i += 1
+    }
+    val tc = w.toLong * h
+    val sb = new java.lang.StringBuilder(64)
+    var nAbove = 0
+    var j = 0
+    while (j < 64) {
+      val bit = cnts(j) > 0 && sums(j) * tc > total * cnts(j)
+      sb.append(if (bit) '1' else '0')
+      if (bit) nAbove += 1
+      j += 1
+    }
+    (sb.toString, nAbove)
+  }
+
+  /** Per-audio acoustic fingerprint row (q189): the energy-delta-sign
+    * bit string over fixed 160-sample frames. */
+  case class AudioFingerprint(media_id: Long, afp: String, n_frames: Int)
+
+  /** ACOUSTIC FINGERPRINT over REAL decoded PCM — the audio analog of
+    * the image aHash: frame the signal into fixed 160-sample windows,
+    * take each frame's integer energy (sum of squares, exact in Long),
+    * and emit bit f = 1 iff energy(f+1) > energy(f) — the classic
+    * energy-delta-sign fingerprint (the shape under Shazam-style
+    * landmark hashing, reduced to its sign skeleton so the gate is
+    * integer-exact). Per-row local kernel, map-only; near-dup grouping
+    * downstream is banded Hamming on the bit string, identical in shape
+    * to q139's image leg. Undecodable payloads → ("", -1). */
+  def audioFingerprints(media: DataFrame): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        WavCodec.decode(bytes) match {
+          case Some(p) =>
+            val frame = 160
+            val nf = p.samples.length / frame
+            val energy = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var s = 0L; var i = f * frame
+              val end = i + frame
+              while (i < end) {
+                val v = p.samples(i).toLong; s += v * v; i += 1
+              }
+              energy(f) = s
+              f += 1
+            }
+            val sb = new java.lang.StringBuilder(math.max(nf - 1, 0))
+            var k = 1
+            while (k < nf) {
+              sb.append(if (energy(k) > energy(k - 1)) '1' else '0')
+              k += 1
+            }
+            AudioFingerprint(id, sb.toString, nf)
+          case None => AudioFingerprint(id, "", -1)
+        }
+      })
+  }
+
+  /** Deterministic stepped-amplitude WAV fixtures for the acoustic
+    * near-dup gate (q189): docs cluster in groups of 4 (g = doc_id −
+    * doc_id%4, member m = doc_id%4). 33 frames of 160 constant-valued
+    * samples walk amplitude A(0)=500, A(f+1)=A(f)±15, the sign chosen
+    * by bit(f) = ((3f + g%89) % 7 < 3) XOR (f < m) — so the decoded
+    * energy-delta fingerprint is exactly that closed-form 32-bit
+    * string, members of one group sit Hamming |m1−m2| ∈ {1,2,3} apart,
+    * and the oracle never has to model PCM at all. */
+  def synthSteppedWavs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val g = d - d % 4; val m = (d % 4).toInt
+        val bits = Array.tabulate(32) { f =>
+          (((3 * f + (g % 89)) % 7 < 3) != (f < m))
+        }
+        val samples = new Array[Short](33 * 160)
+        var a = 500
+        var f = 0
+        while (f < 33) {
+          java.util.Arrays.fill(samples, f * 160, (f + 1) * 160, a.toShort)
+          if (f < 32) a += (if (bits(f)) 15 else -15)
+          f += 1
+        }
+        (d, WavCodec.encodePcm16(16000, samples))
+      }
+    }.toDF("media_id", "content")
   }
 
   /** Deterministic VALID baseline JPEGs from `documents`: every row gets

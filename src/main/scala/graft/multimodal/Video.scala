@@ -313,6 +313,54 @@ object Video {
       .orderBy("group_size")
   }
 
+  /** Deterministic single-keyframe AVIs for the video NEAR-dup gate
+    * (q188): docs cluster in groups of 4 (g = doc_id − doc_id%4,
+    * member m = doc_id%4). One 64×64 MJPEG keyframe of 8×8-constant
+    * blocks at 200 ("hi") or 40 ("lo"): block b = by·8+bx is hi iff
+    * ((3bx + 5by + g%97) % 7 < 3) XOR (b < m). Block-constant frames
+    * survive the lossy JPEG pipeline bit-exactly and the 64×64
+    * geometry makes each aHash cell exactly one block, so the decoded
+    * keyframe's perceptual hash is exactly that closed-form bit
+    * pattern — members of one group sit Hamming |m1−m2| ∈ {1,2,3}
+    * apart (prefix-flip symmetric difference) and the oracle predicts
+    * every bit relationally. The residue walk of (3bx+5by+c) mod 7
+    * covers all 7 residues over any row of 8 blocks, so the pattern is
+    * never all-hi or all-lo and the aHash threshold is always strict. */
+  def synthKeyframeAvis(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val g = d - d % 4; val m = (d % 4).toInt
+        val frame = JpegCodec.encodeGrayBaseline(64, 64, (x, y) => {
+          val bx = x / 8; val by = y / 8; val b = by * 8 + bx
+          val hi = (((3 * bx + 5 * by + (g % 97)) % 7 < 3) != (b < m))
+          if (hi) 200 else 40
+        })
+        (d, AviCodec.encodeMjpeg(64, 64, fps = 10, Seq(frame)))
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** VIDEO KEYFRAME PERCEPTUAL HASH: walk the container, decode frame 0
+    * through the full baseline-JPEG inverse, fingerprint it with the
+    * shared integer-exact 8×8 aHash ([[Media.aHash64]]) — the standard
+    * keyframe fingerprint a video near-dup pass buckets on. Map-only
+    * per row; only the 64-char hash leaves the partition. */
+  def keyframePhashes(media: DataFrame): Dataset[Media.PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ph = for {
+          c <- AviCodec.parse(bytes)
+          p <- c.framePayloads.headOption.flatMap(JpegCodec.decode)
+        } yield Media.aHash64(p.width, p.height, p.pixels)
+        ph match {
+          case Some((s, n)) => Media.PerceptualHash(id, s, n)
+          case None => Media.PerceptualHash(id, "", -1)
+        }
+      })
+  }
+
   /** Sampled-video feature row — the q116 GIF shape on a real video
     * container: geometry, real frame count, frames sampled, pooled
     * sampled-frame intensity. */

@@ -500,6 +500,125 @@ object Multimodal {
         |FROM g GROUP BY sz ORDER BY group_size""".stripMargin) { (s, dir) =>
       val avis = Video.synthGroupAvis(Tables.load(s, dir, "documents"))
       Video.videoDupGroups(avis)
+    },
+
+    // q188: VIDEO NEAR-DUP via keyframe perceptual hash — the q139
+    // banded-Hamming shape on the video modality, completing the
+    // exact(q186)/shot(q185)/near-dup ladder video now shares with
+    // text and images. The engine EARNS each fingerprint through the
+    // real container walk + baseline-JPEG decode of frame 0 + the
+    // shared integer aHash; fixtures cluster in groups of 4 whose
+    // keyframes differ by 1-3 flipped 8×8 blocks (closed-form bit
+    // pattern — see Video.synthKeyframeAvis), so the oracle predicts
+    // every hash bit relationally and both sides band identically.
+    Q("q188_video_phash_neardup",
+      s"""WITH m AS (SELECT doc_id, (doc_id - doc_id % 4) AS g,
+        |           (doc_id % 4) AS mm FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN (((b % 8) * 3 + (b // 8) * 5 + g % 97) % 7 < 3)
+        |              <> (b < mm) THEN 1 ELSE 0 END AS bit
+        |  FROM m, unnest(range(64)) t(b)),
+        |ph AS (SELECT doc_id,
+        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS phash
+        |  FROM bits GROUP BY 1),
+        |${bandSqlTail(64, 4, 6)}""".stripMargin) { (s, dir) =>
+      val avis = Video.synthKeyframeAvis(Tables.load(s, dir, "documents"))
+      val grp = Video.keyframePhashes(avis).toDF()
+        .groupBy("phash")
+        .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // decode once; bands + both join-backs read it
+      bandedHammingPairs(grp, nBits = 64, nBands = 4, maxHam = 6)
+    },
+
+    // q189: AUDIO NEAR-DUP via acoustic fingerprint — the same banded
+    // Hamming pass on the audio modality: REAL WAV decode → 160-sample
+    // frame energies (integer-exact) → energy-delta-sign bit string →
+    // band join on DISTINCT fingerprints. Fixtures walk a stepped
+    // amplitude whose up/down sequence IS the closed-form 32-bit
+    // fingerprint (see Media.synthSteppedWavs), group members sitting
+    // Hamming 1-3 apart; 4 bands of 8 bits pigeonhole-guarantee recall
+    // at Hamming ≤ 3 — the same trade as the image leg, applied by
+    // both engines.
+    Q("q189_audio_fingerprint_neardup",
+      s"""WITH m AS (SELECT doc_id, (doc_id - doc_id % 4) AS g,
+        |           (doc_id % 4) AS mm FROM documents),
+        |bits AS (SELECT doc_id, f,
+        |    CASE WHEN ((3 * f + g % 89) % 7 < 3) <> (f < mm)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM m, unnest(range(32)) t(f)),
+        |ph AS (SELECT doc_id,
+        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY f) AS phash
+        |  FROM bits GROUP BY 1),
+        |${bandSqlTail(32, 4, 4)}""".stripMargin) { (s, dir) =>
+      val wavs = Media.synthSteppedWavs(Tables.load(s, dir, "documents"))
+      val grp = Media.audioFingerprints(wavs).toDF()
+        .withColumnRenamed("afp", "phash")
+        .groupBy("phash")
+        .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // decode once; bands + both join-backs read it
+      bandedHammingPairs(grp, nBits = 32, nBands = 4, maxHam = 4)
     }
   )
+
+  /** Banded-Hamming near-dup pair report over DISTINCT fingerprints —
+    * the q139 plan shape factored for reuse across modalities: band the
+    * distinct hashes (`nBands` substrings of `nBits/nBands`), equi-join
+    * per band, compute each surviving pair's Hamming ONCE, then join
+    * canonical ids and cross-pair counts back. Quadratic only in
+    * distinct fingerprints per band bucket — never in docs. Expects
+    * `grp(phash, canonical_id, n)` already checkpointed by the caller
+    * (the decode must not rerun per consumer). */
+  private def bandedHammingPairs(grp: org.apache.spark.sql.DataFrame,
+                                 nBits: Int, nBands: Int,
+                                 maxHam: Int): org.apache.spark.sql.DataFrame = {
+    val bw = nBits / nBands
+    val bnd = grp
+      .select(col("phash"), explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .withColumn("bv", expr(s"substring(phash, b * $bw + 1, $bw)"))
+    val cp = bnd.as("a").join(bnd.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          col("a.phash") < col("c.phash"))
+      .select(col("a.phash").as("p1"), col("c.phash").as("p2"))
+      .distinct()
+      // pin the pair set BEFORE the interpreted hamming fold (q139 note:
+      // Catalyst would otherwise evaluate it once per RAW band match)
+      .localCheckpoint(true)
+    cp.withColumn("hamming", expr(
+        s"size(filter(sequence(1, $nBits), " +
+          "i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
+      .filter(col("hamming").between(1, maxHam))
+      .join(grp.select(col("phash").as("p1"),
+        col("canonical_id").as("canonical1"), col("n").as("n1")), "p1")
+      .join(grp.select(col("phash").as("p2"),
+        col("canonical_id").as("canonical2"), col("n").as("n2")), "p2")
+      .select(col("canonical1"), col("canonical2"),
+        col("hamming").cast("int").as("hamming"),
+        (col("n1") * col("n2")).as("n_cross_pairs"))
+      .orderBy("canonical1", "canonical2")
+  }
+
+  /** The oracle-side mirror of [[bandedHammingPairs]]: the shared CTE
+    * tail from a `ph(doc_id, phash)` CTE to the final pair report, so
+    * the two modalities' oracles cannot drift from each other (q122/
+    * q139 keep their original verbatim-shared chain). */
+  private def bandSqlTail(nBits: Int, nBands: Int, maxHam: Int): String = {
+    val bw = nBits / nBands
+    s"""grp AS (SELECT phash, min(doc_id) AS canonical_id,
+       |    CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+       |bnd AS (SELECT phash, b,
+       |    substr(phash, CAST(b * $bw + 1 AS INT), $bw) AS bv
+       |  FROM grp, unnest(range($nBands)) t(b)),
+       |cp AS (SELECT DISTINCT a.phash AS p1, c.phash AS p2
+       |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bv = c.bv
+       |    AND a.phash < c.phash),
+       |hm AS (SELECT p1, p2, len(list_filter(range(1, ${nBits + 1}),
+       |    i -> substr(p1, CAST(i AS INT), 1) <> substr(p2, CAST(i AS INT), 1)))
+       |    AS hamming FROM cp)
+       |SELECT g1.canonical_id AS canonical1, g2.canonical_id AS canonical2,
+       |  CAST(hm.hamming AS INT) AS hamming, g1.n * g2.n AS n_cross_pairs
+       |FROM hm JOIN grp g1 ON g1.phash = hm.p1
+       |        JOIN grp g2 ON g2.phash = hm.p2
+       |WHERE hm.hamming BETWEEN 1 AND $maxHam
+       |ORDER BY canonical1, canonical2""".stripMargin
+  }
 }

@@ -405,6 +405,15 @@ class PlanSpec extends SparkSpec {
       "video decode must be per-row map work:\n" + p.take(1500))
   }
 
+  test("q188/q189: keyframe + acoustic near-dup candidates band-join") {
+    for (q <- Seq("q188_video_phash_neardup", "q189_audio_fingerprint_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fingerprint pairs must band-join, never all-pairs:\n" + p.take(2000))
+    }
+  }
+
   test("q185: shot stats stay partition-local — no join, no window") {
     val p = plan("q185_video_shot_stats")
     assert(!p.contains("Join") && !p.contains("Window"),

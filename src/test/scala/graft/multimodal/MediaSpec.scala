@@ -233,6 +233,39 @@ class MediaSpec extends SparkSpec {
     assert(Media.WavCodec.decode(bad).isEmpty)
   }
 
+  test("q189 fixture: decoded energy-delta fingerprint is the closed-form bits") {
+    import spark.implicits._
+    val ids = Seq(8L, 9L, 10L, 11L) // one group: g=8, m=0..3
+    val fps = Media.audioFingerprints(Media.synthSteppedWavs(ids.toDF("doc_id")))
+      .collect().map(p => p.media_id -> p).toMap
+    def expectBits(d: Long): String = {
+      val g = d - d % 4; val m = (d % 4).toInt
+      (0 until 32).map { f =>
+        if (((3 * f + (g % 89)) % 7 < 3) != (f < m)) '1' else '0'
+      }.mkString
+    }
+    ids.foreach { d =>
+      assert(fps(d).n_frames === 33)
+      assert(fps(d).afp === expectBits(d), s"doc $d fingerprint diverged")
+    }
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(fps(8L).afp, fps(11L).afp) === 3)
+    assert(ham(fps(9L).afp, fps(10L).afp) === 1)
+  }
+
+  test("audioFingerprints: undecodable audio and trailing partial frames") {
+    import spark.implicits._
+    val wav = Media.WavCodec.encodePcm16(8000,
+      Array.tabulate[Short](3 * 160 + 50)(i => (i / 160 * 100).toShort))
+    val media = Seq((1L, "junk".getBytes("US-ASCII")), (2L, wav))
+      .toDF("media_id", "content")
+    val out = Media.audioFingerprints(media).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(out(1L).afp === "" && out(1L).n_frames === -1)
+    assert(out(2L).n_frames === 3, "50 trailing samples must not form a frame")
+    assert(out(2L).afp === "11", "rising constant-amplitude steps")
+  }
+
   test("box downsample matches a brute-force reference on random pixels") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 20) {

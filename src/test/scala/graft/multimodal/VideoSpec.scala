@@ -160,4 +160,35 @@ class VideoSpec extends SparkSpec {
       ).toDouble / (ks * 64 * bw * bh * 255.0)
     assert(math.abs(r.mean_intensity - expected) < 1e-12)
   }
+
+  test("q188 fixture: decoded keyframe phash is the closed-form bit pattern") {
+    val ids = Seq(40L, 41L, 42L, 43L) // one group: g=40, m=0..3
+    val phs = Video.keyframePhashes(Video.synthKeyframeAvis(ids.toDF("doc_id")))
+      .collect().map(p => p.media_id -> p.phash).toMap
+    def expectBits(d: Long): String = {
+      val g = d - d % 4; val m = (d % 4).toInt
+      (0 until 64).map { b =>
+        val bx = b % 8; val by = b / 8
+        val hi = (((3 * bx + 5 * by + (g % 97)) % 7 < 3) != (b < m))
+        if (hi) '1' else '0'
+      }.mkString
+    }
+    ids.foreach { d =>
+      assert(phs(d) === expectBits(d), s"doc $d phash diverged from closed form")
+    }
+    // prefix-flip geometry: members sit Hamming |m1-m2| apart
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(phs(40L), phs(43L)) === 3)
+    assert(ham(phs(41L), phs(42L)) === 1)
+  }
+
+  test("keyframePhashes: unparsable and frame-less payloads map to sentinel") {
+    val junk = Seq(
+      (1L, "not an avi".getBytes("US-ASCII")),
+      (2L, AviCodec.encodeMjpeg(8, 8, 10, Seq.empty)) // valid container, 0 frames
+    ).toDF("media_id", "content")
+    val out = Video.keyframePhashes(junk).collect().map(p => p.media_id -> p).toMap
+    assert(out(1L).phash === "" && out(1L).n_above === -1)
+    assert(out(2L).phash === "" && out(2L).n_above === -1)
+  }
 }
