@@ -381,6 +381,39 @@ object ScaleBench {
       rows.mkString("[", ",", "]")
     }
 
+    // Cross-modal fingerprint banding (q188) across the replica ladder:
+    // the whole corpus pays the map-only keyframe decode (container
+    // walk + baseline-JPEG inverse + aHash), but the banded candidate
+    // stage is quadratic only in DISTINCT fingerprints per band bucket
+    // — and the fixture's fingerprint space is bounded (≤ 97·4 block
+    // patterns) no matter how many videos exist, the realistic shape of
+    // a recompression-heavy video corpus. Measured claim: docs ×50 ⇒
+    // band_pairs FLAT, wall ~linear (decode-dominated). Decode cost
+    // scales with data; pairing cost scales with content diversity.
+    val fingerprints = {
+      import graft.multimodal.Video
+      import graft.operators.Multimodal
+      val rows = replicas.map { r =>
+        val d = Amplify.docs(baseDocs, r).select("doc_id").localCheckpoint(true)
+        val n = d.count()
+        var distinctFp = 0L; var bandPairs = 0L
+        val sec = timed {
+          val grp = Video.keyframePhashes(Video.synthKeyframeAvis(d)).toDF()
+            .groupBy("phash")
+            .agg(min(col("media_id")).as("canonical_id"),
+              count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          distinctFp = grp.count()
+          bandPairs = Multimodal.bandedHammingPairs(
+            grp, nBits = 64, nBands = 4, maxHam = 6).count()
+        }
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"docs":$n,"distinct_fps":$distinctFp,""" +
+          s""""band_pairs":$bandPairs,"sec":${f"$sec%.2f"}}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     // Mining family (q142/q144) across the replica ladder. Fuzzy join:
     // on the dense-id name universe every candidate is a true lev≤1
     // match (lengths differ by exactly 1, so the deletion-key equi-join
@@ -769,6 +802,7 @@ object ScaleBench {
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
       s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
       s""""setsim":$setsim,"mining":$mining,"span":$span,""" +
+      s""""fingerprints":$fingerprints,""" +
       s""""asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -86,9 +86,9 @@ object Dedup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  private def norm(c: Column): Column =
+  private[operators] def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** Distinct word-3-gram shingles per doc: (doc_id, s).
     *

@@ -44,6 +44,10 @@ object Multimodal {
       |    sum(bit) AS n_above
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** q28's normalized-text key, shared with the text leg of q190 so the
+    * two oracles can never drift. */
+  private val dedupNormSql: String = Dedup.normSql
+
   val defs: Seq[Q] = Seq(
     Q("q42_multimodal_features",
       """SELECT doc_id AS media_id,
@@ -557,6 +561,79 @@ object Multimodal {
         .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("n"))
         .localCheckpoint(true) // decode once; bands + both join-backs read it
       bandedHammingPairs(grp, nBits = 32, nBands = 4, maxHam = 4)
+    },
+
+    // q190: CROSS-MODAL DEDUP CAPSTONE — one report tying the exact-
+    // fingerprint dedup ladder together across every modality the
+    // engine owns: text (q28's normalized-text md5), image (q122's
+    // aHash over real GIF decode), audio (q189's energy-delta
+    // fingerprint over real WAV decode), video (q186's whole-video
+    // content fingerprint over the ordered decoded frames). Each leg is
+    // a map-only fingerprint + ONE hash groupBy — the identical plan
+    // shape at any corpus size — unioned into per-modality dup-rate
+    // rows, the first dashboard a multimodal corpus curation run
+    // reads. The oracle recomputes each leg's GROUP STRUCTURE in
+    // closed form (fingerprint VALUES differ for video/image — group
+    // identity is what the fixtures pin, per the q186/q122 invariants).
+    Q("q190_multimodal_dedup_report",
+      s"""WITH tfp AS (SELECT 'text' AS modality, md5($dedupNormSql) AS fp
+        |             FROM documents),
+        |$phashSqlCtes,
+        |ifp AS (SELECT 'image' AS modality, phash AS fp FROM ph),
+        |am AS (SELECT doc_id, (doc_id - doc_id % 4) AS g,
+        |       (doc_id % 4) AS mm FROM documents),
+        |abits AS (SELECT doc_id, f,
+        |    CASE WHEN ((3 * f + g % 89) % 7 < 3) <> (f < mm)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM am, unnest(range(32)) t(f)),
+        |afp AS (SELECT 'audio' AS modality,
+        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY f) AS fp
+        |  FROM abits GROUP BY doc_id),
+        |vfp AS (SELECT 'video' AS modality,
+        |    CAST((doc_id - doc_id % 3) % 64 AS VARCHAR) AS fp
+        |  FROM documents),
+        |u AS (SELECT * FROM tfp UNION ALL SELECT * FROM ifp
+        |      UNION ALL SELECT * FROM afp UNION ALL SELECT * FROM vfp),
+        |grps AS (SELECT modality, fp, count(*) AS sz FROM u GROUP BY 1, 2)
+        |SELECT modality,
+        |  CAST(sum(sz) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(CASE WHEN sz >= 2 THEN sz END), 0) AS BIGINT)
+        |    AS n_dup_items,
+        |  CAST(coalesce(sum(CASE WHEN sz >= 2 THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_groups,
+        |  round(CAST(coalesce(sum(CASE WHEN sz >= 2 THEN sz END), 0) AS DOUBLE)
+        |    / sum(sz), 6) AS dup_frac
+        |FROM grps GROUP BY modality ORDER BY modality""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      def report(modality: String,
+                 fps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        fps.groupBy("fp").agg(count(lit(1)).as("sz"))
+          .agg(sum(col("sz")).as("n_items"),
+            coalesce(sum(when(col("sz") >= 2, col("sz"))), lit(0L))
+              .as("n_dup_items"),
+            coalesce(sum(when(col("sz") >= 2, 1L)), lit(0L))
+              .as("n_dup_groups"))
+          .select(lit(modality).as("modality"), col("n_items"),
+            col("n_dup_items"), col("n_dup_groups"),
+            round(col("n_dup_items").cast("double") / col("n_items"), 6)
+              .as("dup_frac"))
+      val text = report("text",
+        d.select(md5(Dedup.norm(col("text"))).as("fp")))
+      val image = report("image",
+        Media.perceptualHashes(Media.synthEvenGifs(d)).toDF()
+          .select(col("phash").as("fp")))
+      val audio = report("audio",
+        Media.audioFingerprints(Media.synthSteppedWavs(d)).toDF()
+          .select(col("afp").as("fp")))
+      val video = report("video",
+        Video.synthGroupAvis(d)
+          .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (_, b) =>
+            Video.videoFingerprint(b).getOrElse("unparsable")
+          }).toDF("fp"))
+      text.unionByName(image).unionByName(audio).unionByName(video)
+        .orderBy("modality")
     }
   )
 
@@ -568,7 +645,7 @@ object Multimodal {
     * distinct fingerprints per band bucket — never in docs. Expects
     * `grp(phash, canonical_id, n)` already checkpointed by the caller
     * (the decode must not rerun per consumer). */
-  private def bandedHammingPairs(grp: org.apache.spark.sql.DataFrame,
+  private[graft] def bandedHammingPairs(grp: org.apache.spark.sql.DataFrame,
                                  nBits: Int, nBands: Int,
                                  maxHam: Int): org.apache.spark.sql.DataFrame = {
     val bw = nBits / nBands

@@ -414,6 +414,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q190: cross-modal dedup report is four fingerprint groupBys — no join") {
+    val p = plan("q190_multimodal_dedup_report")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "every modality leg must be map-fingerprint + hash groupBy:\n" + p.take(2000))
+    assert(p.contains("Union"), p.take(1500))
+  }
+
   test("q185: shot stats stay partition-local — no join, no window") {
     val p = plan("q185_video_shot_stats")
     assert(!p.contains("Join") && !p.contains("Window"),
