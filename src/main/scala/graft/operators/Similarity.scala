@@ -1079,6 +1079,133 @@ object Similarity {
             .otherwise(round(col("sd").cast("double") / col("n_delta") / 1e6, 6))
             .as("mean_sim_delta"))
         .orderBy("cluster")
+    },
+
+    // ---- q191: IVF recall/cost tuning table -----------------------------
+    // The q172 evaluation for the ANN family: per nprobe ∈ {1,2,4},
+    // mean recall@5 of the multi-probe IVF search against the exact
+    // brute-force top-5, plus the mean candidates scanned per query —
+    // the recall-vs-cost curve an IVF deployment is tuned with (the
+    // same table SCALING_LOCAL samples, here oracle-gated). Probe legs
+    // are the SHIPPED ivfProbeMulti plan (broadcast-K centroid ranking
+    // + cluster equi-join — query side multiplies by P, corpus side
+    // never); the exact reference is q33's bounded brute force
+    // (broadcast queries — n/100 rows — against the corpus; the eval's
+    // ground truth, loudly not the production path). Recall and
+    // scanned-count are integer sums with ONE final division, so no
+    // float summation order can drift between engines.
+    Q("q191_ivf_recall_eval",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 64 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM n, cent) WHERE crk = 1),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |       WHERE $QueryFilter),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT qs.query_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qs.query_id
+        |        ORDER BY list_dot_product(qs.qv, c.v) / (qs.qn * c.nrm) DESC, c.vec_id) AS rk
+        |    FROM qs, n c WHERE c.vec_id <> qs.query_id)
+        |  WHERE rk <= $TopK),
+        |qc AS (SELECT query_id, cluster, crk FROM (
+        |    SELECT qs.query_id, cent.c_id AS cluster,
+        |      row_number() OVER (PARTITION BY qs.query_id
+        |        ORDER BY list_dot_product(qs.qv, cent.cv) / (qs.qn * cent.cn) DESC, cent.c_id) AS crk
+        |    FROM qs, cent) WHERE crk <= 4),
+        |ps AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |probe AS (SELECT nprobe, query_id, neighbor_id FROM (
+        |    SELECT ps.nprobe, qc.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY ps.nprobe, qc.query_id
+        |        ORDER BY list_dot_product(q2.qv, c.v) / (q2.qn * c.nrm) DESC, c.vec_id) AS rk
+        |    FROM ps JOIN qc ON qc.crk <= ps.nprobe
+        |    JOIN assign c ON c.c_id = qc.cluster AND c.vec_id <> qc.query_id
+        |    JOIN qs q2 ON q2.query_id = qc.query_id)
+        |  WHERE rk <= $TopK),
+        |hits AS (SELECT p.nprobe, p.query_id, count(*) AS h
+        |  FROM probe p JOIN exact x
+        |    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+        |  GROUP BY 1, 2),
+        |csz AS (SELECT c_id, count(*) AS csz FROM assign GROUP BY 1),
+        |scans AS (SELECT ps.nprobe, qc.query_id, sum(csz.csz) - 1 AS scanned
+        |  FROM ps JOIN qc ON qc.crk <= ps.nprobe
+        |  JOIN csz ON csz.c_id = qc.cluster
+        |  GROUP BY 1, 2),
+        |base AS (SELECT ps.nprobe, qs.query_id FROM ps, qs)
+        |SELECT CAST(base.nprobe AS INT) AS nprobe,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(CAST(coalesce(sum(h.h), 0) AS DOUBLE)
+        |    / (count(*) * $TopK), 6) AS recall_at_5,
+        |  round(CAST(coalesce(sum(s.scanned), 0) AS DOUBLE) / count(*), 6)
+        |    AS mean_scanned
+        |FROM base
+        |LEFT JOIN hits h ON h.nprobe = base.nprobe AND h.query_id = base.query_id
+        |LEFT JOIN scans s ON s.nprobe = base.nprobe AND s.query_id = base.query_id
+        |GROUP BY 1 ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val n = emb(s, dir).select(col("vec_id"), asDouble.as("v"))
+      val cent = n.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val assign = ivfAssign(n, cent).localCheckpoint(true) // 5 consumers
+      // exact ground truth: q33's bounded brute force (broadcast queries)
+      val qv = n.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val exW = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val exact = broadcast(qv).join(n, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .withColumn("rk", row_number().over(exW))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .localCheckpoint(true)
+      val nprobes = Seq(1, 2, 4)
+      val probes = nprobes.map { p =>
+        ivfProbeMulti(assign, cent, nprobe = p)
+          .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      val hits = probes.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("nprobe", "query_id").agg(count(lit(1)).as("h"))
+      // scanned candidates: top-P cluster sizes minus self (the home
+      // cluster is always centroid-rank 1 under the shared tie-break)
+      val csize = assign.groupBy("c_id").agg(count(lit(1)).as("csz"))
+      val crkW = Window.partitionBy(col("query_id"))
+        .orderBy(col("_csim").desc, col("cluster"))
+      val qc = assign.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .join(broadcast(cent.select(col("c_id").as("cluster"), col("cv"))))
+        .withColumn("_csim", expr("cosine_sim(qv, cv)"))
+        .withColumn("crk", row_number().over(crkW))
+        .filter(col("crk") <= nprobes.max)
+        .select(col("query_id"), col("cluster"), col("crk"))
+      val qcs = qc.join(csize, qc("cluster") === csize("c_id"))
+        .select(col("query_id"), col("crk"), col("csz"))
+        .localCheckpoint(true) // one 3-way fan-out over a tiny frame
+      val scans = nprobes.map { p =>
+        qcs.filter(col("crk") <= p).groupBy("query_id")
+          .agg((sum(col("csz")) - 1).as("scanned"))
+          .select(lit(p).as("nprobe"), col("query_id"), col("scanned"))
+      }.reduce(_ unionByName _)
+      val base = nprobes.map { p =>
+        assign.filter(expr(QueryFilter))
+          .select(lit(p).as("nprobe"), col("vec_id").as("query_id"))
+      }.reduce(_ unionByName _)
+      base.join(hits, Seq("nprobe", "query_id"), "left")
+        .join(scans, Seq("nprobe", "query_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("h"), lit(0L))).as("sh"),
+          sum(coalesce(col("scanned"), lit(0L))).as("ss"))
+        .select(col("nprobe"), col("n_queries"),
+          round(col("sh").cast("double") / (col("n_queries") * TopK), 6)
+            .as("recall_at_5"),
+          round(col("ss").cast("double") / col("n_queries"), 6)
+            .as("mean_scanned"))
+        .orderBy("nprobe")
     }
   )
 }

@@ -414,6 +414,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q191: IVF eval search joins are cluster-equi; no cartesian") {
+    val p = plan("q191_ivf_recall_eval")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // BroadcastNestedLoopJoins here are only the intended bounded
+    // attaches: the K-row centroid broadcast inside each probe leg and
+    // the n/100-query brute-force ground truth. The corpus-side search
+    // must join on the cluster key — every BNLJ's build side must be
+    // a broadcast, never the corpus.
+    assert(p.contains("BuildRight") || p.contains("BuildLeft"), p.take(1500))
+  }
+
   test("q190: cross-modal dedup report is four fingerprint groupBys — no join") {
     val p = plan("q190_multimodal_dedup_report")
     assert(!p.contains("Join") && !p.contains("Window"),
