@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -185,6 +186,104 @@ object StreamingQueries {
     out
   }
 
+  /** Per-step audit row of the q95 replay (q192): rows fed, late
+    * groups dropped by the state operator, windows emitted. */
+  private case class LateAudit(batch: Int, n_input: Long,
+                               n_late_groups: Long, n_emitted_windows: Long)
+
+  private val q95DriveCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** ONE q95 replay feeding TWO gates: returns (window aggregate,
+    * per-step late audit). Memoized per (application, sf dir) through
+    * the session spill so q95 and q192 share a single drive;
+    * `-Dgraft.nomemo=1` reruns the replay per consumer. */
+  private def q95Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): (DataFrame, DataFrame) = {
+    if (graft.core.SessionSpill.noMemo) return q95DriveRun(s, dir)
+    val (aggP, audP) = q95DriveCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val root = new org.apache.hadoop.fs.Path(
+          graft.core.SessionSpill.root(s, "graft_q95_drive"), safe)
+        val (agg, aud) = q95DriveRun(s, dir)
+        val ap = new org.apache.hadoop.fs.Path(root, "agg").toString
+        val up = new org.apache.hadoop.fs.Path(root, "audit").toString
+        agg.write.mode("overwrite").parquet(ap)
+        aud.write.mode("overwrite").parquet(up)
+        (ap, up)
+      })
+    (s.read.parquet(aggP), s.read.parquet(audP))
+  }
+
+  private def q95DriveRun(s: org.apache.spark.sql.SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    // MemoryStream replay is inherently driver-fed, so the harness is
+    // loudly bounded: refuse rather than silently materialize a corpus.
+    val replayRows = ev.count()
+    require(replayRows <= MaxReplayRows,
+      s"q95 replay harness is a fixture driver bounded at $MaxReplayRows " +
+        s"rows; got $replayRows — replay from files instead")
+    // sentinel base computed distributed, not from a collected array
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val source = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val agg = Windows.tumblingStream(
+      source.toDF().toDF("event_id", "event_type", "value", "ts"),
+      "1 hour", "30 minutes")
+    val sink = "q95_mem"
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val audits = scala.collection.mutable.ArrayBuffer.empty[LateAudit]
+    withStatePartitions(s, 2) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      // cumulative runtime counters across the whole drive; per-step
+      // attribution by delta. recentProgress retains 100 entries — this
+      // drive produces ≤ ~15 (5 steps × data + follow-up batches), so
+      // the cumulative sums never lose history.
+      def totals(): (Long, Long) = {
+        val ps = query.recentProgress
+        (ps.flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsDroppedByWatermark).sum,
+          ps.map(p => math.max(p.sink.numOutputRows, 0L)).sum)
+      }
+      try {
+        // ONE collect, partitioned driver-side (the old shape re-scanned
+        // events once per batch). Only the PER-BATCH slice rides into a
+        // task closure via addData — the round-9 task-binary warnings
+        // came from an all-rows array inside the closure, not from the
+        // bounded driver-held fixture.
+        val byB = ev.as[(Long, String, Double, java.sql.Timestamp)]
+          .collect().groupBy(r => (r._1 % 4).toInt)
+        for (b <- 0 to 3) {
+          val (d0, e0) = totals()
+          val batch = byB.getOrElse(b, Array.empty).toSeq
+          source.addData(batch)
+          query.processAllAvailable() // ONE data micro-batch per replay step
+          val (d1, e1) = totals()
+          audits += LateAudit(b, batch.size.toLong, d1 - d0, e1 - e0)
+        }
+        val (d0, e0) = totals()
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + 10L * 3600 * 1000)
+        source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
+        query.processAllAvailable()
+        val (d1, e1) = totals()
+        audits += LateAudit(4, 1L, d1 - d0, e1 - e0)
+      } finally query.stop()
+    }
+    val aggOut = s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .localCheckpoint(true) // pin: the memory sink view is transient
+    (aggOut, audits.toSeq.toDF("batch", "n_input", "n_late_groups",
+      "n_emitted_windows"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q("q94_incremental_dedup", q94Sql) { (s, dir) =>
       incrementalDedupDrive(s, dir, "graft_q94_store",
@@ -238,50 +337,68 @@ object StreamingQueries {
         |  round(sum(value), 4) AS sum_value
         |FROM acc GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-      // MemoryStream replay is inherently driver-fed, so the harness is
-      // loudly bounded: refuse rather than silently materialize a corpus.
-      val replayRows = ev.count()
-      require(replayRows <= MaxReplayRows,
-        s"q95 replay harness is a fixture driver bounded at $MaxReplayRows " +
-          s"rows; got $replayRows — replay from files instead")
-      // sentinel base computed distributed, not from a collected array
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
-      val source = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
-      val agg = Windows.tumblingStream(
-        source.toDF().toDF("event_id", "event_type", "value", "ts"),
-        "1 hour", "30 minutes")
-      val sink = "q95_mem"
-      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-      withStatePartitions(s, 2) {
-        val query = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          // ONE collect, partitioned driver-side (the old shape re-scanned
-          // events once per batch). Only the PER-BATCH slice rides into a
-          // task closure via addData — the round-9 task-binary warnings
-          // came from an all-rows array inside the closure, not from the
-          // bounded driver-held fixture.
-          val byB = ev.as[(Long, String, Double, java.sql.Timestamp)]
-            .collect().groupBy(r => (r._1 % 4).toInt)
-          for (b <- 0 to 3) {
-            source.addData(byB.getOrElse(b, Array.empty).toSeq)
-            query.processAllAvailable() // ONE data micro-batch per replay step
-          }
-          val sentinelTs = new java.sql.Timestamp(
-            maxTs.getTime + 10L * 3600 * 1000)
-          source.addData(Seq((-1L, "zz_sentinel", 0.0, sentinelTs)))
-          query.processAllAvailable()
-        } finally query.stop()
-      }
-      s.table(sink)
-        .select(col("window_start"), col("event_type"), col("n"),
-          col("sum_value"))
+      q95Drive(s, dir)._1
         .orderBy("window_start", "event_type")
-        .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
+    // ---- q192: streaming LATE-DATA AUDIT of the q95 drive ---------------
+    // The operational honesty report a watermarked pipeline runs on: per
+    // replay step, how many rows arrived, how many late GROUPS the
+    // state operator dropped, and how many finalized windows append
+    // mode emitted. The numbers are the RUNTIME'S OWN counters
+    // (StreamingQueryProgress: numRowsDroppedByWatermark deltas — which
+    // count distinct late (window, type) groups post-merge at the state
+    // save, measured partition-count-invariant — and the memory sink's
+    // numOutputRows), gated against a declarative recomputation of the
+    // same acceptance/eviction rules: a row's group is late in step b
+    // iff window_end ≤ wm(b) (max event time of EARLIER batches − 30
+    // min); a window is emitted at the first step whose INCLUSIVE
+    // watermark (the follow-up micro-batch inside the same
+    // processAllAvailable sees the post-batch watermark) passes its
+    // end. Shares the single q95 replay through the session spill —
+    // one drive feeds both gates.
+    Q("q192_streaming_late_audit",
+      """WITH e AS (SELECT event_id, event_type, value, ts,
+        |    CAST(event_id % 4 AS INTEGER) AS b FROM events),
+        |sent AS (SELECT max(ts) + INTERVAL 10 HOUR AS sts FROM e),
+        |e2 AS (SELECT event_type, ts, b FROM e
+        |       UNION ALL SELECT 'zz_sentinel', sts, 4 FROM sent),
+        |mx AS (SELECT b, max(ts) AS mxts FROM e2 GROUP BY b),
+        |wmb AS (SELECT b, max(mxts) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - INTERVAL 30 MINUTE AS wm FROM mx),
+        |wmi AS (SELECT b, max(mxts) OVER (ORDER BY b)
+        |    - INTERVAL 30 MINUTE AS wm FROM mx),
+        |g AS (SELECT e2.b, e2.event_type,
+        |    make_timestamp((epoch_us(e2.ts)//3600000000)*3600000000) AS ws,
+        |    make_timestamp((epoch_us(e2.ts)//3600000000)*3600000000
+        |      + 3600000000) AS we,
+        |    wmb.wm
+        |  FROM e2 JOIN wmb ON e2.b = wmb.b),
+        |gb AS (SELECT b, ws, we, event_type, min(wm) AS wm,
+        |       count(*) AS nrows FROM g GROUP BY 1, 2, 3, 4),
+        |inputs AS (SELECT b, CAST(sum(nrows) AS BIGINT) AS n_input
+        |           FROM gb GROUP BY 1),
+        |lateg AS (SELECT b, CAST(count(*) AS BIGINT) AS n_late
+        |          FROM gb WHERE wm IS NOT NULL AND we <= wm GROUP BY 1),
+        |firstacc AS (SELECT ws, we, event_type, min(b) AS b0 FROM gb
+        |             WHERE wm IS NULL OR we > wm GROUP BY 1, 2, 3),
+        |emitb AS (SELECT f.ws, f.event_type, min(w.b) AS be
+        |  FROM firstacc f JOIN wmi w
+        |    ON w.b >= f.b0 AND f.we <= w.wm
+        |  GROUP BY 1, 2),
+        |emits AS (SELECT be AS b, CAST(count(*) AS BIGINT) AS n_emitted
+        |          FROM emitb GROUP BY 1),
+        |bs AS (SELECT unnest(range(5)) AS b)
+        |SELECT CAST(bs.b AS INT) AS batch,
+        |  coalesce(i.n_input, 0) AS n_input,
+        |  coalesce(l.n_late, 0) AS n_late_groups,
+        |  coalesce(m.n_emitted, 0) AS n_emitted_windows
+        |FROM bs LEFT JOIN inputs i ON i.b = bs.b
+        |LEFT JOIN lateg l ON l.b = bs.b
+        |LEFT JOIN emits m ON m.b = bs.b
+        |ORDER BY batch""".stripMargin) { (s, dir) =>
+      q95Drive(s, dir)._2.orderBy("batch")
     },
 
     // ---- q97: streaming EXECUTION of watermarked SESSION windows --------
