@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
-import graft.multimodal.{Media, Video}
+import graft.multimodal.{Archive, Media, Video}
 
 /** Driver-contract surface for the multimodal plumbing (SURVEY.md §2.6).
   * The media table is derived deterministically from `documents`
@@ -634,6 +634,31 @@ object Multimodal {
           }).toDF("fp"))
       text.unionByName(image).unionByName(audio).unionByName(video)
         .orderBy("modality")
+    },
+
+    // q193: WARC-GZIP INGEST — the container format web-scale text
+    // corpora actually arrive in (WARC/WET: one gzip MEMBER per record,
+    // members concatenated, readers walk member boundaries). The engine
+    // EARNS every row through a real RFC 1952 walk — header + optional
+    // fields by their own framing, raw-deflate inflate, CRC32 + ISIZE
+    // trailers VERIFIED — while the oracle predicts member count, total
+    // uncompressed bytes and the concatenated-payload sha256 in closed
+    // form from the fixture arithmetic (member j of doc d carries
+    // `text:j`, ASCII). Partition-local mapPartitions like every codec
+    // leg; containers never shuffle; inflate bounded against zip bombs.
+    Q("q193_warc_gzip_ingest",
+      """WITH m AS (SELECT doc_id, text, (doc_id % 3 + 1) AS nm FROM documents),
+        |cat AS (SELECT doc_id,
+        |    string_agg(text || ':' || j, '' ORDER BY j) AS payload
+        |  FROM m, unnest(range(nm)) t(j) GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, CAST(m.nm AS INT) AS n_members,
+        |  CAST(m.nm * (octet_length(encode(m.text)) + 2) AS BIGINT)
+        |    AS total_bytes,
+        |  sha256(cat.payload) AS payload_sha
+        |FROM m JOIN cat USING (doc_id)
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val gzs = Archive.synthWarcGzs(Tables.load(s, dir, "documents"))
+      Archive.ingestArchives(gzs).toDF().orderBy("media_id")
     }
   )
 
