@@ -486,6 +486,75 @@ object Extras {
           (BigDecimal(vals((g, p.toString))) / 100).toDouble))
         .toDF("l_returnflag", "p", "k", "price")
         .orderBy("l_returnflag", "p")
+    },
+
+    // ---- q194: exact trimmed + winsorized mean per group ----------------
+    // Robust central tendency WITHOUT a global sort: the exact p10/p90
+    // edges come from the proven grouped histogram narrowing (q129's
+    // kthSmallestByGroup — pass count log_B(domain), constant in corpus
+    // size), then ONE broadcast of the 2·groups edge scalars drives two
+    // partial-aggregable passes: the trimmed mean over values inside
+    // [p10, p90] and the winsorized mean with values clamped to the
+    // edges — the outlier-robust per-segment value report. Integer-cent
+    // sums with a single final division, so no float summation order
+    // can drift between engines.
+    Q("q194_trimmed_mean",
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn
+        |      FROM v),
+        |k AS (SELECT g, n, CAST(ceil(0.1 * n) AS BIGINT) AS k10,
+        |      CAST(ceil(0.9 * n) AS BIGINT) AS k90 FROM n),
+        |e AS (SELECT k.g, k.n, r1.c AS v10, r2.c AS v90
+        |      FROM k JOIN r r1 ON r1.g = k.g AND r1.rn = k.k10
+        |             JOIN r r2 ON r2.g = k.g AND r2.rn = k.k90),
+        |kept AS (SELECT v.g, count(*) AS nk, sum(v.c) AS sk
+        |  FROM v JOIN e ON e.g = v.g AND v.c BETWEEN e.v10 AND e.v90
+        |  GROUP BY 1),
+        |wins AS (SELECT v.g, sum(CASE WHEN v.c < e.v10 THEN e.v10
+        |    WHEN v.c > e.v90 THEN e.v90 ELSE v.c END) AS sw
+        |  FROM v JOIN e ON e.g = v.g GROUP BY 1)
+        |SELECT e.g AS event_type, CAST(e.n AS BIGINT) AS n,
+        |  round(e.v10 / 100.0, 2) AS p10, round(e.v90 / 100.0, 2) AS p90,
+        |  CAST(kept.nk AS BIGINT) AS n_kept,
+        |  round(CAST(kept.sk AS DOUBLE) / kept.nk / 100.0, 4) AS trimmed_mean,
+        |  round(CAST(wins.sw AS DOUBLE) / e.n / 100.0, 4) AS winsorized_mean
+        |FROM e JOIN kept ON kept.g = e.g JOIN wins ON wins.g = e.g
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Tables.load(s, dir, "events").select(col("event_type").as("g"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      val ns = v.groupBy("g").agg(count(lit(1)).as("n"))
+        .collect() // bounded: one row per event type
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ks = (for ((g, n) <- ns.toSeq;
+                     (p, lbl) <- Seq(BigDecimal("0.1") -> "p10",
+                       BigDecimal("0.9") -> "p90")) yield
+        (g, lbl) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        ).toMap
+      val edges = ExactQuantile.kthSmallestByGroup(v, "g", "c", ks)
+      val eDf = ns.toSeq.map { case (g, n) =>
+        (g, n, edges((g, "p10")), edges((g, "p90")))
+      }.toDF("g", "n", "v10", "v90")
+      val joined = v.join(broadcast(eDf), "g")
+      val kept = joined.filter(col("c").between(col("v10"), col("v90")))
+        .groupBy("g").agg(count(lit(1)).as("nk"), sum(col("c")).as("sk"))
+      val wins = joined.select(col("g"),
+          when(col("c") < col("v10"), col("v10"))
+            .when(col("c") > col("v90"), col("v90"))
+            .otherwise(col("c")).as("w"))
+        .groupBy("g").agg(sum(col("w")).as("sw"))
+      eDf.join(kept, "g").join(wins, "g")
+        .select(col("g").as("event_type"), col("n"),
+          round(col("v10") / 100.0, 2).as("p10"),
+          round(col("v90") / 100.0, 2).as("p90"),
+          col("nk").as("n_kept"),
+          round(col("sk").cast("double") / col("nk") / 100.0, 4)
+            .as("trimmed_mean"),
+          round(col("sw").cast("double") / col("n") / 100.0, 4)
+            .as("winsorized_mean"))
+        .orderBy("event_type")
     }
   )
 }
