@@ -186,6 +186,39 @@ object StreamingQueries {
     out
   }
 
+  /** The tumbling-window acceptance model shared by q95 (MemoryStream
+    * replay) and q195 (file-driven replay) — ONE skeleton, so the two
+    * harnesses' oracles cannot drift: per batch b (event_id % 4; the
+    * sentinel is its own batch), a row is aggregated iff its window end
+    * is strictly above the LATE-EVENTS watermark in force, which is max
+    * event time of the batches `lagBatches` behind − 30 min. q95 passes
+    * 1: each replay step's processAllAvailable runs a follow-up no-data
+    * micro-batch that catches the late-filter watermark up to the
+    * eviction watermark. q195 passes 2: its file batches run
+    * back-to-back with no idle batch between, so Spark's late-record
+    * filter (which uses the PREVIOUS batch's watermark, while eviction
+    * uses the current one — the SPARK-24588 split, confirmed
+    * empirically: the N−2 model reproduces every row and sum) lags one
+    * batch further. */
+  private def tumblingOracleSql(lagBatches: Int): String =
+    s"""WITH e AS (SELECT event_id, event_type, value, ts,
+      |    CAST(event_id % 4 AS INTEGER) AS b FROM events),
+      |mx AS (SELECT b, max(ts) AS mxts FROM e GROUP BY b),
+      |wmb AS (SELECT b, max(mxts) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND $lagBatches PRECEDING)
+      |    - INTERVAL 30 MINUTE AS wm FROM mx),
+      |acc AS (
+      |  SELECT e.*,
+      |    make_timestamp((epoch_us(e.ts)//3600000000)*3600000000) AS window_start
+      |  FROM e JOIN wmb ON e.b = wmb.b
+      |  WHERE wmb.wm IS NULL
+      |     OR make_timestamp((epoch_us(e.ts)//3600000000)*3600000000
+      |          + 3600000000) > wmb.wm)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM acc GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** Per-step audit row of the q95 replay (q192): rows fed, late
     * groups dropped by the state operator, windows emitted. */
   private case class LateAudit(batch: Int, n_input: Long,
@@ -319,26 +352,59 @@ object StreamingQueries {
     // oracle. A sentinel event 10 h past the data pushes the final
     // watermark over every real window so append mode emits them all;
     // the sentinel's own window stays open and never reaches the sink.
-    Q("q95_streaming_tumbling",
-      """WITH e AS (SELECT event_id, event_type, value, ts,
-        |    CAST(event_id % 4 AS INTEGER) AS b FROM events),
-        |mx AS (SELECT b, max(ts) AS mxts FROM e GROUP BY b),
-        |wmb AS (SELECT b, max(mxts) OVER (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |    - INTERVAL 30 MINUTE AS wm FROM mx),
-        |acc AS (
-        |  SELECT e.*,
-        |    make_timestamp((epoch_us(e.ts)//3600000000)*3600000000) AS window_start
-        |  FROM e JOIN wmb ON e.b = wmb.b
-        |  WHERE wmb.wm IS NULL
-        |     OR make_timestamp((epoch_us(e.ts)//3600000000)*3600000000
-        |          + 3600000000) > wmb.wm)
-        |SELECT window_start, event_type, count(*) AS n,
-        |  round(sum(value), 4) AS sum_value
-        |FROM acc GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    Q("q95_streaming_tumbling", tumblingOracleSql(1)) { (s, dir) =>
       q95Drive(s, dir)._1
         .orderBy("window_start", "event_type")
+    },
+
+    // ---- q195: the SAME tumbling gate through a FILE-driven replay ------
+    // q95's MemoryStream harness is loudly driver-fed (MaxReplayRows);
+    // the path that survives 100 TB is a FileStreamSource — files land,
+    // the engine streams them. Here the replay batches are written as
+    // parquet FILES (one per batch, distributed write, no driver
+    // collect anywhere) and consumed with maxFilesPerTrigger=1 so each
+    // file is one micro-batch in modification-time order — identical
+    // batch composition to q95. The oracle shares q95's SQL skeleton
+    // with lag 2 instead of 1: back-to-back batches expose Spark's
+    // late-filter/eviction watermark split (see tumblingOracleSql).
+    // Passing both proves the watermark/append semantics are a property
+    // of the ENGINE across both replay transports.
+    Q("q195_streaming_file_replay", tumblingOracleSql(2)) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = new org.apache.hadoop.fs.Path(
+        graft.core.SessionSpill.root(s, "graft_q195_files"), safe)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true) // fresh fixture per run: the query IS the drive
+      // one parquet dir per batch, written SEQUENTIALLY so modification
+      // times order b0 < b1 < … < b4 (FileStreamSource consumes oldest
+      // first; the bN name order breaks any same-millisecond tie)
+      for (b <- 0 to 3)
+        ev.filter(col("event_id") % 4 === b)
+          .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, s"b$b").toString)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+      Seq((-1L, "zz_sentinel", 0.0, sentinelTs))
+        .toDF("event_id", "event_type", "value", "ts")
+        .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, "b4").toString)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new org.apache.hadoop.fs.Path(root, "*/*.parquet").toString)
+      val agg = Windows.tumblingStream(stream, "1 hour", "30 minutes")
+      val sink = "q195_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      withStatePartitions(s, 2) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sink)
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(true) // pin: the memory sink view is transient
     },
 
     // ---- q192: streaming LATE-DATA AUDIT of the q95 drive ---------------
