@@ -425,6 +425,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BuildRight") || p.contains("BuildLeft"), p.take(1500))
   }
 
+  test("q193: archive ingest stays partition-local — no join, no window") {
+    val p = plan("q193_warc_gzip_ingest")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "gzip member walk must be per-row map work:\n" + p.take(1500))
+  }
+
+  test("q194: trimmed means broadcast the edge frame — no sort, no cartesian") {
+    val p = plan("q194_trimmed_mean")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group edges must broadcast to the value scan:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
   test("q190: cross-modal dedup report is four fingerprint groupBys — no join") {
     val p = plan("q190_multimodal_dedup_report")
     assert(!p.contains("Join") && !p.contains("Window"),
