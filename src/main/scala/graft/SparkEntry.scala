@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.operators.{Corpus, Curation, Dedup, Events, Extras, Mining, Multimodal, Quality, Relational, Similarity, Temporal, Text}
+import graft.operators.{Corpus, Curation, Dedup, Events, Extras, Linkage, Mining, Multimodal, Quality, Relational, Similarity, Sketches, Temporal, Text}
 import graft.sds.E2eQueries
 import graft.streaming.StreamingQueries
 
@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.defs ++ Temporal.defs ++ Text.defs ++ Dedup.defs ++
       Similarity.defs ++ Events.defs ++ Multimodal.defs ++ Extras.defs ++
       E2eQueries.defs ++ Corpus.defs ++ Curation.defs ++
-      StreamingQueries.defs ++ Mining.defs ++ Quality.defs
+      StreamingQueries.defs ++ Mining.defs ++ Quality.defs ++
+      Sketches.defs ++ Linkage.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

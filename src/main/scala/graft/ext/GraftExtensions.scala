@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, NfcNormalize, PqAdc}
+import graft.functions.{CosineSim, JaroWinkler, NfcNormalize, PqAdc}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (SURVEY.md §7.3):
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
       children => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      JaroWinkler.info,
+      children => JaroWinkler(children.head, children(1))))
     // whole-operator extension: partial→final per-key top-k (plans the
     // TopKPerKeyNode logical operator; see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Record linkage and graph centrality — the two entity-resolution
+  * primitives a catalog/curation pipeline runs after dedup: fuzzy
+  * matching of near-identical entity NAMES (blocked candidate
+  * generation + edit/Jaro-Winkler scoring, the Fellegi-Sunter shape),
+  * and link-graph importance (PageRank) over the relationship graph
+  * the matched entities induce.
+  *
+  * Scale posture: linkage NEVER goes all-pairs — candidates come from
+  * an equi-join on a deterministic block key (name prefix), the same
+  * bucketed-candidates discipline as every dedup family in
+  * operators/Dedup.scala; scoring is a codegen'd native expression
+  * (functions/JaroWinkler.scala), not a UDF. PageRank is the iterative
+  * co-partitioned join+aggregate — rank mass flows along edges
+  * pre-joined with out-degree, 5 synchronous integer iterations; at
+  * cluster scale the edge table is hash-partitioned once by src and
+  * every iteration reuses that exchange.
+  */
+object Linkage {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+    // ---- q199: blocked fuzzy record linkage (Jaro-Winkler + edit) ------
+    // Entities are full catalog descriptors — name+brand+type+size,
+    // 1995 distinct across 2000 parts, the near-unique dirty-feed
+    // string a real linkage run reconciles. Fixture: every 5th part
+    // emits a tail-truncated variant (1-3 chars by partkey — the
+    // deterministic in-query mutation technique of q115/q142),
+    // corrupting the size/type tail. Blocking = 8-char prefix
+    // equi-join (truncation preserves it; NEVER all-pairs — mean
+    // block yield is ~3 candidates), THEN levenshtein <= 3 gates and
+    // Jaro-Winkler scores — Spark's builtin levenshtein next to this
+    // engine's native jaro_winkler expression (functions/JaroWinkler
+    // .scala), both inside whole-stage codegen, both replayed exactly
+    // by DuckDB's builtins (the JW semantics parity is pinned by this
+    // oracle to 4 dp). Best match per variant = min(lev, -jw, o_pk)
+    // as a STRUCT MIN — an ordinary partial-aggregable hash
+    // aggregate, no ordered window anywhere. `hit` compares matched
+    // DESCRIPTOR to the variant's source descriptor: 365/400 at
+    // sf0.01 — the remainder are genuine catalog ambiguities (two
+    // sizes one edit apart), exactly what the report exists to show.
+    Q("q199_record_linkage",
+      """WITH o AS (SELECT p_partkey AS o_pk,
+        |        p_name || ' ' || p_brand || ' ' || p_type || ' '
+        |          || CAST(p_size AS VARCHAR) AS o_desc FROM part),
+        |m AS (SELECT o_pk AS m_pk, o_desc AS src_desc,
+        |        substr(o_desc, 1, length(o_desc) - 1 - (o_pk % 3)) AS m_desc
+        |      FROM o WHERE o_pk % 5 = 0),
+        |cand AS (SELECT m.m_pk, m.src_desc, m.m_desc, o.o_pk, o.o_desc,
+        |        levenshtein(o.o_desc, m.m_desc) AS lev,
+        |        jaro_winkler_similarity(o.o_desc, m.m_desc) AS jw
+        |      FROM m JOIN o ON substr(o.o_desc, 1, 8) = substr(m.m_desc, 1, 8)
+        |      WHERE levenshtein(o.o_desc, m.m_desc) <= 3),
+        |best AS (SELECT m_pk, o_pk, lev, jw, src_desc, o_desc,
+        |        row_number() OVER (PARTITION BY m_pk
+        |          ORDER BY lev, jw DESC, o_pk) AS rn,
+        |        count(*) OVER (PARTITION BY m_pk) AS n_cand
+        |      FROM cand)
+        |SELECT m_pk, o_pk AS matched_pk, CAST(lev AS INT) AS lev,
+        |  round(jw, 4) AS jw, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(o_desc = src_desc AS INT) AS hit
+        |FROM best WHERE rn = 1 ORDER BY m_pk""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "part").select(col("p_partkey").as("o_pk"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+          col("p_type"), lit(" "), col("p_size").cast("string")).as("o_desc"))
+      val m = o.filter(col("o_pk") % 5 === 0)
+        .select(col("o_pk").as("m_pk"), col("o_desc").as("src_desc"),
+          expr("substring(o_desc, 1, CAST(length(o_desc) - 1 - o_pk % 3 AS INT))")
+            .as("m_desc"))
+      val cand = m.join(o,
+          substring(col("o_desc"), 1, 8) === substring(col("m_desc"), 1, 8))
+        .withColumn("lev", levenshtein(col("o_desc"), col("m_desc")))
+        .filter(col("lev") <= 3)
+        .withColumn("jw", expr("jaro_winkler(o_desc, m_desc)"))
+      cand.groupBy("m_pk")
+        .agg(
+          min(struct(col("lev"), (-col("jw")).as("njw"), col("o_pk"),
+            col("o_desc"))).as("b"),
+          first(col("src_desc")).as("src_desc"),
+          count(lit(1)).as("n_cand"))
+        .select(col("m_pk"), col("b.o_pk").as("matched_pk"),
+          col("b.lev").cast("int").as("lev"),
+          round(-col("b.njw"), 4).as("jw"),
+          col("n_cand"),
+          (col("b.o_desc") === col("src_desc")).cast("int").as("hit"))
+        .orderBy("m_pk")
+    },
+
+    // ---- q200: PageRank over the customer-supplier trade graph ---------
+    // The link-importance pass entity resolution feeds: nodes are
+    // customers and suppliers, edges the DISTINCT trade relationships
+    // (orders ⋈ lineitem), undirected = both directions. 5 synchronous
+    // iterations of rank = 0.15 + 0.85·Σ in(rank/outdeg), in exact
+    // INTEGER micro-rank units (start 1,000,000; every division is
+    // floor) so the oracle — the same 5 steps as chained CTEs — matches
+    // to the unit with zero float drift. The Spark loop joins the
+    // degree-annotated edge table (persisted once, partitioned by src)
+    // to the current ranks and hash-aggregates inflow per dst: the
+    // classic co-partitioned Pregel step expressed relationally. The
+    // bipartite construction guarantees no dangling nodes, so rank
+    // mass only leaks through floor — identically on both sides.
+    Q("q200_pagerank_trade_graph", {
+      val iter = (k: Int) =>
+        s"""r$k AS (SELECT n.node,
+           |    150000 + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.pr // d.outdeg) AS inflow
+           |    FROM r${k - 1} r
+           |    JOIN edges e ON e.src = r.node
+           |    JOIN outdeg d ON d.src = e.src
+           |    GROUP BY 1) f ON f.node = n.node)"""
+      ("""WITH eo AS (SELECT DISTINCT
+        |    'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l.l_suppkey AS VARCHAR) AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM eo
+        |          UNION ALL SELECT sp AS src, c AS dst FROM eo),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),""" +
+        (1 to 5).map(iter).mkString(",\n") +
+        """
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r5
+        |ORDER BY pr DESC, node""").stripMargin
+    }) { (s, dir) =>
+      val eo = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
+        .distinct()
+      val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
+        .union(eo.select(col("sp").as("src"), col("c").as("dst")))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // degree-annotated edges: partitioned/persisted ONCE, reused by
+      // every iteration (at cluster scale this is the single exchange
+      // the whole loop pays on the edge side)
+      val e2 = edges.join(outdeg, "src").persist()
+      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      var ranks = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val inflow = e2.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+        ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) +
+              expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
+              .as("pr"))
+      }
+      val out = ranks.select(col("node"), col("pr").cast("long").as("pr"))
+        .orderBy(desc("pr"), asc("node"))
+      out
+    }
+  )
+}
