@@ -1316,6 +1316,85 @@ object Dedup {
           sum(when(col("k1") && col("k2") && col("k3"), col("toks"))
             .otherwise(0L)).as("tokens_out"))
         .orderBy("source")
+    },
+
+    // ---- q201: asymmetric containment (doc-in-doc detection) -----------
+    // The dedup axis Jaccard misses: a short quote INSIDE a long
+    // document scores near-zero symmetric Jaccard but containment
+    // |A∩B| / |A| = 1.0 — the signal that catches quoted/excerpted
+    // training text. Fixture: every 7th doc emits its first 60% of
+    // tokens as a standalone "snippet" feed (ids offset +1,000,000 —
+    // the in-query mutation technique again). Candidates come from the
+    // q29 machinery — per-shingle equi-join on 60-bit hashed 3-gram
+    // shingles, hot shingles (B-side doc-frequency > HotShingleCap)
+    // dropped from BOTH the intersection and the denominator so the
+    // pruned universe is consistent — never snippet×doc all-pairs.
+    // The true pair is provably containment 1.0 (a prefix's shingles
+    // are a subset); `hit` pins it. Thresholded at 0.5.
+    Q("q201_containment_dedup", {
+      val hSql = "('0x'||substr(md5(s),1,15))::BIGINT"
+      val shOf = (src: String) =>
+        s"""SELECT DISTINCT doc_id,
+          |  unnest(list_transform(range(1, len(string_split($normSql,' ')) - 1),
+          |    i -> array_to_string(list_slice(string_split($normSql,' '), i, i+2),' '))) AS s
+          |FROM $src""".stripMargin
+      s"""WITH snips AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(w, 1, (len(w) * 3) // 5), ' ') AS text
+        |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w
+        |        FROM documents WHERE doc_id % 7 = 0)
+        |  WHERE len(w) >= 5),
+        |ash0 AS (${shOf("snips")}),
+        |bsh0 AS ($shinglesSql),
+        |ash AS (SELECT doc_id, $hSql AS h FROM ash0),
+        |bsh AS (SELECT doc_id, $hSql AS h FROM bsh0),
+        |hot AS (SELECT h FROM bsh GROUP BY h
+        |        HAVING count(*) > $HotShingleCap),
+        |aok AS (SELECT a.* FROM ash a LEFT JOIN hot ON hot.h = a.h
+        |        WHERE hot.h IS NULL),
+        |bok AS (SELECT b.* FROM bsh b LEFT JOIN hot ON hot.h = b.h
+        |        WHERE hot.h IS NULL),
+        |asz AS (SELECT doc_id, count(*) AS n FROM aok GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS snip_id, b.doc_id AS orig_id,
+        |         count(*) AS inter
+        |       FROM aok a JOIN bok b ON a.h = b.h GROUP BY 1, 2)
+        |SELECT ip.snip_id, ip.orig_id, CAST(ip.inter AS BIGINT) AS inter,
+        |  CAST(asz.n AS BIGINT) AS asize,
+        |  round(CAST(ip.inter AS DOUBLE) / asz.n, 4) AS containment,
+        |  CAST(ip.orig_id = ip.snip_id - 1000000 AS INT) AS hit
+        |FROM ip JOIN asz ON asz.doc_id = ip.snip_id
+        |WHERE CAST(ip.inter AS DOUBLE) / asz.n >= 0.5
+        |ORDER BY ip.snip_id, ip.orig_id""".stripMargin
+    }) { (s, dir) =>
+      val h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val snips = docs(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("_w", split(norm(col("text")), " "))
+        .filter(size(col("_w")) >= 5)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(col("_w"), lit(1),
+            expr("CAST(size(_w) * 3 DIV 5 AS INT)")), " ").as("text"))
+      val ash = shinglesOf(snips).select(col("doc_id"), h(col("s")).as("h"))
+      val bsh = shingles(s, dir).select(col("doc_id"), h(col("s")).as("h"))
+      val hot = bsh.groupBy("h").agg(count(lit(1)).as("bf"))
+        .filter(col("bf") > HotShingleCap).select("h")
+      val aok = ash.join(broadcast(hot), Seq("h"), "left_anti")
+      val bok = bsh.join(broadcast(hot), Seq("h"), "left_anti")
+      val asz = aok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      aok.select(col("doc_id").as("snip_id"), col("h"))
+        .join(bok.select(col("doc_id").as("orig_id"), col("h")), "h")
+        .groupBy("snip_id", "orig_id").agg(count(lit(1)).as("inter"))
+        .join(broadcast(asz.select(col("doc_id").as("snip_id"),
+          col("n").as("asize"))), "snip_id")
+        .withColumn("containment",
+          col("inter").cast("double") / col("asize"))
+        .filter(col("containment") >= 0.5)
+        .select(col("snip_id"), col("orig_id"), col("inter"),
+          col("asize"), round(col("containment"), 4).as("containment"),
+          (col("orig_id") === col("snip_id") - 1000000L).cast("int")
+            .as("hit"))
+        .orderBy("snip_id", "orig_id")
     }
   )
 
