@@ -474,4 +474,68 @@ class PlanSpec extends SparkSpec {
       "matched windows must equi-join on the hash, never all-pairs:\n" +
         p.take(2000))
   }
+
+  test("q196: HLL registers reduce map-side — partial agg before exchange") {
+    val p = plan("q196_hll_cardinality")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the register fold must be a two-phase hash aggregate: a
+    // partial_max(rho) above the scan is the sketch's mergeability
+    assert(p.contains("partial_max"),
+      "register max must partial-aggregate map-side:\n" + p.take(2000))
+  }
+
+  test("q197/q198: bounded sketch/bitset sides broadcast to the probes") {
+    val p197 = plan("q197_cms_frequency")
+    assert(p197.contains("BroadcastHashJoin"),
+      "the 2048-cell CMS table must broadcast:\n" + p197.take(2000))
+    assert(!p197.contains("CartesianProduct"), p197.take(1500))
+    val p198 = plan("q198_bloom_prefilter")
+    assert(p198.contains("BroadcastHashJoin"),
+      "the occupied-bit set must broadcast:\n" + p198.take(2000))
+    assert(!p198.contains("CartesianProduct"), p198.take(1500))
+  }
+
+  test("q199: linkage candidates come from an equi-join block, no window") {
+    val p = plan("q199_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must be a prefix equi-join, never all-pairs:\n" + p.take(2000))
+    assert(!p.contains("Window"),
+      "best-match must be a struct-min hash aggregate:\n" + p.take(2000))
+  }
+
+  test("q201: containment pairs come from the shingle equi-join") {
+    val p = plan("q201_containment_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "snippet×doc pairs must share a shingle hash, never all-pairs:\n" +
+        p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q202: register merge is window-free and partial-aggregated") {
+    val p = plan("q202_hll_sliding_window")
+    assert(!p.contains("Window"),
+      "the sliding union must be register explode + re-max, not a " +
+        "distinct-over-window:\n" + p.take(2000))
+    assert(p.contains("partial_max"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q203: KMV sketches build through TopKPerKeyExec, not a window") {
+    val p = plan("q203_kmv_overlap")
+    assert(p.contains("TopKPerKey"),
+      "the k-minimum-values selection must plan as the custom " +
+        "partial/final top-k operator:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q200: pagerank iterations join equi-only on node keys") {
+    val p = plan("q200_pagerank_trade_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "rank flow must equi-join edges to ranks:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }
