@@ -424,6 +424,66 @@ object ScaleBench {
     // of the LSH near-dup pair graph (dup groups are near-cliques, so
     // triangles exist; node-disjoint union ⇒ triangles scale exactly
     // ×r) measure the degree-oriented wedge join's wall growth.
+    // Sketch + graph family (q196/q200) across the replica ladder.
+    // HLL: the input stream AND its distinct key domain both grow ×r
+    // (offset partkeys per replica — the hard direction for a distinct
+    // counter), but the register frame crossing the final exchange
+    // stays ≤ groups·4096 rows — measured, the scale invariant that
+    // makes the sketch the 100 TB plan. PageRank: r node-disjoint
+    // copies of the trade graph — wall tracks edges ×r and the
+    // per-copy rank distribution is IDENTICAL (distinct-rank count
+    // constant), the disjoint-union invariant catching any cross-copy
+    // leakage.
+    val sketchGraph = {
+      import graft.operators.{Linkage, Sketches}
+      val li0 = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        .localCheckpoint(true)
+      val ord0 = Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey").localCheckpoint(true)
+      val eo0 = ord0.join(li0.select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct().localCheckpoint(true)
+      val rows = replicas.map { r =>
+        val keys = (0 until r).map(i =>
+          li0.select(col("l_returnflag").as("grp"),
+            concat((col("l_partkey") + lit(i.toLong * 10000000L))
+              .cast("string"), lit("-"),
+              col("l_suppkey").cast("string")).as("key")))
+          .reduce(_.union(_)).localCheckpoint(true)
+        val n = keys.count()
+        var regRows = 0L
+        val hllSec = timed {
+          val regs = Sketches.hllRegisters(
+            keys.select(col("grp"),
+              expr(Sketches.h60("key")).as("h")), Seq("grp"))
+            .localCheckpoint(true)
+          regRows = regs.count()
+        }
+        val edges = (0 until r).map { i =>
+          val eo = eo0.select(
+            concat(lit(s"c${i}_"), col("ck").cast("string")).as("c"),
+            concat(lit(s"s${i}_"), col("sk").cast("string")).as("sp"))
+          eo.select(col("c").as("src"), col("sp").as("dst"))
+            .union(eo.select(col("sp").as("src"), col("c").as("dst")))
+        }.reduce(_.union(_)).localCheckpoint(true)
+        val nEdges = edges.count()
+        var ranks: DataFrame = null
+        val prSec = timed {
+          ranks = Linkage.pageRank(edges, iters = 5).localCheckpoint(true)
+          ranks.count()
+        }
+        val distinctPr = ranks.select("pr").distinct().count()
+        spark.catalog.clearCache(); System.gc()
+        s"""{"replicas":$r,"keys":$n,"hll_reg_rows":$regRows,""" +
+          s""""hll_sec":${f"$hllSec%.2f"},"edges":$nEdges,""" +
+          s""""pagerank_sec":${f"$prSec%.2f"},""" +
+          s""""distinct_pr_values":$distinctPr}"""
+      }
+      rows.mkString("[", ",", "]")
+    }
+
     val mining = {
       import graft.operators.Mining
       val e0 = Dedup.lshCandidatePairsOf(baseDocs)
@@ -802,6 +862,7 @@ object ScaleBench {
       s""""clustered":$clustered,"skew":$skew,"pq":$pq,""" +
       s""""classifier":$classifier,"bpe":$bpe,"selection":$selection,""" +
       s""""setsim":$setsim,"mining":$mining,"span":$span,""" +
+      s""""sketch_graph":$sketchGraph,""" +
       s""""fingerprints":$fingerprints,""" +
       s""""asof_depth":$asofDepth}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_LOCAL.json"),

@@ -555,6 +555,114 @@ object Extras {
           round(col("sw").cast("double") / col("n") / 100.0, 4)
             .as("winsorized_mean"))
         .orderBy("event_type")
+    },
+
+    // ---- q204: Z-order layout — zone-map pruning evaluation ------------
+    // The STORAGE-side scale lever (Delta/Iceberg Z-ORDER, Spark's
+    // repartitionByRange+sortWithinPartitions idiom): interleaving the
+    // bits of two filter columns clusters multi-dimensional locality
+    // into file-sized buckets, so min/max zone maps prune 2-D query
+    // boxes that an arrival-order layout cannot. The bit spread is the
+    // classic 4-step shift-mask (16 → 32 bits, integer-exact, replayed
+    // verbatim by the oracle); both layouts get identical zone maps
+    // (per-bucket min/max of both columns) and three literal query
+    // boxes are evaluated against each: buckets touched, rows scanned
+    // (sum of touched buckets), rows actually matching — the scan-
+    // amplification column is the number a table-layout decision is
+    // made on. Everything integer; one final rounded ratio.
+    Q("q204_zorder_layout",
+      """WITH ord AS (SELECT o_orderkey,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+        |    CAST(datediff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |sp AS (SELECT o_orderkey, x, y,
+        |    (x | (x << 8)) & 16711935 AS x1, (y | (y << 8)) & 16711935 AS y1
+        |  FROM ord),
+        |sp2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM sp),
+        |sp3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM sp2),
+        |sp4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM sp3),
+        |zed AS (SELECT o_orderkey, x, y, x4 + 2 * y4 AS z FROM sp4),
+        |lay AS (SELECT x, y, 'zorder' AS layout, z // 16384 AS bucket
+        |        FROM zed
+        |        UNION ALL
+        |        SELECT x, y, 'arrival' AS layout, o_orderkey // 64 AS bucket
+        |        FROM zed),
+        |zm AS (SELECT layout, bucket, min(x) AS x_lo, max(x) AS x_hi,
+        |        min(y) AS y_lo, max(y) AS y_hi, count(*) AS n
+        |      FROM lay GROUP BY 1, 2),
+        |boxes(box_id, qx_lo, qx_hi, qy_lo, qy_hi) AS (VALUES
+        |  (1, 100, 200, 0, 180), (2, 500, 600, 1000, 1180),
+        |  (3, 0, 1500, 30, 60)),
+        |touch AS (SELECT b.box_id, zm.layout,
+        |        count(*) AS buckets_touched, sum(zm.n) AS rows_scanned
+        |      FROM boxes b JOIN zm
+        |        ON zm.x_lo <= b.qx_hi AND zm.x_hi >= b.qx_lo
+        |       AND zm.y_lo <= b.qy_hi AND zm.y_hi >= b.qy_lo
+        |      GROUP BY 1, 2),
+        |mt AS (SELECT b.box_id, count(*) AS rows_matching
+        |      FROM boxes b JOIN zed o
+        |        ON o.x BETWEEN b.qx_lo AND b.qx_hi
+        |       AND o.y BETWEEN b.qy_lo AND b.qy_hi
+        |      GROUP BY 1),
+        |nb AS (SELECT layout, count(*) AS n_buckets FROM zm GROUP BY 1)
+        |SELECT t.box_id, t.layout, nb.n_buckets,
+        |  CAST(t.buckets_touched AS BIGINT) AS buckets_touched,
+        |  CAST(t.rows_scanned AS BIGINT) AS rows_scanned,
+        |  CAST(mt.rows_matching AS BIGINT) AS rows_matching,
+        |  round(CAST(t.rows_scanned AS DOUBLE)
+        |    / nullif(mt.rows_matching, 0), 2) AS scan_amplification
+        |FROM touch t JOIN mt ON mt.box_id = t.box_id
+        |JOIN nb ON nb.layout = t.layout
+        |ORDER BY t.box_id, t.layout""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 65536).cast("long").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("y"))
+      val zed = ord
+        .withColumn("x1", expr("(x | shiftleft(x, 8)) & 16711935"))
+        .withColumn("y1", expr("(y | shiftleft(y, 8)) & 16711935"))
+        .withColumn("x2", expr("(x1 | shiftleft(x1, 4)) & 252645135"))
+        .withColumn("y2", expr("(y1 | shiftleft(y1, 4)) & 252645135"))
+        .withColumn("x3", expr("(x2 | shiftleft(x2, 2)) & 858993459"))
+        .withColumn("y3", expr("(y2 | shiftleft(y2, 2)) & 858993459"))
+        .withColumn("x4", expr("(x3 | shiftleft(x3, 1)) & 1431655765"))
+        .withColumn("y4", expr("(y3 | shiftleft(y3, 1)) & 1431655765"))
+        .select(col("o_orderkey"), col("x"), col("y"),
+          expr("x4 + 2 * y4").as("z"))
+      val lay = zed.select(col("x"), col("y"), lit("zorder").as("layout"),
+          expr("z DIV 16384").as("bucket"))
+        .union(zed.select(col("x"), col("y"), lit("arrival").as("layout"),
+          expr("o_orderkey DIV 64").as("bucket")))
+      val zm = lay.groupBy("layout", "bucket")
+        .agg(min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"),
+          count(lit(1)).as("n"))
+      val boxes = Seq((1, 100L, 200L, 0L, 180L),
+          (2, 500L, 600L, 1000L, 1180L), (3, 0L, 1500L, 30L, 60L))
+        .toDF("box_id", "qx_lo", "qx_hi", "qy_lo", "qy_hi")
+      val touch = zm.join(broadcast(boxes),
+          col("x_lo") <= col("qx_hi") && col("x_hi") >= col("qx_lo") &&
+            col("y_lo") <= col("qy_hi") && col("y_hi") >= col("qy_lo"))
+        .groupBy("box_id", "layout")
+        .agg(count(lit(1)).as("buckets_touched"),
+          sum("n").as("rows_scanned"))
+      val mt = zed.join(broadcast(boxes),
+          col("x").between(col("qx_lo"), col("qx_hi")) &&
+            col("y").between(col("qy_lo"), col("qy_hi")))
+        .groupBy("box_id").agg(count(lit(1)).as("rows_matching"))
+      val nb = zm.groupBy("layout").agg(count(lit(1)).as("n_buckets"))
+      touch.join(mt, "box_id").join(broadcast(nb), "layout")
+        .select(col("box_id"), col("layout"), col("n_buckets"),
+          col("buckets_touched"), col("rows_scanned"), col("rows_matching"),
+          round(col("rows_scanned").cast("double") /
+            when(col("rows_matching") === 0, lit(null))
+              .otherwise(col("rows_matching")), 2).as("scan_amplification"))
+        .orderBy("box_id", "layout")
     }
   )
 }

@@ -26,6 +26,31 @@ object Linkage {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Synchronous integer PageRank over a directed edge list (src, dst)
+    * with no dangling nodes: rank = 0.15 + 0.85·Σ in(rank/outdeg) in
+    * micro-rank units (start 1,000,000, every division floors — exact,
+    * so the q200 oracle replays to the unit). The degree-annotated edge
+    * table is partitioned/persisted ONCE and every iteration reuses
+    * that exchange — the single edge-side shuffle the whole loop pays
+    * at cluster scale. Shared by q200 and ScaleBench's graph family. */
+  private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e2 = edges.join(outdeg, "src").persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inflow = e2.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
+            .as("pr"))
+    }
+    ranks
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- q199: blocked fuzzy record linkage (Jaro-Winkler + edit) ------
     // Entities are full catalog descriptors — name+brand+type+size,
@@ -139,26 +164,9 @@ object Linkage {
         .distinct()
       val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
         .union(eo.select(col("sp").as("src"), col("c").as("dst")))
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      // degree-annotated edges: partitioned/persisted ONCE, reused by
-      // every iteration (at cluster scale this is the single exchange
-      // the whole loop pays on the edge side)
-      val e2 = edges.join(outdeg, "src").persist()
-      val nodes = edges.select(col("src").as("node")).distinct().persist()
-      var ranks = nodes.withColumn("pr", lit(1000000L))
-      for (_ <- 1 to 5) {
-        val inflow = e2.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
-          .groupBy("dst").agg(sum("contrib").as("inflow"))
-        ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-          .select(col("node"),
-            (lit(150000L) +
-              expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
-              .as("pr"))
-      }
-      val out = ranks.select(col("node"), col("pr").cast("long").as("pr"))
+      pageRank(edges, iters = 5)
+        .select(col("node"), col("pr").cast("long").as("pr"))
         .orderBy(desc("pr"), asc("node"))
-      out
     }
   )
 }

@@ -38,7 +38,7 @@ object Sketches {
   /** 60-bit hash of a string SQL expression: first 15 hex chars of
     * md5, parsed base-16 — the construction both engines evaluate
     * bit-identically (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT). */
-  private def h60(e: String): String =
+  private[graft] def h60(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
   /** d salted (row, cell) coordinates of a string column — the
@@ -56,7 +56,7 @@ object Sketches {
     * low 48 (49 - bit-length via bin()/length — no float log). The
     * groupBy max IS the sketch: partial_max reduces every partition to
     * ≤4096 register rows before the exchange. */
-  private def hllRegisters(hashed: DataFrame, gs: Seq[String]): DataFrame =
+  private[graft] def hllRegisters(hashed: DataFrame, gs: Seq[String]): DataFrame =
     hashed
       .withColumn("bucket", expr("h DIV 281474976710656"))
       .withColumn("rem", expr("h % 281474976710656"))

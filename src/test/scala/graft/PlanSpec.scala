@@ -531,6 +531,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("q204: zone-map eval is window-free; box joins broadcast 3 rows") {
+    val p = plan("q204_zorder_layout")
+    assert(!p.contains("Window"),
+      "bucketing must be arithmetic, not an ordered window:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the only nested-loop joins are the 3-literal-row box attaches —
+    // they must build on the broadcast side
+    if (p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("BuildRight") || p.contains("BuildLeft"), p.take(1500))
+  }
+
   test("q200: pagerank iterations join equi-only on node keys") {
     val p = plan("q200_pagerank_trade_graph")
     assert(!p.contains("CartesianProduct") &&
