@@ -350,6 +350,81 @@ object Events {
         .select(col("event_id"), col("user_id"),
           round(col("value"), 4).as("value"), col("z"))
         .orderBy("event_id")
+    },
+
+    // ---- q205: strictly-ordered event funnel ----------------------------
+    // The funnel analytics q163's as-of attribution does NOT express:
+    // each step must happen strictly AFTER the previous step's first
+    // completion (signup → first view after signup → first click after
+    // that view → first purchase after that click), so step k is
+    // min(ts of type_k WHERE ts > step_{k-1}) — a chain of per-user
+    // grouped minima with an equi-join on user between stages, never a
+    // per-user sequential scan: each stage is partial-aggregable and
+    // the whole funnel is 4 hash aggregates + 3 user-key joins,
+    // exactly what survives a 100 TB event log. Microsecond-integer
+    // timestamps end to end; lags in exact ms.
+    Q("q205_event_funnel",
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |            FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tus) AS t2, max(s1.t1) AS t1
+        |       FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.tus > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tus) AS t3, max(s2.t2) AS t2
+        |       FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.tus > s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.tus) AS t4, max(s3.t3) AS t3
+        |       FROM ev e JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tus > s3.t3
+        |       GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |  CAST(s1.user_id IS NOT NULL AS INT) AS did_signup,
+        |  CAST(s2.user_id IS NOT NULL AS INT) AS did_view,
+        |  CAST(s3.user_id IS NOT NULL AS INT) AS did_click,
+        |  CAST(s4.user_id IS NOT NULL AS INT) AS did_purchase,
+        |  CAST((s2.t2 - s2.t1) // 1000 AS BIGINT) AS lag_view_ms,
+        |  CAST((s3.t3 - s3.t2) // 1000 AS BIGINT) AS lag_click_ms,
+        |  CAST((s4.t4 - s4.t3) // 1000 AS BIGINT) AS lag_purchase_ms
+        |FROM u
+        |LEFT JOIN s1 ON s1.user_id = u.user_id
+        |LEFT JOIN s2 ON s2.user_id = u.user_id
+        |LEFT JOIN s3 ON s3.user_id = u.user_id
+        |LEFT JOIN s4 ON s4.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("tus"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      def step(prev: DataFrame, prevT: String, typ: String,
+          tOut: String): DataFrame =
+        e.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col(prevT)), "user_id")
+          .filter(col("tus") > col(prevT))
+          .groupBy("user_id")
+          .agg(min("tus").as(tOut), max(col(prevT)).as(prevT))
+      val s2 = step(s1, "t1", "view", "t2")
+      val s3 = step(s2, "t2", "click", "t3")
+      val s4 = step(s3, "t3", "purchase", "t4")
+      val u = e.select("user_id").distinct()
+      u.join(s1.select(col("user_id"), col("t1"), lit(1).as("f1")),
+          Seq("user_id"), "left")
+        .join(s2.select(col("user_id"), col("t1").as("t1b"), col("t2"),
+          lit(1).as("f2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), col("t2").as("t2b"), col("t3"),
+          lit(1).as("f3")), Seq("user_id"), "left")
+        .join(s4.select(col("user_id"), col("t3").as("t3b"), col("t4"),
+          lit(1).as("f4")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("f1"), lit(0)).as("did_signup"),
+          coalesce(col("f2"), lit(0)).as("did_view"),
+          coalesce(col("f3"), lit(0)).as("did_click"),
+          coalesce(col("f4"), lit(0)).as("did_purchase"),
+          expr("(t2 - t1b) DIV 1000").as("lag_view_ms"),
+          expr("(t3 - t2b) DIV 1000").as("lag_click_ms"),
+          expr("(t4 - t3b) DIV 1000").as("lag_purchase_ms"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1206,6 +1206,84 @@ object Similarity {
           round(col("ss").cast("double") / col("n_queries"), 6)
             .as("mean_scanned"))
         .orderBy("nprobe")
+    },
+
+    // ---- q206: Johnson-Lindenstrauss random projection 64 → 16 ---------
+    // The dimensionality-reduction leg of the ANN family: a seeded
+    // ±1 Rademacher projection (Achlioptas 2003 — the database-friendly
+    // JL construction) folds 64-dim embeddings to 16 dims, and the
+    // report measures exactly what JL promises: squared-distance
+    // distortion on a fixed probe-pair panel. The sign matrix is a
+    // FOLDABLE expression (md5-parity of "i:j" — Catalyst constant-
+    // folds it once at plan time; the oracle derives the identical
+    // matrix from the same md5s), projection is one map-side
+    // transform/fold per row — no shuffle, no UDF — and distortion =
+    // 4·d²_proj / d²_orig with both folds running in identical
+    // element order, so the doubles agree bit-for-bit before the one
+    // shared rounding.
+    Q("q206_jl_projection",
+      """WITH smat AS (SELECT list_transform(range(0,16), i ->
+        |    list_transform(range(0,64), j ->
+        |      CASE WHEN ('0x'||substr(md5(CAST(i AS VARCHAR)||':'
+        |          ||CAST(j AS VARCHAR)),1,15))::BIGINT % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END)) AS m),
+        |v AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |      FROM embeddings),
+        |p AS (SELECT vec_id, vd, list_transform(m, srow ->
+        |        list_sum(list_transform(range(1,65), k -> vd[k] * srow[k])))
+        |        AS pv
+        |      FROM v, smat WHERE vec_id % 50 = 0 OR vec_id % 50 = 1),
+        |pairs AS (SELECT a.vec_id AS pair_id,
+        |        list_sum(list_transform(range(1,65),
+        |          k -> (a.vd[k] - b.vd[k]) * (a.vd[k] - b.vd[k]))) AS d2o,
+        |        list_sum(list_transform(range(1,17),
+        |          k -> (a.pv[k] - b.pv[k]) * (a.pv[k] - b.pv[k]))) AS d2p
+        |      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+        |      WHERE a.vec_id % 50 = 0)
+        |SELECT pair_id, round(d2o, 4) AS d2_orig, round(d2p, 4) AS d2_proj,
+        |  round(d2p * 4.0 / d2o, 4) AS distortion
+        |FROM pairs ORDER BY pair_id""".stripMargin) { (s, dir) =>
+      // the sign matrix is a pure function of md5("i:j") — computed
+      // once on the driver (java MessageDigest md5 ≡ Spark md5 ≡ DuckDB
+      // md5 on the same bytes) and embedded as a nested array LITERAL,
+      // so the executed plan carries constants, not per-row hashing
+      // (plan-pinned: no md5 survives); the oracle derives the
+      // identical matrix from the same md5s in SQL
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(i: Int, j: Int): Double = {
+        val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+      val signs: Seq[Seq[Double]] =
+        (0 until 16).map(i => (0 until 64).map(j => sign(i, j)))
+      val p = emb(s, dir)
+        .filter(col("vec_id") % 50 === 0 || col("vec_id") % 50 === 1)
+        .withColumn("vd",
+          transform(col("embedding"), x => x.cast("double")))
+        .withColumn("m", typedLit(signs))
+        .withColumn("pv", expr("transform(m, srow -> " +
+          "aggregate(zip_with(vd, srow, (a, b) -> a * b), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"))
+        .select(col("vec_id"), col("vd"), col("pv"))
+      val a = p.select(col("vec_id").as("pair_id"),
+        col("vd").as("vda"), col("pv").as("pva"))
+        .filter(col("pair_id") % 50 === 0)
+      val b = p.select((col("vec_id") - 1).as("pair_id"),
+        col("vd").as("vdb"), col("pv").as("pvb"))
+        .filter(col("pair_id") % 50 === 0)
+      a.join(b, "pair_id")
+        .withColumn("d2o", expr("aggregate(zip_with(vda, vdb, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)"))
+        .withColumn("d2p", expr("aggregate(zip_with(pva, pvb, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)"))
+        .select(col("pair_id"), round(col("d2o"), 4).as("d2_orig"),
+          round(col("d2p"), 4).as("d2_proj"),
+          round(col("d2p") * 4.0 / col("d2o"), 4).as("distortion"))
+        .orderBy("pair_id")
     }
   )
 }

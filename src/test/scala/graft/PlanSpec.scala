@@ -542,6 +542,24 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BuildRight") || p.contains("BuildLeft"), p.take(1500))
   }
 
+  test("q205: funnel stages are hash aggregates + user-key equi-joins") {
+    val p = plan("q205_event_funnel")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "each step must be a grouped min + equi-join, not an ordered " +
+        "per-user scan:\n" + p.take(2000))
+  }
+
+  test("q206: JL sign matrix constant-folds; projection is map-only") {
+    val df = SparkEntry.queries("q206_jl_projection")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // the md5-derived matrix must fold at plan time: no md5 call may
+    // survive into the executed plan
+    assert(!p.toLowerCase.contains("md5"),
+      "sign matrix should be constant-folded:\n" + p.take(2000))
+  }
+
   test("q200: pagerank iterations join equi-only on node keys") {
     val p = plan("q200_pagerank_trade_graph")
     assert(!p.contains("CartesianProduct") &&
