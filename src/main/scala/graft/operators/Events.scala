@@ -425,6 +425,46 @@ object Events {
           expr("(t3 - t2b) DIV 1000").as("lag_click_ms"),
           expr("(t4 - t3b) DIV 1000").as("lag_purchase_ms"))
         .orderBy("user_id")
+    },
+
+    // ---- q208: sessionized path mining (event-type trigrams) -----------
+    // The "what do users DO" companion to q205's funnel: every
+    // consecutive event-type trigram along each user's timeline,
+    // counted corpus-wide — the path table a product-analytics tool
+    // renders as a Sankey. Per-user ordered collection is BOUNDED
+    // (one user's history, the natural unit — this is the one shape
+    // where collect_list is the scale-correct tool), ordering made
+    // deterministic by the unique event_id tiebreak; trigram expansion
+    // is a map-side transform over the sorted array, and the count is
+    // one hash aggregate over a ≤|types|³ domain.
+    Q("q208_event_paths",
+      """WITH tl AS (SELECT user_id,
+        |    list(event_type ORDER BY epoch_us(ts), event_id) AS ts
+        |  FROM events GROUP BY 1),
+        |tg AS (SELECT user_id,
+        |    unnest(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || '>' || ts[i+1] || '>' || ts[i+2])) AS path
+        |  FROM tl WHERE len(ts) >= 3)
+        |SELECT path, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM tg GROUP BY 1
+        |ORDER BY cnt DESC, path""".stripMargin) { (s, dir) =>
+      val tl = ev(s, dir)
+        .select(col("user_id"),
+          struct(expr("ts_ns DIV 1000").as("tus"), col("event_id"),
+            col("event_type")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .filter(size(col("es")) >= 3)
+        .select(col("user_id"),
+          expr("transform(es, x -> x.event_type)").as("ts"))
+      tl.select(col("user_id"),
+          explode(expr("transform(sequence(0, size(ts) - 3), " +
+            "i -> concat(ts[i], '>', ts[i+1], '>', ts[i+2]))")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy(desc("cnt"), asc("path"))
     }
   )
 }

@@ -663,6 +663,52 @@ object Extras {
             when(col("rows_matching") === 0, lit(null))
               .otherwise(col("rows_matching")), 2).as("scan_amplification"))
         .orderBy("box_id", "layout")
+    },
+
+    // ---- q207: OHLC time-series downsampling (min_by/max_by) -----------
+    // The resampling operator every time-series store ships (candlestick
+    // bars, telemetry downsampling): per (brand, month), the price at
+    // the EARLIEST and LATEST event plus high/low/volume — open/close
+    // via min_by/max_by over a composite integer event key
+    // (day·1e8 + orderkey)·10 + linenumber, unique by construction so
+    // the selection is deterministic without any ordered window; one
+    // partial-aggregable pass, broadcast part dim for the brand.
+    // Prices in exact cents (one shared double rounding at the cents
+    // conversion, then integer min/max/sum).
+    Q("q207_ohlc_downsample",
+      """WITH px AS (SELECT p.p_brand,
+        |    CAST(date_trunc('month', l.l_shipdate) AS DATE) AS mon,
+        |    (CAST(datediff('day', DATE '1995-01-01',
+        |       CAST(l.l_shipdate AS DATE)) AS BIGINT) * 100000000
+        |     + l.l_orderkey) * 10 + l.l_linenumber AS ek,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT p_brand, mon,
+        |  CAST(arg_min(cents, ek) AS BIGINT) AS open_c,
+        |  CAST(max(cents) AS BIGINT) AS high_c,
+        |  CAST(min(cents) AS BIGINT) AS low_c,
+        |  CAST(arg_max(cents, ek) AS BIGINT) AS close_c,
+        |  count(*) AS volume,
+        |  CAST(sum(cents) AS BIGINT) AS turnover_c
+        |FROM px GROUP BY 1, 2
+        |ORDER BY p_brand, mon""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          to_date(date_trunc("month", col("l_shipdate"))).as("mon"),
+          ((datediff(col("l_shipdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long") * 100000000L
+            + col("l_orderkey")) * 10L + col("l_linenumber")).as("ek"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("p_brand", "mon")
+        .agg(expr("min_by(cents, ek)").as("open_c"),
+          max("cents").as("high_c"),
+          min("cents").as("low_c"),
+          expr("max_by(cents, ek)").as("close_c"),
+          count(lit(1)).as("volume"),
+          sum("cents").as("turnover_c"))
+        .orderBy("p_brand", "mon")
     }
   )
 }

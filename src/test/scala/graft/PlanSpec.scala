@@ -560,6 +560,23 @@ class PlanSpec extends SparkSpec {
       "sign matrix should be constant-folded:\n" + p.take(2000))
   }
 
+  test("q207: OHLC bars are one hash aggregate over a broadcast dim join") {
+    val p = plan("q207_ohlc_downsample")
+    assert(!p.contains("Window"),
+      "open/close must be min_by/max_by aggregates, not first/last over " +
+        "an ordered window:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q208: path mining has no ordered window; per-user arrays only") {
+    val p = plan("q208_event_paths")
+    // (the sort_array call itself lives inside a Project whose
+    // expression list the plan toString truncates — the absence of any
+    // Window/Sort-within-groups operator is the pin)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("q200: pagerank iterations join equi-only on node keys") {
     val p = plan("q200_pagerank_trade_graph")
     assert(!p.contains("CartesianProduct") &&
