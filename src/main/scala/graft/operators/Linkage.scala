@@ -82,7 +82,8 @@ object Linkage {
         |        levenshtein(o.o_desc, m.m_desc) AS lev,
         |        jaro_winkler_similarity(o.o_desc, m.m_desc) AS jw
         |      FROM m JOIN o ON substr(o.o_desc, 1, 8) = substr(m.m_desc, 1, 8)
-        |      WHERE levenshtein(o.o_desc, m.m_desc) <= 3),
+        |      WHERE abs(length(o.o_desc) - length(m.m_desc)) <= 3
+        |        AND levenshtein(o.o_desc, m.m_desc) <= 3),
         |best AS (SELECT m_pk, o_pk, lev, jw, src_desc, o_desc,
         |        row_number() OVER (PARTITION BY m_pk
         |          ORDER BY lev, jw DESC, o_pk) AS rn,
@@ -99,8 +100,13 @@ object Linkage {
         .select(col("o_pk").as("m_pk"), col("o_desc").as("src_desc"),
           expr("substring(o_desc, 1, CAST(length(o_desc) - 1 - o_pk % 3 AS INT))")
             .as("m_desc"))
+      // length gate BEFORE the edit distance: lev <= 3 implies
+      // |Δlength| <= 3, so the cheap integer filter is semantics-
+      // preserving and spares the O(n·window) lev on most of the block
+      // (the textbook linkage candidate cut; mirrored in the oracle)
       val cand = m.join(o,
-          substring(col("o_desc"), 1, 8) === substring(col("m_desc"), 1, 8))
+          substring(col("o_desc"), 1, 8) === substring(col("m_desc"), 1, 8) &&
+            abs(length(col("o_desc")) - length(col("m_desc"))) <= 3)
         .withColumn("lev", levenshtein(col("o_desc"), col("m_desc")))
         .filter(col("lev") <= 3)
         .withColumn("jw", expr("jaro_winkler(o_desc, m_desc)"))
