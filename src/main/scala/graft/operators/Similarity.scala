@@ -1218,7 +1218,7 @@ object Similarity {
     // folds it once at plan time; the oracle derives the identical
     // matrix from the same md5s), projection is one map-side
     // transform/fold per row — no shuffle, no UDF — and distortion =
-    // 4·d²_proj / d²_orig with both folds running in identical
+    // d²_proj / (16·d²_orig) with both folds running in identical
     // element order, so the doubles agree bit-for-bit before the one
     // shared rounding.
     Q("q206_jl_projection",
@@ -1242,7 +1242,7 @@ object Similarity {
         |      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
         |      WHERE a.vec_id % 50 = 0)
         |SELECT pair_id, round(d2o, 4) AS d2_orig, round(d2p, 4) AS d2_proj,
-        |  round(d2p * 4.0 / d2o, 4) AS distortion
+        |  round(d2p / (16.0 * d2o), 4) AS distortion
         |FROM pairs ORDER BY pair_id""".stripMargin) { (s, dir) =>
       // the sign matrix is a pure function of md5("i:j") — computed
       // once on the driver (java MessageDigest md5 ≡ Spark md5 ≡ DuckDB
@@ -1282,7 +1282,7 @@ object Similarity {
           "(acc, x) -> acc + x)"))
         .select(col("pair_id"), round(col("d2o"), 4).as("d2_orig"),
           round(col("d2p"), 4).as("d2_proj"),
-          round(col("d2p") * 4.0 / col("d2o"), 4).as("distortion"))
+          round(col("d2p") / (lit(16.0) * col("d2o")), 4).as("distortion"))
         .orderBy("pair_id")
     }
   )
