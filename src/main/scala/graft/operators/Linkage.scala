@@ -39,14 +39,25 @@ object Linkage {
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     var ranks = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
-      val inflow = e2.join(ranks, col("src") === col("node"))
+      // ranks is |nodes|-sized (tiny next to edges): broadcast it so
+      // the edge table is never re-shuffled, and eagerly checkpoint
+      // the new ranks so iteration k+1 starts from a materialized
+      // |nodes|-row frame instead of re-executing iterations 1..k
+      // (the synchronous-superstep barrier Pregel has; without it the
+      // per-iteration broadcast re-runs the whole prefix). At cluster
+      // scale with a rank table too big to broadcast, drop the hint —
+      // the persisted src-partitioned e2 makes this a co-located
+      // shuffle join instead.
+      val inflow = e2.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      ranks = nodes.join(broadcast(inflow),
+          nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (lit(150000L) +
             expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
             .as("pr"))
+        .localCheckpoint(true)
     }
     ranks
   }
