@@ -709,6 +709,56 @@ object Extras {
           count(lit(1)).as("volume"),
           sum("cents").as("turnover_c"))
         .orderBy("p_brand", "mon")
+    },
+
+    // ---- q209: two-phase distributed skyline (Pareto-optimal set) ------
+    // The multi-objective query (cheapest-AND-largest parts: minimize
+    // price, maximize size) whose naive form is an O(n²) dominance
+    // self-join. The distributed shape: phase 1 buckets price into
+    // fixed $5 ranges and takes max(size) per bucket — a ≤20-row
+    // summary; phase 2 computes each bucket's best strictly-cheaper
+    // size (a triangle join on the tiny summary) and prunes every row
+    // whose size doesn't beat it (anything ≤ is dominated by some
+    // strictly cheaper part) — ONE broadcast filter that eliminates
+    // ~all of the corpus; phase 3 runs the exact dominance anti-join
+    // on the surviving handful only (broadcast, never corpus²). The
+    // oracle is the NOT EXISTS the plan avoids. Exact-cents integers;
+    // ties (equal price and size) are mutually non-dominating and both
+    // survive, deterministically.
+    Q("q209_skyline",
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_size FROM part)
+        |SELECT op.p_partkey, op.cents, CAST(op.p_size AS INT) AS p_size
+        |FROM p op
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE (q.cents < op.cents AND q.p_size >= op.p_size)
+        |     OR (q.cents <= op.cents AND q.p_size > op.p_size))
+        |ORDER BY op.cents, op.p_size, op.p_partkey""".stripMargin) {
+      (s, dir) =>
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size"))
+      val b = p.withColumn("bk", expr("cents DIV 500"))
+      val bmax = b.groupBy("bk").agg(max("p_size").as("mx"))
+      val best = bmax.as("a")
+        .join(bmax.as("bb"), col("bb.bk") < col("a.bk"), "left")
+        .groupBy(col("a.bk").as("bk"))
+        .agg(max(col("bb.mx")).as("best_lower"))
+      val cand = b.join(broadcast(best), "bk")
+        .filter(col("best_lower").isNull ||
+          col("p_size") > col("best_lower"))
+        .select("p_partkey", "cents", "p_size")
+      cand.as("x")
+        .join(broadcast(cand.as("y")),
+          (col("y.cents") < col("x.cents") &&
+            col("y.p_size") >= col("x.p_size")) ||
+            (col("y.cents") <= col("x.cents") &&
+              col("y.p_size") > col("x.p_size")),
+          "left_anti")
+        .select(col("p_partkey"), col("cents"),
+          col("p_size").cast("int").as("p_size"))
+        .orderBy("cents", "p_size", "p_partkey")
     }
   )
 }

@@ -577,6 +577,16 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q209: skyline's exact phase runs on the pruned broadcast set") {
+    val p = plan("q209_skyline")
+    assert(!p.contains("CartesianProduct"),
+      "the dominance anti-join must be broadcast over the pruned " +
+        "candidates, never corpus x corpus:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      (p.contains("BuildRight") || p.contains("BuildLeft")), p.take(1500))
+  }
+
   test("q200: pagerank iterations join equi-only on node keys") {
     val p = plan("q200_pagerank_trade_graph")
     assert(!p.contains("CartesianProduct") &&
