@@ -94,9 +94,15 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     def qmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    // per-run suite totals alongside the per-query min: a single-run
+    // total mis-prices a round by the host-noise factor (BASELINE.md
+    // "host-noise envelope"); recording BOTH runs' totals makes the
+    // committed artifact noise-robust on its face
+    val runTotals = runs.map(_.collect { case (_, (t, true)) => t }.sum)
     val detail =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""errors":$errorRuns,"failed_queries":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""run_totals":[${runTotals.map(s3).mkString(",")}],""" +
         s""""queries":${qmap(mins)},"runs":[${runs.map(r => qmap(r.map { case (n, (t, _)) => n -> t })).mkString(",")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

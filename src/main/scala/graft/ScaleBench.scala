@@ -365,9 +365,13 @@ object ScaleBench {
             .map(_.asInstanceOf[Long]).getOrElse(0L)
         }
         // cap audit outside the timed window: distinct-doc window
-        // frequencies above the boilerplate bound
+        // frequencies above the boilerplate bound. Tokenized with
+        // Dedup.norm — the EXACT tokenizer the timed q184 chain uses —
+        // so the audit hashes identical windows (a raw \s+ split
+        // disagrees on leading/trailing whitespace and could report 0
+        // capped hashes while the real chain capped some)
         capped = d
-          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+          .select(col("doc_id"), split(Dedup.norm(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 16)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(ws) - 15)," +
@@ -461,10 +465,15 @@ object ScaleBench {
             .localCheckpoint(true)
           regRows = regs.count()
         }
+        // long node ids, q200's exact convention (custkey ↦ 2k,
+        // suppkey ↦ 2k+1) with a 10M per-replica key offset — the
+        // ladder measures the integer-keyed chain the shipped query
+        // actually runs, not a string-keyed stand-in
         val edges = (0 until r).map { i =>
+          val off = lit(i.toLong * 10000000L)
           val eo = eo0.select(
-            concat(lit(s"c${i}_"), col("ck").cast("string")).as("c"),
-            concat(lit(s"s${i}_"), col("sk").cast("string")).as("sp"))
+            ((col("ck") + off) * 2).cast("long").as("c"),
+            ((col("sk") + off) * 2 + 1).cast("long").as("sp"))
           eo.select(col("c").as("src"), col("sp").as("dst"))
             .union(eo.select(col("sp").as("src"), col("c").as("dst")))
         }.reduce(_.union(_)).localCheckpoint(true)
@@ -577,8 +586,18 @@ object ScaleBench {
         dtab = d.localCheckpoint(true)
       }
       val nQ = dtab.count()
-      val nativeSec = timed(noop(Similarity.pqScan(codes, dtab)))
-      val hofSec = timed(noop(Similarity.pqScan(codes, dtab, nativeScorer = false)))
+      // ALTERNATED, min-of-2 per arm: a single sample per arm measured
+      // in a fixed order let one warm-up/GC hiccup invert the ratio
+      // (round 12 recorded native 7.04 vs HOF 6.58 from exactly that;
+      // alternated min-of-3 on the same code reads native 2.6 vs HOF
+      // 3.9 — the 1.5× the fused int loop actually buys)
+      val arms = (1 to 2).map { _ =>
+        val h = timed(noop(Similarity.pqScan(codes, dtab, nativeScorer = false)))
+        val nv = timed(noop(Similarity.pqScan(codes, dtab)))
+        (nv, h)
+      }
+      val nativeSec = arms.map(_._1).min
+      val hofSec = arms.map(_._2).min
       spark.catalog.clearCache(); System.gc()
       s"""{"vectors":$nV,"queries":$nQ,"encode_sec":${f"$encodeSec%.2f"},""" +
         s""""scan_native_sec":${f"$nativeSec%.2f"},""" +

@@ -113,7 +113,10 @@ object Archive {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (d, text) =>
         val m = (d % 3 + 1).toInt
-        val payloads = (0 until m).map(j => s"$text:$j".getBytes("US-ASCII"))
+        // UTF-8, NOT US-ASCII: the oracle computes octet_length/sha256
+        // over encode(text) (UTF-8 bytes); ASCII would mangle any
+        // non-ASCII corpus char to '?' and break byte-level parity
+        val payloads = (0 until m).map(j => s"$text:$j".getBytes("UTF-8"))
         (d, GzipCodec.encodeMembers(payloads))
       }).toDF("media_id", "content")
   }

@@ -86,7 +86,7 @@ object Dedup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  private[operators] def norm(c: Column): Column =
+  private[graft] def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
   private[operators] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -1376,7 +1376,13 @@ object Dedup {
           array_join(slice(col("_w"), lit(1),
             expr("CAST(size(_w) * 3 DIV 5 AS INT)")), " ").as("text"))
       val ash = shinglesOf(snips).select(col("doc_id"), h(col("s")).as("h"))
-      val bsh = shingles(s, dir).select(col("doc_id"), h(col("s")).as("h"))
+      // corpus-side shingle hashes come from the q138/q174 setsim list
+      // spill (same 60-bit md5 hashing, exploded back to rows) instead
+      // of re-running the shingle chain — q201 was the last shingle
+      // consumer rebuilding it from scratch, and the rebuild showed up
+      // as a 4.8 → 9.0 s driver-run swing
+      val bsh = setsimListsCached(s, dir)
+        .select(col("doc_id"), explode(col("wa")).as("h"))
       val hot = bsh.groupBy("h").agg(count(lit(1)).as("bf"))
         .filter(col("bf") > HotShingleCap).select("h")
       val aok = ash.join(broadcast(hot), Seq("h"), "left_anti")

@@ -26,17 +26,37 @@ object Linkage {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  private val prRunId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Synchronous integer PageRank over a directed edge list (src, dst)
     * with no dangling nodes: rank = 0.15 + 0.85·Σ in(rank/outdeg) in
     * micro-rank units (start 1,000,000, every division floors — exact,
     * so the q200 oracle replays to the unit). The degree-annotated edge
-    * table is partitioned/persisted ONCE and every iteration reuses
-    * that exchange — the single edge-side shuffle the whole loop pays
-    * at cluster scale. Shared by q200 and ScaleBench's graph family. */
+    * table is materialized ONCE to a per-invocation tmp parquet (a
+    * [[graft.core.SessionSpill]] root, deleted as soon as the final
+    * ranks frame is pinned) and every iteration re-reads that file.
+    * A persist() here is a trap at scale: under memory pressure
+    * MEMORY_AND_DISK blocks silently evict, and each per-iteration
+    * broadcast build then re-executes the edge frame's FULL upstream
+    * lineage (for q200, orders⋈lineitem⋈distinct⋈union — measured as a
+    * 9.4 s → 86.6 s same-code swing and a superlinear 50× rung). A
+    * file re-read degrades gracefully — worst case one sequential
+    * columnar scan per iteration — which is the behavior a
+    * 1000-executor run needs. Shared by q200 and ScaleBench's graph
+    * family. */
   private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    val base = new org.apache.hadoop.fs.Path(
+      graft.core.SessionSpill.root(s, "graft_pagerank"),
+      s"run_${prRunId.incrementAndGet()}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e2 = edges.join(outdeg, "src").persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    edges.join(outdeg, "src")
+      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
+    val e2 = s.read.parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
+    e2.select(col("src").as("node")).distinct()
+      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
+    val nodes = s.read.parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
     var ranks = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
       // ranks is |nodes|-sized (tiny next to edges): broadcast it so
@@ -46,8 +66,8 @@ object Linkage {
       // (the synchronous-superstep barrier Pregel has; without it the
       // per-iteration broadcast re-runs the whole prefix). At cluster
       // scale with a rank table too big to broadcast, drop the hint —
-      // the persisted src-partitioned e2 makes this a co-located
-      // shuffle join instead.
+      // the spilled src-keyed e2 file makes this a shuffle join whose
+      // edge side is a bare columnar scan.
       val inflow = e2.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
@@ -59,6 +79,10 @@ object Linkage {
             .as("pr"))
         .localCheckpoint(true)
     }
+    // the final ranks frame is eagerly checkpointed — nothing depends on
+    // the spill files any more, so drop them NOW rather than at
+    // application end (ScaleBench's replica ladder calls this in a loop)
+    fs.delete(base, true)
     ranks
   }
 
@@ -172,17 +196,26 @@ object Linkage {
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r5
         |ORDER BY pr DESC, node""").stripMargin
     }) { (s, dir) =>
+      // node ids are LONGS inside the loop — customer custkey ↦ 2k,
+      // supplier suppkey ↦ 2k+1 — so every shuffle/broadcast row in the
+      // 5 iterations carries an 8-byte key instead of a 'c…'/'s…'
+      // string; the display ids the oracle uses are reconstructed from
+      // the parity bit only on the final |nodes|-row frame
       val eo = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(
-          concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
         .distinct()
       val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
         .union(eo.select(col("sp").as("src"), col("c").as("dst")))
       pageRank(edges, iters = 5)
-        .select(col("node"), col("pr").cast("long").as("pr"))
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node DIV 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("node DIV 2").cast("string")))
+            .as("node"),
+          col("pr").cast("long").as("pr"))
         .orderBy(desc("pr"), asc("node"))
     }
   )

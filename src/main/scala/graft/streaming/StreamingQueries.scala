@@ -379,16 +379,29 @@ object StreamingQueries {
         graft.core.SessionSpill.root(s, "graft_q195_files"), safe)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true) // fresh fixture per run: the query IS the drive
-      // one parquet dir per batch, written SEQUENTIALLY so modification
-      // times order b0 < b1 < … < b4 (FileStreamSource consumes oldest
-      // first; the bN name order breaks any same-millisecond tie)
-      for (b <- 0 to 3)
+      // one parquet dir per batch; batch ORDER is pinned by explicitly
+      // stamping strictly increasing (1-minute-spaced) modification
+      // times on each batch's data file — FileStreamSource consumes
+      // oldest-mtime first, and leaving the ordering to sequential
+      // write timestamps would make batch composition hostage to
+      // same-millisecond tie-break behavior (a flaky gate, not a wrong
+      // merge, but fragile)
+      val t0 = System.currentTimeMillis()
+      def stamp(sub: String, order: Int): Unit = {
+        val d = new org.apache.hadoop.fs.Path(root, sub)
+        fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.setTimes(f.getPath, t0 + order * 60000L, -1))
+      }
+      for (b <- 0 to 3) {
         ev.filter(col("event_id") % 4 === b)
           .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, s"b$b").toString)
+        stamp(s"b$b", b)
+      }
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
       Seq((-1L, "zz_sentinel", 0.0, sentinelTs))
         .toDF("event_id", "event_type", "value", "ts")
         .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, "b4").toString)
+      stamp("b4", 4)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(new org.apache.hadoop.fs.Path(root, "*/*.parquet").toString)

@@ -170,6 +170,39 @@ class PlanSpec extends SparkSpec {
       "codebook / distance tables should broadcast:\n" + p.take(1500))
   }
 
+  test("pq_adc is compiled, never interpreted (codegen pin)") {
+    // the native Expression's entire value is the fused int loop
+    // compiled into generated code — if it ever regressed to a
+    // CodegenFallback the measured 1.5× over the HOF chain (which IS
+    // interpreted) would silently evaporate (the round-12 stale-claim
+    // lesson). Two pins: (a) the class does not take the fallback
+    // trait; (b) on a clean scan the operator computing pq_adc sits
+    // inside a whole-stage-codegen span ("[codegen id : N]" in the
+    // formatted executed plan). In q99 itself the scoring Project rides
+    // directly on the BroadcastNestedLoopJoin whose build side is an
+    // ObjectHashAggregate, which keeps that particular SPAN out of WSC —
+    // but ProjectExec still compiles its expressions via UnsafeProjection
+    // codegen, so the fused loop runs compiled there too.
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.PqAdc]),
+      "PqAdc must implement doGenCode, not fall back")
+    // codes must depend on a non-foldable input (range id) or the whole
+    // expression constant-folds into a LocalTableScan before execution
+    val df = spark.range(2)
+      .selectExpr("array(CAST(id AS INT), 1) AS codes",
+        "array(array(10L, 20L), array(30L, 40L)) AS dt")
+      .selectExpr("pq_adc(codes, dt) AS d")
+    df.write.format("noop").mode("overwrite").save()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val adcInCodegen = formatted.split("\\n\\n").exists(b =>
+      b.contains("pq_adc") && b.contains("[codegen id :"))
+    assert(adcInCodegen,
+      "pq_adc fell out of whole-stage codegen:\n" + formatted.take(4000))
+    // id=0 → t[0][0]+t[1][1] = 50; id=1 → t[0][1]+t[1][1] = 60
+    assert(df.orderBy("d").collect().map(_.getLong(0)).toSeq === Seq(50L, 60L))
+  }
+
   test("q100: Hamming scan touches signatures only; vectors read post-filter") {
     val df = SparkEntry.queries("q100_binary_quant_rerank")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -28,6 +28,24 @@ class JaroWinklerSpec extends SparkSpec {
     assert(jw("ab", "ba") === 0.0)
   }
 
+  test("odd transposition-mismatch count floors like DuckDB") {
+    // 'abcdef' vs 'bcadef': match skeletons abcdef / bcadef differ at 3
+    // positions (a 3-cycle) — an ODD mismatch count, so the t/2 term is
+    // fractional under the floating-point variant some implementations
+    // use (jaro would be 0.9166…). DuckDB floors it (t DIV 2 = 1 ⇒
+    // jaro = (1 + 1 + 5/6)/3 = 0.9444…; probed directly against
+    // duckdb's jaro_winkler_similarity — no common prefix, so no
+    // Winkler boost muddies the value). This pins the floor semantics
+    // the q199 oracle gate doesn't reach (its pairs are tail
+    // truncations with t ≈ 0).
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+    // same 3-cycle behind a 1-char common prefix, so the floored t also
+    // feeds the Winkler boost: DuckDB jaro_winkler_similarity(
+    // 'pabcdef','pbcadef') = 0.9571428571428572 (floating t/2 would
+    // give 0.9357…)
+    assert(math.abs(jw("pabcdef", "pbcadef") - 0.9571428571428572) < 1e-12)
+  }
+
   test("boost applies only above the 0.7 jaro threshold") {
     // jaro('abxxxxxx','abyyyyyy') = 0.5 with common prefix 2: no boost
     assert(jw("abxxxxxx", "abyyyyyy") === 0.5)
