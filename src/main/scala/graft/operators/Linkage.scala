@@ -44,46 +44,77 @@ object Linkage {
     * columnar scan per iteration — which is the behavior a
     * 1000-executor run needs. Shared by q200 and ScaleBench's graph
     * family. */
-  private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  /** `seeds` (single column `node`) switches the teleport term to a
+    * PERSONALIZED restart: rank mass starts at — and the 0.15 base
+    * returns only to — the seed set, the random-walk-with-restart
+    * variant behind "related entities" queries. With `None` every node
+    * is a seed (s = 1), which reduces EXACTLY to the uniform integer
+    * arithmetic q200's oracle replays. */
+  private[graft] def pageRank(edges: DataFrame, iters: Int,
+                              seeds: Option[DataFrame] = None): DataFrame = {
     val s = edges.sparkSession
     val base = new org.apache.hadoop.fs.Path(
       graft.core.SessionSpill.root(s, "graft_pagerank"),
       s"run_${prRunId.incrementAndGet()}")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    edges.join(outdeg, "src")
-      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
+    // spill the RAW (src, dst) edge list — NOT edges⋈outdeg: annotating
+    // every edge with its source's degree costs a full edge-side
+    // shuffle join before the loop even starts (measured 98 s of the
+    // 138 s 50× rung), when the degree belongs on the |V|-sized rank
+    // frame instead — the per-node `pr DIV outdeg` contribution is
+    // computed there and shipped to the edge scan, so the 16-byte edge
+    // rows are written and re-read verbatim and NEVER shuffled
+    graft.core.Prof("pagerank edge spill") {
+      edges.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
+    }
     val e2 = s.read.parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
-    e2.select(col("src").as("node")).distinct()
-      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
+    // (node, outdeg, s) doubles as the node list — groupBy(src) is
+    // already distinct on src, so no separate distinct pass over the
+    // edges; s is the teleport indicator (1 everywhere for uniform
+    // PageRank, seed membership for the personalized variant)
+    graft.core.Prof("pagerank node spill") {
+      val nd = e2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+      seeds.fold(nd.withColumn("s", lit(1L))) { sd =>
+        nd.join(broadcast(sd.select(col("node")).distinct()
+            .withColumn("_s", lit(1L))), Seq("node"), "left")
+          .withColumn("s", coalesce(col("_s"), lit(0L))).drop("_s")
+      }.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
+    }
     val nodes = s.read.parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
-    var ranks = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
-      // ranks is |nodes|-sized (tiny next to edges): broadcast it so
-      // the edge table is never re-shuffled, and eagerly checkpoint
-      // the new ranks so iteration k+1 starts from a materialized
-      // |nodes|-row frame instead of re-executing iterations 1..k
-      // (the synchronous-superstep barrier Pregel has; without it the
-      // per-iteration broadcast re-runs the whole prefix). At cluster
-      // scale with a rank table too big to broadcast, drop the hint —
-      // the spilled src-keyed e2 file makes this a shuffle join whose
-      // edge side is a bare columnar scan.
-      val inflow = e2.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
+    var ranks = nodes.withColumn("pr", col("s") * lit(1000000L))
+    for (it <- 1 to iters) {
+      // ranks (with outdeg riding along) is |nodes|-sized — tiny next
+      // to edges: broadcast the per-node contribution so the edge file
+      // is only ever SCANNED, and eagerly checkpoint the new ranks so
+      // iteration k+1 starts from a materialized |nodes|-row frame
+      // instead of re-executing iterations 1..k (the synchronous-
+      // superstep barrier Pregel has; without it the per-iteration
+      // broadcast re-runs the whole prefix). At cluster scale with a
+      // rank table too big to broadcast, drop the hint — the spilled
+      // src-keyed edge file makes this a shuffle join whose edge side
+      // is a bare columnar scan.
+      val contrib = ranks.select(col("node"),
+        expr("pr DIV outdeg").as("contrib"))
+      val inflow = e2.join(broadcast(contrib), col("src") === col("node"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
-      ranks = nodes.join(broadcast(inflow),
-          nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
-            .as("pr"))
-        .localCheckpoint(true)
+      ranks = graft.core.Prof(s"pagerank iter $it") {
+        nodes.join(broadcast(inflow),
+            nodes("node") === inflow("dst"), "left")
+          .select(col("node"), col("outdeg"),
+            (col("s") * lit(150000L) +
+              expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
+              .as("pr"), col("s"))
+          .localCheckpoint(true)
+      }
     }
     // the final ranks frame is eagerly checkpointed — nothing depends on
     // the spill files any more, so drop them NOW rather than at
     // application end (ScaleBench's replica ladder calls this in a loop)
     fs.delete(base, true)
-    ranks
+    ranks.select(col("node"), col("pr"))
   }
 
   val defs: Seq[Q] = Seq(
@@ -210,6 +241,66 @@ object Linkage {
       val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
         .union(eo.select(col("sp").as("src"), col("c").as("dst")))
       pageRank(edges, iters = 5)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node DIV 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("node DIV 2").cast("string")))
+            .as("node"),
+          col("pr").cast("long").as("pr"))
+        .orderBy(desc("pr"), asc("node"))
+    },
+
+    // ---- q212: PERSONALIZED PageRank (random walk with restart) --------
+    // The "related entities" variant: teleport mass restarts only at a
+    // seed set (customers of one nation), so rank measures proximity
+    // to the seeds through the trade graph — the query behind
+    // recommend-suppliers-for-this-market. Same eviction-proof loop,
+    // same integer micro-rank arithmetic as q200 (seeds get the
+    // 150,000 base and the 1,000,000 start; everyone else 0, earning
+    // rank only through inflow), so the oracle replays every step to
+    // the unit. Suppliers dominate the top ranks — one hop from the
+    // seed customers — which is exactly the product shape.
+    Q("q212_personalized_pagerank", {
+      val iter = (k: Int) =>
+        s"""r$k AS (SELECT n.node,
+           |    150000 * n.s + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.pr // d.outdeg) AS inflow
+           |    FROM r${k - 1} r
+           |    JOIN edges e ON e.src = r.node
+           |    JOIN outdeg d ON d.src = e.src
+           |    GROUP BY 1) f ON f.node = n.node)"""
+      ("""WITH eo AS (SELECT DISTINCT
+        |    'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l.l_suppkey AS VARCHAR) AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM eo
+        |          UNION ALL SELECT sp AS src, c AS dst FROM eo),
+        |seeds AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS v
+        |          FROM customer WHERE c_nationkey = 7),
+        |nodes AS (SELECT src AS node,
+        |    CASE WHEN src IN (SELECT v FROM seeds) THEN 1 ELSE 0 END AS s
+        |  FROM (SELECT DISTINCT src FROM edges)),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(s * 1000000 AS BIGINT) AS pr FROM nodes),""" +
+        (1 to 5).map(iter).mkString(",\n") +
+        """
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r5
+        |WHERE pr > 0 ORDER BY pr DESC, node""").stripMargin
+    }) { (s, dir) =>
+      val eo = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
+        .distinct()
+      val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
+        .union(eo.select(col("sp").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 7)
+        .select((col("c_custkey") * 2).cast("long").as("node"))
+      pageRank(edges, iters = 5, seeds = Some(seeds))
+        .filter(col("pr") > 0)
         .select(
           when(col("node") % 2 === 0,
             concat(lit("c"), expr("node DIV 2").cast("string")))

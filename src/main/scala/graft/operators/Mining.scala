@@ -1013,6 +1013,68 @@ object Mining {
         .orderBy("hops")
     },
 
+    // ---- q211: label-propagation communities (sync supersteps) ---------
+    // Community detection over the co-purchase graph — the clustering
+    // pass next to CC (q59), PageRank (q127/q200), BFS (q162) and
+    // triangles (q144): every node starts labeled with itself, and
+    // each of 3 SYNCHRONOUS supersteps relabels every node with the
+    // most frequent label among its neighbors, ties to the SMALLEST
+    // label (the deterministic tie rule that makes sync LPA exactly
+    // replayable — async/random variants are not). Each superstep is
+    // one equi-join of the pinned edge frame to the |V|-sized label
+    // frame + two hash aggregates (count per (node, label), then
+    // argmax as a STRUCT MIN on (-count, label) — no ordered window);
+    // the oracle replays the same 3 steps as chained CTEs with a
+    // row_number tie-break, which equals the struct-min rule exactly.
+    // Edges come from the shared co-purchase pair spill. Output: the
+    // community size distribution — what a curation run reads to see
+    // cluster granularity before picking canonical representatives.
+    Q("q211_label_propagation", {
+      val step = (k: Int) =>
+        s"""l$k AS (SELECT src AS v, lbl FROM (
+           |    SELECT t.src, t.lbl,
+           |      row_number() OVER (PARTITION BY t.src
+           |        ORDER BY t.c DESC, t.lbl) AS rn
+           |    FROM (SELECT e.src, l.lbl, count(*) AS c
+           |          FROM e JOIN l${k - 1} l ON l.v = e.dst
+           |          GROUP BY e.src, l.lbl) t) WHERE rn = 1)"""
+      ("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |e0 AS (SELECT x.pk AS a, y.pk AS b2
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b2 AS dst FROM e0
+        |      UNION ALL SELECT b2, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),""" +
+        (1 to 3).map(step).mkString(",\n") +
+        """
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l3 GROUP BY lbl ORDER BY n_nodes DESC, community""").stripMargin
+    }) { (s, dir) =>
+      val e0 = coPurchasePairs(s, dir)
+        .filter(col("n_baskets") >= 2).select("a", "b")
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true) // re-joined every superstep
+      var lbl = e.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        lbl = e.join(lbl, col("v") === col("dst"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("src").as("v"), col("m.l").as("lbl"))
+          .localCheckpoint(true) // superstep barrier, lineage truncated
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .select(col("lbl").as("community"), col("n_nodes"))
+        .orderBy(desc("n_nodes"), asc("community"))
+    },
+
     // ---- q163: conversion-lag percentiles -------------------------------
     // Time-to-convert: exact p50/p95 of the view→purchase gap from the
     // q78 as-of attribution join (user-bounded union+window, no range

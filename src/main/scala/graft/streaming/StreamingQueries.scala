@@ -420,6 +420,86 @@ object StreamingQueries {
         .localCheckpoint(true) // pin: the memory sink view is transient
     },
 
+    // ---- q210: stream-static dimension enrichment under watermarks ------
+    // The enrichment shape every production stream runs: a watermarked
+    // fact stream broadcast-joined to a STATIC dimension table
+    // (customer → nation) inside the streaming query, then
+    // watermark-governed tumbling aggregation per dimension attribute.
+    // Gates two engine properties the q95 family doesn't reach: the
+    // static side re-resolves as a per-micro-batch broadcast lookup,
+    // and watermark advancement is computed at the SOURCE-side
+    // EventTimeWatermark node — the sentinel row (user_id −1) advances
+    // the watermark even though the inner join drops it before the
+    // state store, so the final flush needs no sentinel group in the
+    // output. Oracle = the q95 acceptance skeleton (lag 1: each replay
+    // step's processAllAvailable runs the follow-up no-data batch)
+    // joined to the same dimension tables in SQL.
+    Q("q210_stream_static_enrich",
+      """WITH e AS (SELECT event_id, user_id, value, ts,
+        |    CAST(event_id % 4 AS INTEGER) AS b FROM events),
+        |mx AS (SELECT b, max(ts) AS mxts FROM e GROUP BY b),
+        |wmb AS (SELECT b, max(mxts) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - INTERVAL 30 MINUTE AS wm FROM mx),
+        |acc AS (
+        |  SELECT e.*,
+        |    make_timestamp((epoch_us(e.ts)//3600000000)*3600000000) AS window_start
+        |  FROM e JOIN wmb ON e.b = wmb.b
+        |  WHERE wmb.wm IS NULL
+        |     OR make_timestamp((epoch_us(e.ts)//3600000000)*3600000000
+        |          + 3600000000) > wmb.wm)
+        |SELECT acc.window_start, n.n_name, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(acc.value), 4) AS sum_value
+        |FROM acc
+        |JOIN customer c ON c.c_custkey = acc.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY acc.window_start, n.n_name
+        |ORDER BY acc.window_start, n.n_name""".stripMargin) { (s, dir) =>
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      val replayRows = ev.count()
+      require(replayRows <= MaxReplayRows,
+        s"q210 replay harness is a fixture driver bounded at $MaxReplayRows " +
+          s"rows; got $replayRows — replay from files instead")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        .join(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+          "c_nationkey")
+        .select("user_id", "n_name")
+      val source = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+      val agg = source.toDF().toDF("event_id", "user_id", "value", "ts")
+        .withWatermark("ts", "30 minutes")
+        .join(broadcast(dim), "user_id") // stream-static inner equi-join
+        .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("n_name"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+      val sink = "q210_mem"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      withStatePartitions(s, 2) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val byB = ev.as[(Long, Long, Double, java.sql.Timestamp)]
+            .collect().groupBy(r => (r._1 % 4).toInt)
+          for (b <- 0 to 3) {
+            source.addData(byB.getOrElse(b, Array.empty).toSeq)
+            query.processAllAvailable()
+          }
+          source.addData(Seq((-1L, -1L, 0.0,
+            new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000))))
+          query.processAllAvailable()
+        } finally query.stop()
+      }
+      s.table(sink)
+        .orderBy("window_start", "n_name")
+        .localCheckpoint(true) // pin: the memory sink view is transient
+    },
+
     // ---- q192: streaming LATE-DATA AUDIT of the q95 drive ---------------
     // The operational honesty report a watermarked pipeline runs on: per
     // replay step, how many rows arrived, how many late GROUPS the

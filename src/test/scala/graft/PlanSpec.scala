@@ -627,4 +627,20 @@ class PlanSpec extends SparkSpec {
       "rank flow must equi-join edges to ranks:\n" + p.take(2000))
     assert(!p.contains("Window"), p.take(1500))
   }
+
+  test("q211: label propagation supersteps are window-free equi-joins") {
+    val p = plan("q211_label_propagation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "neighbor labels must arrive via the edge equi-join:\n" + p.take(2000))
+    // argmax label = STRUCT MIN on (-count, label), never a ranked window
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q212: personalized pagerank shares q200's plan discipline") {
+    val p = plan("q212_personalized_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }

@@ -81,9 +81,17 @@ class MiningSpec extends SparkSpec {
   // ---- frequent pairs / triangles ------------------------------------
 
   test("q143: A-priori pruning semi-join is in the plan; pair join is equi") {
+    // the pin runs against the BUILDER chain (the semi-join now
+    // executes once at co-purchase-spill build time; the memoized q143
+    // plan is a filtered parquet read of that spill — also asserted)
+    val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+    val built = Mining.pairCounts(Mining.frequentBasketItems(li, 30L))
+    val bp = built.queryExecution.executedPlan.toString
+    assert(bp.contains("LeftSemi"), "support prune must be a semi join")
+    assert(!bp.contains("CartesianProduct") &&
+      !bp.contains("BroadcastNestedLoopJoin"), bp.take(1500))
     val df = graft.SparkEntry.queries("q143_frequent_pairs")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), "support prune must be a semi join")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
