@@ -150,7 +150,7 @@ object StreamingQueries {
     * compactAfter < CompactThreshold, i.e. q98 — whose own post-fold
     * state would be the WRONG seed, so it never writes one), so the
     * snapshot is the shared prefix of BOTH drives. */
-  private val driveSeedCache =
+  private[streaming] val driveSeedCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   private def copyDir(fs: org.apache.hadoop.fs.FileSystem,
