@@ -44,46 +44,80 @@ object Linkage {
     * columnar scan per iteration — which is the behavior a
     * 1000-executor run needs. Shared by q200 and ScaleBench's graph
     * family. */
+  /** Memoized (edge parquet, (node, outdeg) parquet) spill per
+    * (application, graphKey): q200 and q212 iterate the SAME trade
+    * graph, so the second of them re-reads the first's files instead
+    * of re-running the orders⋈lineitem build (same session-memo
+    * discipline as the LSH/setsim/co-purchase artifacts — documented
+    * in BASELINE.md; `-Dgraft.nomemo=1` disables, and ScaleBench
+    * passes no key so the ladder always measures the full chain). */
+  private val graphSpillCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
   /** `seeds` (single column `node`) switches the teleport term to a
     * PERSONALIZED restart: rank mass starts at — and the 0.15 base
     * returns only to — the seed set, the random-walk-with-restart
     * variant behind "related entities" queries. With `None` every node
     * is a seed (s = 1), which reduces EXACTLY to the uniform integer
-    * arithmetic q200's oracle replays. */
+    * arithmetic q200's oracle replays. `graphKey` opts the edge/degree
+    * spill into cross-query session memoization (see
+    * [[graphSpillCache]]); the seed flag is applied on the |V|-sized
+    * read, so differently-seeded queries share one graph spill. */
   private[graft] def pageRank(edges: DataFrame, iters: Int,
-                              seeds: Option[DataFrame] = None): DataFrame = {
+                              seeds: Option[DataFrame] = None,
+                              graphKey: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
-    val base = new org.apache.hadoop.fs.Path(
-      graft.core.SessionSpill.root(s, "graft_pagerank"),
-      s"run_${prRunId.incrementAndGet()}")
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     // spill the RAW (src, dst) edge list — NOT edges⋈outdeg: annotating
     // every edge with its source's degree costs a full edge-side
     // shuffle join before the loop even starts (measured 98 s of the
     // 138 s 50× rung), when the degree belongs on the |V|-sized rank
     // frame instead — the per-node `pr DIV outdeg` contribution is
     // computed there and shipped to the edge scan, so the 16-byte edge
-    // rows are written and re-read verbatim and NEVER shuffled
-    graft.core.Prof("pagerank edge spill") {
-      edges.write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
+    // rows are written and re-read verbatim and NEVER shuffled.
+    // (node, outdeg) doubles as the node list — groupBy(src) is
+    // already distinct on src, so no separate distinct pass.
+    def writeSpill(dir: org.apache.hadoop.fs.Path): (String, String) = {
+      val ep = new org.apache.hadoop.fs.Path(dir, "e").toString
+      val np = new org.apache.hadoop.fs.Path(dir, "n").toString
+      graft.core.Prof("pagerank edge spill") {
+        edges.write.mode("overwrite").parquet(ep)
+      }
+      graft.core.Prof("pagerank node spill") {
+        s.read.parquet(ep).groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("outdeg"))
+          .write.mode("overwrite").parquet(np)
+      }
+      (ep, np)
     }
-    val e2 = s.read.parquet(new org.apache.hadoop.fs.Path(base, "e").toString)
-    // (node, outdeg, s) doubles as the node list — groupBy(src) is
-    // already distinct on src, so no separate distinct pass over the
-    // edges; s is the teleport indicator (1 everywhere for uniform
-    // PageRank, seed membership for the personalized variant)
-    graft.core.Prof("pagerank node spill") {
-      val nd = e2.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("outdeg"))
+    val memoKey = graphKey.filter(_ => !graft.core.SessionSpill.noMemo)
+      .map(k => (s.sparkContext.applicationId, k))
+    val (ePath, nPath, ephemeral) = memoKey match {
+      case Some(mk) =>
+        val (e, n) = graphSpillCache.getOrElseUpdate(mk, {
+          val safe = mk._2.replaceAll("[^A-Za-z0-9._-]", "_")
+          writeSpill(new org.apache.hadoop.fs.Path(
+            graft.core.SessionSpill.root(s, "graft_graph_spill"), safe))
+        })
+        (e, n, None)
+      case None =>
+        val base = new org.apache.hadoop.fs.Path(
+          graft.core.SessionSpill.root(s, "graft_pagerank"),
+          s"run_${prRunId.incrementAndGet()}")
+        val (e, n) = writeSpill(base)
+        (e, n, Some(base))
+    }
+    val e2 = s.read.parquet(ePath)
+    // s is the teleport indicator (1 everywhere for uniform PageRank,
+    // seed membership for the personalized variant) — joined on the
+    // |V|-sized degree frame, never on the edges
+    val nodes = {
+      val nd = s.read.parquet(nPath)
       seeds.fold(nd.withColumn("s", lit(1L))) { sd =>
         nd.join(broadcast(sd.select(col("node")).distinct()
             .withColumn("_s", lit(1L))), Seq("node"), "left")
           .withColumn("s", coalesce(col("_s"), lit(0L))).drop("_s")
-      }.write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
+      }
     }
-    val nodes = s.read.parquet(new org.apache.hadoop.fs.Path(base, "n").toString)
     var ranks = nodes.withColumn("pr", col("s") * lit(1000000L))
     for (it <- 1 to iters) {
       // ranks (with outdeg riding along) is |nodes|-sized — tiny next
@@ -110,10 +144,13 @@ object Linkage {
           .localCheckpoint(true)
       }
     }
-    // the final ranks frame is eagerly checkpointed — nothing depends on
-    // the spill files any more, so drop them NOW rather than at
-    // application end (ScaleBench's replica ladder calls this in a loop)
-    fs.delete(base, true)
+    // the final ranks frame is eagerly checkpointed — nothing depends
+    // on the spill files any more, so a per-invocation (un-memoized)
+    // spill is dropped NOW rather than at application end (ScaleBench's
+    // replica ladder calls this in a loop); a keyed spill stays for the
+    // next consumer and is reaped by SessionSpill at application end
+    ephemeral.foreach(b =>
+      b.getFileSystem(s.sparkContext.hadoopConfiguration).delete(b, true))
     ranks.select(col("node"), col("pr"))
   }
 
@@ -240,7 +277,7 @@ object Linkage {
         .distinct()
       val edges = eo.select(col("c").as("src"), col("sp").as("dst"))
         .union(eo.select(col("sp").as("src"), col("c").as("dst")))
-      pageRank(edges, iters = 5)
+      pageRank(edges, iters = 5, graphKey = Some(s"trade:$dir"))
         .select(
           when(col("node") % 2 === 0,
             concat(lit("c"), expr("node DIV 2").cast("string")))
@@ -299,7 +336,8 @@ object Linkage {
       val seeds = t(s, dir, "customer")
         .filter(col("c_nationkey") === 7)
         .select((col("c_custkey") * 2).cast("long").as("node"))
-      pageRank(edges, iters = 5, seeds = Some(seeds))
+      pageRank(edges, iters = 5, seeds = Some(seeds),
+          graphKey = Some(s"trade:$dir"))
         .filter(col("pr") > 0)
         .select(
           when(col("node") % 2 === 0,
