@@ -98,11 +98,17 @@ object Bench {
     // total mis-prices a round by the host-noise factor (BASELINE.md
     // "host-noise envelope"); recording BOTH runs' totals makes the
     // committed artifact noise-robust on its face
+    // run_totals sums only each run's SUCCESSFUL queries — paired with
+    // run_ok_counts so the artifact is self-describing: totals covering
+    // different query sets (a query failing in one run only) are visibly
+    // incomparable instead of silently so
     val runTotals = runs.map(_.collect { case (_, (t, true)) => t }.sum)
+    val runOkCounts = runs.map(_.count(_._2._2))
     val detail =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""errors":$errorRuns,"failed_queries":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""run_totals":[${runTotals.map(s3).mkString(",")}],""" +
+        s""""run_ok_counts":[${runOkCounts.mkString(",")}],""" +
         s""""queries":${qmap(mins)},"runs":[${runs.map(r => qmap(r.map { case (n, (t, _)) => n -> t })).mkString(",")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

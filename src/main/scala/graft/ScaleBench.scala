@@ -449,10 +449,22 @@ object ScaleBench {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct().localCheckpoint(true)
+      // Replica i's keys live in [i·10M, i·10M + maxKey]; if the base
+      // table's max key ever reaches 10M (partkey max = 200k·sf, i.e.
+      // sf ≥ 50; custkey max = 150k·sf) the ranges overlap and replicas
+      // silently MERGE — corrupting every ladder invariant. Fail loudly
+      // instead of producing a subtly-wrong curve.
+      val replicaOff = 10000000L
+      val maxBaseKey = li0.agg(greatest(max("l_partkey"), max("l_suppkey")))
+        .first().getLong(0)
+        .max(ord0.agg(max("o_custkey")).first().getLong(0))
+      require(maxBaseKey < replicaOff,
+        s"replica key offset $replicaOff collides: max base key $maxBaseKey" +
+          " — raise the offset above the max key before running the ladder")
       val rows = replicas.map { r =>
         val keys = (0 until r).map(i =>
           li0.select(col("l_returnflag").as("grp"),
-            concat((col("l_partkey") + lit(i.toLong * 10000000L))
+            concat((col("l_partkey") + lit(i.toLong * replicaOff))
               .cast("string"), lit("-"),
               col("l_suppkey").cast("string")).as("key")))
           .reduce(_.union(_)).localCheckpoint(true)
@@ -470,7 +482,7 @@ object ScaleBench {
         // ladder measures the integer-keyed chain the shipped query
         // actually runs, not a string-keyed stand-in
         val edges = (0 until r).map { i =>
-          val off = lit(i.toLong * 10000000L)
+          val off = lit(i.toLong * replicaOff)
           val eo = eo0.select(
             ((col("ck") + off) * 2).cast("long").as("c"),
             ((col("sk") + off) * 2 + 1).cast("long").as("sp"))

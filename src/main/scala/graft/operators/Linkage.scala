@@ -89,15 +89,28 @@ object Linkage {
       }
       (ep, np)
     }
+    // The memo key folds in the ANALYZED-PLAN fingerprint of `edges`
+    // alongside the caller's graphKey: two callers reusing a key with
+    // a semantically different edge definition get DIFFERENT spills
+    // instead of silently iterating the wrong graph (the graphKey is
+    // only a human-readable label; the semanticHash is the contract).
+    // The first build is synchronized — TrieMap.getOrElseUpdate is
+    // non-atomic, and two concurrent first-consumers racing the same
+    // parquet path is a corruption, not just wasted work.
     val memoKey = graphKey.filter(_ => !graft.core.SessionSpill.noMemo)
-      .map(k => (s.sparkContext.applicationId, k))
+      .map { k =>
+        val fp = edges.queryExecution.analyzed.canonicalized.semanticHash()
+        (s.sparkContext.applicationId, s"${k}_h$fp")
+      }
     val (ePath, nPath, ephemeral) = memoKey match {
       case Some(mk) =>
-        val (e, n) = graphSpillCache.getOrElseUpdate(mk, {
-          val safe = mk._2.replaceAll("[^A-Za-z0-9._-]", "_")
-          writeSpill(new org.apache.hadoop.fs.Path(
-            graft.core.SessionSpill.root(s, "graft_graph_spill"), safe))
-        })
+        val (e, n) = graphSpillCache.synchronized {
+          graphSpillCache.getOrElseUpdate(mk, {
+            val safe = mk._2.replaceAll("[^A-Za-z0-9._-]", "_")
+            writeSpill(new org.apache.hadoop.fs.Path(
+              graft.core.SessionSpill.root(s, "graft_graph_spill"), safe))
+          })
+        }
         (e, n, None)
       case None =>
         val base = new org.apache.hadoop.fs.Path(
