@@ -1401,6 +1401,57 @@ object Dedup {
           (col("orig_id") === col("snip_id") - 1000000L).cast("int")
             .as("hit"))
         .orderBy("snip_id", "orig_id")
+    },
+
+    // ---- q216: intra-document dedup REWRITE (C4-style) -------------------
+    // The within-doc companion to the corpus-level window families
+    // (q180/q184/q187): chunk each doc into consecutive 2-token chunks,
+    // drop every chunk whose exact text already occurred EARLIER IN THE
+    // SAME DOC (keep-first), and emit the REWRITTEN text fingerprint —
+    // the C4 "deduplicate repeated spans in place" pass, where the
+    // deliverable is the cleaned document, not just a measurement
+    // (q86/q105 measure; this one rewrites). Everything is per-doc:
+    // chunking is a pure HOF projection over the token array (no
+    // explode before the group), first-occurrence is one hash aggregate
+    // keyed (doc, chunk), and the rebuild sorts the kept chunks by
+    // their original position — so the only exchange carries (doc,
+    // chunk) rows and the operator trivially scales out per document.
+    Q("q216_intradoc_dedup",
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |            FROM documents),
+        |ch AS (SELECT doc_id, j AS ci,
+        |    array_to_string(list_slice(toks, CAST(j * 2 + 1 AS INT),
+        |      CAST(j * 2 + 2 AS INT)), ' ') AS chunk
+        |  FROM tk, unnest(range((len(toks) + 1) // 2)) t(j)),
+        |cf AS (SELECT doc_id, chunk, min(ci) AS ci FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY ci) AS cleaned
+        |  FROM cf GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |        FROM ch GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_kept,
+        |  CAST(n_chunks - n_kept AS BIGINT) AS n_dropped,
+        |  md5(cleaned) AS cleaned_fp
+        |FROM tot JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ch = docs(s, dir)
+        .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(toks) + 1) div 2 - 1), " +
+            "i -> array_join(slice(toks, i * 2 + 1, 2), ' '))")))
+        .withColumnRenamed("pos", "ci").withColumnRenamed("col", "chunk")
+      val cf = ch.groupBy("doc_id", "chunk").agg(min("ci").as("ci"))
+      val agg = cf.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(ci, chunk))), " +
+              "x -> x.chunk)")).as("cleaned"))
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      tot.join(agg, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          (col("n_chunks") - col("n_kept")).as("n_dropped"),
+          md5(col("cleaned").cast("binary")).as("cleaned_fp"))
+        .orderBy("doc_id")
     }
   )
 

@@ -759,6 +759,58 @@ object Extras {
         .select(col("p_partkey"), col("cents"),
           col("p_size").cast("int").as("p_size"))
         .orderBy("cents", "p_size", "p_partkey")
+    },
+
+    // ---- q214: exact integer OLS trend per group ------------------------
+    // Per-brand price trend as a least-squares slope over yearly mean
+    // prices — the drift detector a curation/market pipeline runs per
+    // segment. Everything before the ONE final rounding is exact
+    // integer arithmetic: prices to cents, yearly means by integer
+    // division, then slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with
+    // centered years (x = year − 1995, so products stay far from
+    // BIGINT range at any SF — the raw-epoch-day form overflows at
+    // sf≈0.1). The exact numerator/denominator are emitted alongside
+    // the rounded ratio, so a caller can compare slopes without any
+    // float at all. Two map-side-combinable aggregates and a broadcast
+    // dim join — no shuffle carries more than (brand × year) rows.
+    Q("q214_price_trend",
+      """WITH px AS (SELECT p.p_brand,
+        |    CAST(year(l.l_shipdate) AS BIGINT) - 1995 AS x,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |yr AS (SELECT p_brand, x,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS y
+        |  FROM px GROUP BY 1, 2),
+        |s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM yr GROUP BY 1)
+        |SELECT p_brand, n AS n_years,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+        |    AS slope_cents_per_year
+        |FROM s WHERE n >= 2 ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val px = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          (year(col("l_shipdate")).cast("long") - 1995L).as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val yr = px.groupBy("p_brand", "x")
+        .agg(expr("CAST(sum(cents) div count(1) AS BIGINT)").as("y"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      yr.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 2)
+        .select(col("p_brand"), col("n").as("n_years"),
+          num.as("slope_num"), den.as("slope_den"),
+          round(num.cast("double") / den, 6).as("slope_cents_per_year"))
+        .orderBy("p_brand")
     }
   )
 }

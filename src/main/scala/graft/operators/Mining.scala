@@ -1075,6 +1075,62 @@ object Mining {
         .orderBy(desc("n_nodes"), asc("community"))
     },
 
+    // ---- q213: weighted single-source shortest paths --------------------
+    // Bounded-hop Bellman-Ford over the co-purchase graph with integer
+    // edge costs (cost = 1,000,000 div n_baskets — strong ties are
+    // cheap), the weighted companion to q162's unweighted BFS: 4
+    // SYNCHRONOUS relaxation supersteps, each one equi-join of the
+    // |reached|-sized distance frame to the pinned edge frame plus a
+    // min() hash aggregate — never path enumeration (states per
+    // superstep are bounded by |V|, not by path count, which is what
+    // keeps the plan alive on a dense 100 TB graph). Integer costs make
+    // every superstep exactly replayable: the oracle runs the same 4
+    // relaxations as chained CTEs. Output: every node reachable within
+    // 4 hops with its min-cost distance — the "supply radius" view a
+    // procurement analysis reads off the trade network.
+    Q("q213_weighted_sssp", {
+      val step = (k: Int) =>
+        s"""d$k AS (SELECT v, min(d) AS d FROM (
+           |    SELECT v, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst, p.d + e.w FROM d${k - 1} p
+           |    JOIN e ON e.src = p.v) GROUP BY v)"""
+      ("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |sup AS (SELECT pk FROM b GROUP BY pk HAVING count(*) >= 30),
+        |bf AS (SELECT b.ok, b.pk FROM b
+        |       WHERE b.pk IN (SELECT pk FROM sup)),
+        |e0 AS (SELECT x.pk AS a, y.pk AS b2, count(*) AS nb
+        |      FROM bf x JOIN bf y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b2 AS dst, 1000000 // nb AS w FROM e0
+        |      UNION ALL SELECT b2, a, 1000000 // nb FROM e0),
+        |seed AS (SELECT min(src) AS sv FROM e),
+        |d0 AS (SELECT sv AS v, CAST(0 AS BIGINT) AS d FROM seed),""" +
+        (1 to 4).map(step).mkString(",\n") +
+        """
+        |SELECT CAST(v AS BIGINT) AS part_id, CAST(d AS BIGINT) AS dist
+        |FROM d4 ORDER BY dist, part_id""").stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val e0 = coPurchasePairs(s, dir).filter(col("n_baskets") >= 2)
+        .withColumn("w", expr("CAST(1000000 div n_baskets AS BIGINT)"))
+      val e = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .localCheckpoint(true) // re-joined every relaxation superstep
+      val seed = e.agg(min(col("src"))).collect()(0).getLong(0)
+      var dist = Seq((seed, 0L)).toDF("v", "d").localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        dist = dist
+          .unionAll(dist.join(e, col("v") === col("src"))
+            .select(col("dst").as("v"), (col("d") + col("w")).as("d")))
+          .groupBy("v").agg(min(col("d")).as("d"))
+          .localCheckpoint(true) // superstep barrier, lineage truncated
+      }
+      dist.select(col("v").as("part_id"), col("d").as("dist"))
+        .orderBy("dist", "part_id")
+    },
+
     // ---- q163: conversion-lag percentiles -------------------------------
     // Time-to-convert: exact p50/p95 of the view→purchase gap from the
     // q78 as-of attribution join (user-bounded union+window, no range

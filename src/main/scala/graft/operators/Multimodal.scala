@@ -659,6 +659,35 @@ object Multimodal {
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
       val gzs = Archive.synthWarcGzs(Tables.load(s, dir, "documents"))
       Archive.ingestArchives(gzs).toDF().orderBy("media_id")
+    },
+
+    // q215: TAR INGEST — the other container corpora ship in (HF
+    // datasets, ImageNet shards, WebDataset are all tarballs). The
+    // engine EARNS every row through a real POSIX ustar walk — magic
+    // verified, the HEADER CHECKSUM recomputed over the 512-byte block
+    // with the chksum field blanked, octal size fields parsed, content
+    // padding skipped, terminator blocks honored — while the oracle
+    // predicts file count, total content bytes and the concatenated
+    // name/payload sha256s in closed form from the fixture arithmetic
+    // (file j of doc d is `doc<d>/part<j>.txt` carrying `text:j`).
+    // Partition-local mapPartitions like every codec leg; containers
+    // never shuffle; extraction bounded against tar bombs.
+    Q("q215_tar_ingest",
+      """WITH m AS (SELECT doc_id, text, (doc_id % 3 + 1) AS nm FROM documents),
+        |cat AS (SELECT doc_id,
+        |    string_agg('doc' || doc_id || '/part' || j || '.txt', ''
+        |      ORDER BY j) AS names,
+        |    string_agg(text || ':' || j, '' ORDER BY j) AS payload
+        |  FROM m, unnest(range(nm)) t(j) GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, CAST(m.nm AS INT) AS n_files,
+        |  CAST(m.nm * (octet_length(encode(m.text)) + 2) AS BIGINT)
+        |    AS total_bytes,
+        |  sha256(cat.names) AS names_sha,
+        |  sha256(cat.payload) AS payload_sha
+        |FROM m JOIN cat USING (doc_id)
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val tars = Archive.synthTars(Tables.load(s, dir, "documents"))
+      Archive.ingestTars(tars).toDF().orderBy("media_id")
     }
   )
 

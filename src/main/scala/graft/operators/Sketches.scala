@@ -487,6 +487,90 @@ object Sketches {
           round(col("jacc_est") * col("union_est"), 4).as("inter_est"),
           round(col("jacc_est"), 4).as("jacc_est"))
         .orderBy("seg_a", "seg_b")
+    },
+
+    // ---- q217: HDR-histogram quantile sketch ----------------------------
+    // The MERGEABLE quantile estimator next to the exact machinery
+    // (q123/q129 narrowing): HdrHistogram-style buckets — values below
+    // 2^8 exact, above that truncated to 8 significand bits (bucket =
+    // value with everything under the top 8 bits zeroed), giving a
+    // guaranteed <1/128 relative error. The sketch is COUNTS PER
+    // BUCKET, so Spark's partial aggregation IS the merge and only
+    // ~2.4k (flag, bucket) rows ever cross the exchange — at 100 TB
+    // the estimate costs ONE map-side-combined pass, vs the exact
+    // narrowing's log_B(domain) passes; this query reports est vs
+    // exact per (flag, quantile) so the error budget is measured, not
+    // assumed. Integer-exact everywhere: the bucket transform is
+    // bit-shift arithmetic, the rank is a decimal-exact ceil, and the
+    // estimator returns the bucket LOWER BOUND (always ≤ exact).
+    Q("q217_hdr_quantile_sketch",
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |bk AS (SELECT g, c,
+        |    (c >> greatest(length(bin(c)) - 8, 0))
+        |      << greatest(length(bin(c)) - 8, 0) AS bucket FROM v),
+        |sk AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bk GROUP BY 1, 2),
+        |nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY g),
+        |cum AS (SELECT g, bucket,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum FROM sk),
+        |p AS (SELECT CAST(p AS DECIMAL(4, 2)) AS p
+        |      FROM (VALUES (0.50), (0.90), (0.99)) t(p)),
+        |k AS (SELECT nb.g, nb.n_buckets, p.p,
+        |    CAST(ceil(p.p * nb.n) AS BIGINT) AS k FROM nb, p),
+        |est AS (SELECT k.g, k.p, k.k, k.n_buckets,
+        |    min(cum.bucket) AS est_c
+        |  FROM k JOIN cum ON cum.g = k.g AND cum.cum >= k.k
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c)
+        |    AS rn FROM v)
+        |SELECT est.g AS l_returnflag, CAST(est.p AS DOUBLE) AS p,
+        |  est.k AS k, est.n_buckets, est.est_c, r.c AS exact_c,
+        |  round((r.c - est.est_c) / CAST(r.c AS DOUBLE), 6) AS rel_err
+        |FROM est JOIN r ON r.g = est.g AND r.rn = est.k
+        |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      // the sketch: one map-side-combinable aggregate; the shift keeps
+      // the top 8 significand bits (values < 256 are exact)
+      val sk = li
+        .withColumn("bucket", expr(
+          "shiftleft(shiftright(c, greatest(length(bin(c)) - 8, 0)), " +
+            "greatest(length(bin(c)) - 8, 0))"))
+        .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // bounded sketch frame, reread 3×
+      val nb = sk.groupBy("g").agg(count(lit(1)).as("n_buckets"),
+        sum("cnt").as("n"))
+      val ns = nb.collect() // bounded: one row per return flag
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ps = Seq("0.50", "0.90", "0.99").map(BigDecimal(_))
+      val ks = for ((g, (_, n)) <- ns; p <- ps) yield
+        (g, p.toString) ->
+          (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      val kdf = broadcast(ks.toSeq.map { case ((g, p), k) =>
+        (g, p.toDouble, k, ns(g)._1)
+      }.toDF("g", "p", "k", "n_buckets"))
+      val cum = sk.withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val est = kdf.join(cum, Seq("g"))
+        .filter(col("cum") >= col("k"))
+        .groupBy("g", "p", "k", "n_buckets")
+        .agg(min("bucket").as("est_c"))
+      val exact = ExactQuantile.kthSmallestByGroup(li, "g", "c", ks)
+      val xdf = broadcast(exact.toSeq.map { case ((g, p), v) =>
+        (g, p.toDouble, v)
+      }.toDF("g", "p", "exact_c"))
+      est.join(xdf, Seq("g", "p"))
+        .select(col("g").as("l_returnflag"), col("p"), col("k"),
+          col("n_buckets"), col("est_c"), col("exact_c"),
+          round((col("exact_c") - col("est_c")).cast("double") /
+            col("exact_c"), 6).as("rel_err"))
+        .orderBy("l_returnflag", "p")
     }
   )
 
