@@ -1452,6 +1452,53 @@ object Dedup {
           (col("n_chunks") - col("n_kept")).as("n_dropped"),
           md5(col("cleaned").cast("binary")).as("cleaned_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- q219: source-level similarity matrix ---------------------------
+    // Pairwise shingle-set Jaccard BETWEEN SOURCES — the corpus-mixture
+    // diagnostic read before weighting sources into a training mix
+    // (two crawls that are 40% similar should not both get full
+    // weight). Reuses the q138/q174 session-spilled per-doc shingle
+    // lists; the pair generation is the same per-key equi-join
+    // discipline as every dedup family, but keyed at SOURCE granularity
+    // — a shingle present in k sources contributes C(k,2) ≤ C(|S|,2)
+    // pairs, so fan-out is bounded by the SOURCE COUNT squared (a few
+    // hundred at any corpus scale), never by docs. Output: inter/union
+    // per source pair with exact integer set sizes.
+    Q("q219_source_similarity",
+      s"""WITH sh AS ($shinglesSql),
+        |hh AS (SELECT DISTINCT d.source,
+        |    ('0x'||substr(md5(sh.s),1,15))::BIGINT AS h
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM hh GROUP BY source),
+        |pr AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.s1, pr.s2, pr.inter, n1.n AS n1, n2.n AS n2,
+        |  round(pr.inter / CAST(n1.n + n2.n - pr.inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM pr JOIN ns n1 ON n1.source = pr.s1
+        |        JOIN ns n2 ON n2.source = pr.s2
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val hh = setsimListsCached(s, dir)
+        .select(col("doc_id"), explode(col("wa")).as("h"))
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "h").distinct()
+        .localCheckpoint(true) // read by ns and both self-join sides
+      val ns = hh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pr = hh.as("a")
+        .join(hh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      pr.join(broadcast(ns.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(ns.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+          round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .orderBy("s1", "s2")
     }
   )
 

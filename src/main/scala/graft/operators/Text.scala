@@ -989,6 +989,99 @@ object Text {
           round(sum(length(col("extracted"))).cast("double") /
             sum(length(col("html"))), 6).as("text_ratio"))
         .orderBy("source")
+    },
+
+    // ---- q218: reciprocal-rank fusion (hybrid retrieval) -----------------
+    // The list-fusion step every hybrid retrieval stack runs after its
+    // rankers: BM25 (q62's exact formula) and TF-IDF (q55's) each rank
+    // the same 3-term query over the same postings; their top-100
+    // lists fuse by RRF score Σ 1/(60 + rank) in exact integer
+    // micro-units (1,000,000 div (60+r) per list, floor — so the fused
+    // order is integer-deterministic, no float sum ordering). Scale
+    // shape: each ranker is a global top-k (TakeOrderedAndProject —
+    // never a full sort), positions are assigned to the BOUNDED
+    // 100-row winners on the driver, and the fuse is a 100×100-row
+    // full outer join — corpus size only touches the two scoring
+    // aggregates, which are the q55/q62 plans already proven flat.
+    Q("q218_rrf_fusion", {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |p AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term IN ('sort', 'hash', 'scan') GROUP BY doc_id, term),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+        |bm AS (SELECT p.doc_id, round(sum(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    (tf * ${k1 + 1}) /
+        |    (tf + $k1 * (1 - $b + $b * dl.dl /
+        |      (CAST(tot AS DOUBLE) / n_docs)))), 4) AS s
+        |  FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY p.doc_id),
+        |tfidf AS (SELECT p.doc_id,
+        |    round(sum(p.tf * ln(CAST(n_docs AS DOUBLE) / d.df)), 4) AS s
+        |  FROM p JOIN d USING (term) CROSS JOIN stats GROUP BY p.doc_id),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+        |    AS r FROM bm QUALIFY r <= 100),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+        |    AS r FROM tfidf QUALIFY r <= 100),
+        |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    coalesce(ra.r, 0) AS rank_bm25, coalesce(rb.r, 0) AS rank_tfidf,
+        |    coalesce(1000000 // (60 + ra.r), 0)
+        |      + coalesce(1000000 // (60 + rb.r), 0) AS rrf_micro
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val (k1, b) = (1.2, 0.75)
+      val queryTerms = Seq("sort", "hash", "scan")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      val postings = toks
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // scored twice: BM25 + TF-IDF
+      val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val bmScore = idf * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / avgdl))
+      val bm = postings
+        .join(broadcast(dfs), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id").agg(round(sum(bmScore), 4).as("s"))
+      val tfidf = postings
+        .join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))), 4)
+          .as("s"))
+      // global top-k (TakeOrderedAndProject), then positions assigned to
+      // the BOUNDED winner list on the driver — no partition-less window
+      def ranks(scored: org.apache.spark.sql.DataFrame) =
+        scored.orderBy(col("s").desc, col("doc_id")).limit(100)
+          .select("doc_id").as[Long].collect()
+          .zipWithIndex.map { case (d, i) => (d, i + 1L) }.toSeq
+      val ra = ranks(bm).toDF("doc_id", "ra")
+      val rb = ranks(tfidf).toDF("doc_id", "rb")
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("ra"), lit(0L)).as("rank_bm25"),
+          coalesce(col("rb"), lit(0L)).as("rank_tfidf"),
+          (coalesce(expr("1000000 div (60 + ra)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rb)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }
