@@ -219,12 +219,27 @@ object Linkage {
       // length gate BEFORE the edit distance: lev <= 3 implies
       // |Δlength| <= 3, so the cheap integer filter is semantics-
       // preserving and spares the O(n·window) lev on most of the block
-      // (the textbook linkage candidate cut; mirrored in the oracle)
-      val cand = m.join(o,
+      // (the textbook linkage candidate cut; mirrored in the oracle).
+      // The distance itself is the THRESHOLD form (returns -1 past 3):
+      // a banded O(n·k) DP instead of the full O(n²) table — ~1M
+      // gated pairs × ~50-char descriptors make the full DP the
+      // query's dominant cost, and every pair past the band is
+      // discarded by the filter anyway, so the early abandon is
+      // result-identical (the oracle keeps the unbounded form + the
+      // same <= 3 cut).
+      // the variant side is a SINGLE tiny parquet split, but the block
+      // join fans it out ~250× — without a repartition the whole
+      // candidate stream (and every levenshtein) runs on ONE task
+      // (measured: ~4 s of the query's ~7 s at sf0.1). Spreading the
+      // 4k probe rows first costs a negligible shuffle and lets the
+      // fan-out parallelize — the same reason a 1000-executor run
+      // would never leave a block join keyed off one input split.
+      val cand = m.repartition(m.sparkSession.sessionState.conf.numShufflePartitions)
+        .join(o,
           substring(col("o_desc"), 1, 8) === substring(col("m_desc"), 1, 8) &&
             abs(length(col("o_desc")) - length(col("m_desc"))) <= 3)
-        .withColumn("lev", levenshtein(col("o_desc"), col("m_desc")))
-        .filter(col("lev") <= 3)
+        .withColumn("lev", levenshtein(col("o_desc"), col("m_desc"), 3))
+        .filter(col("lev") >= 0)
         .withColumn("jw", expr("jaro_winkler(o_desc, m_desc)"))
       cand.groupBy("m_pk")
         .agg(
