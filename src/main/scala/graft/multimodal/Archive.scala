@@ -110,7 +110,7 @@ object Archive {
     * the real header/inflate/trailer walk. */
   def synthWarcGzs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Media.spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (d, text) =>
         val m = (d % 3 + 1).toInt
         // UTF-8, NOT US-ASCII: the oracle computes octet_length/sha256
@@ -238,7 +238,7 @@ object Archive {
     * header/checksum/padding walk. */
   def synthTars(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Media.spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (d, text) =>
         val m = (d % 3 + 1).toInt
         val files = (0 until m).map(j =>

@@ -74,6 +74,18 @@ object Media {
     * counts (same spirit as [[MaxDecodedBytes]]). */
   private[multimodal] val MaxAnimFrames: Int = 4096
 
+  /** Spread a tiny driver frame across the session's shuffle width
+    * before a synth/decode mapPartitions: the fixture tables arrive as
+    * ONE parquet row group, so without this every codec leg — encode
+    * AND the decode under test — runs on a single scan task no matter
+    * how many cores the session has. The shuffled frame is a few
+    * thousand (id, text) rows; the work it unlocks is the per-row
+    * pixel/sample/container arithmetic, which is the dominant cost of
+    * every multimodal query. (At 100 TB real media tables arrive in
+    * many splits and this is a no-op-sized exchange either way.) */
+  private[multimodal] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Deterministic stand-in for the real codec layer. Every function is
     * pure on the payload bytes, so outputs are reproducible in tests. */
   object StubCodec {
@@ -1607,7 +1619,7 @@ object Media {
     * filter/codec coverage per row, not pixel volume. */
   def synthPngs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
         val a = (d % 200).toInt
@@ -1631,7 +1643,7 @@ object Media {
     * bumps, table-full CLEAR). */
   def synthGifs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
         val a = (d % 64).toInt
@@ -1650,7 +1662,7 @@ object Media {
     * frame). */
   def synthAnimatedGifs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = (d % 32 + 4).toInt; val h = (d % 16 + 4).toInt
         val a = (d % 64).toInt; val nf = (d % 4 + 2).toInt
@@ -1667,7 +1679,7 @@ object Media {
     * oracle can regenerate the identical samples. */
   def synthWavs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val n = (d % 1000 + 500).toInt
         val p = (d % 50 + 10).toInt
@@ -1718,7 +1730,7 @@ object Media {
     * samples. */
   def synthBurstWavs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val n = (d % 1000 + 500).toInt
         val p = (d % 50 + 10).toInt
@@ -1831,7 +1843,7 @@ object Media {
     * a + x + y. */
   def synthEvenGifs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = ((d % 16 + 2) * 2).toInt; val h = ((d % 8 + 2) * 2).toInt
         val a = (d % 64).toInt
@@ -1985,7 +1997,7 @@ object Media {
     * and the oracle never has to model PCM at all. */
   def synthSteppedWavs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val g = d - d % 4; val m = (d % 4).toInt
         val bits = Array.tabulate(32) { f =>
@@ -2016,7 +2028,7 @@ object Media {
     * is covered by the round-trip property test instead. */
   def synthJpegs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = ((d % 4 + 1) * 8).toInt; val h = ((d % 2 + 1) * 8).toInt
         val a = (d % 128).toInt
@@ -2039,7 +2051,7 @@ object Media {
     * fully visible. */
   def synthColorJpegs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = ((d % 2 + 1) * 16).toInt; val h = 16
         val a = (d % 128).toInt

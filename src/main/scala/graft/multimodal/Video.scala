@@ -162,7 +162,7 @@ object Video {
     * through a REAL container walk + Huffman/IDCT decode. */
   def synthMjpegAvis(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Media.spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = ((d % 4 + 1) * 8).toInt; val h = ((d % 2 + 1) * 8).toInt
         val a = (d % 64).toInt; val nf = (d % 4 + 2).toInt
@@ -182,7 +182,7 @@ object Video {
     * from changed ones through the full decode path. */
   def synthShotAvis(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Media.spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val w = ((d % 4 + 1) * 8).toInt; val h = ((d % 2 + 1) * 8).toInt
         val a = (d % 64).toInt; val nf = (d % 4 + 2).toInt
@@ -278,7 +278,7 @@ object Video {
     * decoded pixel or dimension. */
   def synthGroupAvis(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Media.spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val g = d - d % 3
         val w = ((g % 4 + 1) * 8).toInt; val h = ((g % 2 + 1) * 8).toInt
@@ -328,7 +328,7 @@ object Video {
     * never all-hi or all-lo and the aHash threshold is always strict. */
   def synthKeyframeAvis(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    Media.spread(docs).select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { d =>
         val g = d - d % 4; val m = (d % 4).toInt
         val frame = JpegCodec.encodeGrayBaseline(64, 64, (x, y) => {
