@@ -21,6 +21,21 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
+  /** [[load]] + a repartition to the session's shuffle width. The
+    * fixture tables arrive as ONE parquet row group, so any expensive
+    * per-row derivation attached directly to the scan (tokenize +
+    * explode, shingle hashing, codec synthesis) otherwise runs on a
+    * single task no matter how many cores the session has. Use this
+    * where the scan feeds heavy row-local compute BEFORE the first
+    * exchange; plain [[load]] everywhere the first operator is already
+    * a shuffle or the per-row work is trivial. Predicate pushdown and
+    * column pruning pass through the Repartition node, so scan-level
+    * optimization is unchanged; at 100 TB a real table arrives in many
+    * splits and this exchange is noise either way. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+
   /** events.ts arrives in one of three parquet encodings depending on
     * the testdata generation: TIMESTAMP(NANOS) (LongType ns under
     * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS) without

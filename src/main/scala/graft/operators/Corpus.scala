@@ -18,7 +18,7 @@ import graft.core.{Q, Tables}
   */
 object Corpus {
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   private def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

@@ -30,7 +30,7 @@ import graft.core.{Q, Tables}
 object Curation {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   private def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

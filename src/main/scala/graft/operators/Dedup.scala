@@ -82,7 +82,7 @@ object Dedup {
         "candidate paths at this scale")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 

@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Fixture-scale pin threshold: when the candidate column is at most
+    * this many rows, the narrowing passes read a REPARTITIONED,
+    * locally-checkpointed projection instead of rescanning the source —
+    * the fixture tables arrive as ONE parquet row group, so without the
+    * spread every histogram pass (the bucket explode + map-side
+    * combine) runs on a single task. Above the threshold the original
+    * shuffle-free rescan shape is kept unchanged: at 100 TB you cannot
+    * (and need not) pin the column — the scan is already thousands of
+    * splits wide and the only thing crossing the exchange stays the
+    * ≤ranks·B bucket cells. */
+  private val SpreadPinMaxRows: Long = 8L << 20
+
+  private def pinnedScan(df: DataFrame, n: Long, cols: Seq[String]): DataFrame =
+    if (n <= SpreadPinMaxRows) {
+      val w = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.select(cols.map(col): _*).repartition(w).localCheckpoint(true)
+    } else df
+
   /** Exact k-th smallest (1-indexed, ascending) of long column
     * `valueCol` for every rank in `ks`, as label → value. */
   def kthSmallest(
@@ -58,6 +76,7 @@ object ExactQuantile {
     ks.foreach { case (lbl, k) =>
       require(k >= 1 && k <= n, s"rank $lbl=$k outside [1, $n]")
     }
+    val scan = pinnedScan(df, n, Seq(valueCol))
 
     // per-rank search state: inclusive value interval + rank WITHIN it
     final case class St(lbl: String, lo: Long, hi: Long, localK: Long)
@@ -87,7 +106,7 @@ object ExactQuantile {
           val w = (hi - lo + buckets.toLong) / buckets.toLong
           (j, lo, hi, w)
         }
-        val counts = histogramPass(df, valueCol, specs)
+        val counts = histogramPass(scan, valueCol, specs)
           .collect() // bounded: ≤ intervals.size · buckets cells
           .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
           .toMap
@@ -135,6 +154,8 @@ object ExactQuantile {
         throw new IllegalArgumentException(s"group $g has no rows"))
       require(k >= 1 && k <= n, s"rank ($g, $lbl)=$k outside [1, $n]")
     }
+    val scan = pinnedScan(df.filter(col(groupCol).isin(groups: _*)),
+      stats.values.map(_._1).sum, Seq(groupCol, valueCol))
 
     final case class St(g: String, lbl: String, lo: Long, hi: Long, localK: Long)
     var open = ks.toSeq.sortBy(_._1).map { case ((g, lbl), k) =>
@@ -158,7 +179,7 @@ object ExactQuantile {
           val w = (hi - lo + buckets.toLong) / buckets.toLong
           (j, col(groupCol) === g, lo, hi, w)
         }
-        val counts = histogramPassCond(df, valueCol, specs)
+        val counts = histogramPassCond(scan, valueCol, specs)
           .collect()
           .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2))
           .toMap

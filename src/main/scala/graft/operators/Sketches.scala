@@ -32,8 +32,12 @@ import graft.core.{Q, Tables}
   * at the scale where exact is unaffordable.
   */
 object Sketches {
+  // loadSpread, not load: every sketch leg's first operator is a
+  // per-row md5 coordinate/register map over the fact table — attached
+  // to a one-row-group scan it runs on a single task (the register
+  // groupBy only parallelizes AFTER the hashing)
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+    Tables.loadSpread(s, dir, n)
 
   /** 60-bit hash of a string SQL expression: first 15 hex chars of
     * md5, parsed base-16 — the construction both engines evaluate
@@ -532,7 +536,7 @@ object Sketches {
         |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
       // the sketch: one map-side-combinable aggregate; the shift keeps

@@ -82,7 +82,7 @@ object Text {
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   /** lower + collapse whitespace + trim: the normalization every
     * text op shares. */
