@@ -643,4 +643,78 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("Window"), p.take(1500))
   }
+
+  test("q213: SSSP relaxations are equi-joins + min aggregates, no window") {
+    val p = plan("q213_weighted_sssp")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "each superstep must equi-join frontier to edges:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q214: trend sums are two-phase hash aggregates over a broadcast dim") {
+    val p = plan("q214_price_trend")
+    assert(p.contains("BroadcastHashJoin"),
+      "the part dim must broadcast:\n" + p.take(2000))
+    assert(p.contains("partial_sum"),
+      "the OLS sums must partial-aggregate map-side:\n" + p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q215: tar ingest stays partition-local — no join, no window") {
+    val p = plan("q215_tar_ingest")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "archives must never shuffle:\n" + p.take(2000))
+  }
+
+  test("q216: intra-doc dedup is per-doc hash aggregates, no window") {
+    val p = plan("q216_intradoc_dedup")
+    assert(!p.contains("Window"),
+      "first-occurrence must be a (doc, chunk) min aggregate:\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q217: the quantile sketch reduces map-side; estimate is bounded") {
+    // the bucket-count build itself (it sits behind a localCheckpoint in
+    // the query, so pin its shape directly): counts must
+    // partial-aggregate before the exchange — the mergeability that IS
+    // the sketch
+    import org.apache.spark.sql.functions._
+    val sk = graft.core.Tables.load(spark, sf0001, "lineitem")
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+        col("l_returnflag").as("g"))
+      .withColumn("bucket", expr(
+        "shiftleft(shiftright(c, greatest(length(bin(c)) - 8, 0)), " +
+          "greatest(length(bin(c)) - 8, 0))"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+    val ps = sk.queryExecution.executedPlan.toString
+    assert(ps.contains("partial_count"),
+      "bucket counts must partial-aggregate map-side:\n" + ps.take(2000))
+    // the full query: estimate selection is a min aggregate over the
+    // bounded sketch frame, never a corpus sort or cartesian
+    val p = plan("q217_hdr_quantile_sketch")
+    assert(p.contains("partial_min"),
+      "estimate must be a min aggregate over sketch rows:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q218: RRF rankers end in top-k, fusion never sorts the corpus") {
+    val p = plan("q218_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"),
+      "positions are assigned on the bounded winner list, not a " +
+        "partition-less window:\n" + p.take(2000))
+  }
+
+  test("q219: source-pair candidates come from the shingle equi-join") {
+    val p = plan("q219_source_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "source pairs must share a shingle hash, never source×source " +
+        "over rows:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }
