@@ -1082,6 +1082,64 @@ object Text {
             coalesce(expr("1000000 div (60 + rb)"), lit(0L))).as("rrf_micro"))
         .orderBy(col("rrf_micro").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---- q220: distinctive terms per source (corpus-comparative) --------
+    // The keyness diagnostic a mixture/curation run reads per source:
+    // which terms are OVER-REPRESENTED in this source relative to the
+    // rest of the corpus. Rate ratio in exact integer micro-units —
+    // ratio = (a/(a+b)) / (c/(c+d)) computed as one integer floor
+    // division a·(c+d)·1e6 div ((a+b)·c) with a +1 smoothing on the
+    // rest-count (so a term absent elsewhere is finite and maximal,
+    // deterministically) — no float until nothing is left to compute.
+    // Dataflow: one token count per (source, term) (map-side
+    // combinable), the per-term corpus total joined back broadcast,
+    // top-5 per source via a PARTITIONED window over the bounded
+    // (source × distinct-term) frame — the fact table never sorts.
+    Q("q220_distinctive_terms", {
+      s"""WITH toks AS (
+        |  SELECT d.source, unnest(string_split($normSql, ' ')) AS term
+        |  FROM documents d),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS a
+        |       FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM st GROUP BY 1),
+        |src AS (SELECT source, CAST(sum(a) AS BIGINT) AS n FROM st GROUP BY 1),
+        |all_n AS (SELECT CAST(sum(a) AS BIGINT) AS g FROM st),
+        |r AS (SELECT st.source, st.term, st.a,
+        |    (st.a * ((all_n.g - src.n) + 1) * 1000000)
+        |      // (src.n * ((tot.t - st.a) + 1)) AS ratio_micro
+        |  FROM st JOIN tot USING (term) JOIN src USING (source)
+        |  CROSS JOIN all_n),
+        |k AS (SELECT source, term, a, ratio_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ratio_micro DESC, term) AS rk FROM r)
+        |SELECT source, CAST(rk AS INT) AS rk, term, a,
+        |  CAST(ratio_micro AS BIGINT) AS ratio_micro
+        |FROM k WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = docs(s, dir)
+        .select(col("source"), explode(split(norm(col("text")), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("a"))
+        .localCheckpoint(true) // read by tot/src/all_n and the ratio join
+      val tot = st.groupBy("term").agg(sum("a").as("t"))
+      val srcN = st.groupBy("source").agg(sum("a").as("n"))
+      val g = st.agg(sum("a").as("g"))
+      val r = st
+        .join(tot, "term")
+        .join(broadcast(srcN), "source")
+        .crossJoin(broadcast(g))
+        .select(col("source"), col("term"), col("a"),
+          expr("(a * ((g - n) + 1) * 1000000) div (n * ((t - a) + 1))")
+            .as("ratio_micro"))
+      r.withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("ratio_micro").desc, col("term"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("int").as("rk"), col("term"),
+          col("a"), col("ratio_micro"))
+        .orderBy("source", "rk")
     }
   )
 }

@@ -709,6 +709,20 @@ class PlanSpec extends SparkSpec {
         "partition-less window:\n" + p.take(2000))
   }
 
+  test("q220: keyness ranks a bounded term frame; the fact never sorts") {
+    val p = plan("q220_distinctive_terms")
+    // the only nested-loop join is the broadcast ONE-ROW corpus-total
+    // attach (the repo-wide scalar crossJoin pattern); a real cartesian
+    // would show CartesianProduct
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only window runs partitioned by source over the bounded
+    // (source, term) count frame, and Spark's rank-limit pushdown
+    // (WindowGroupLimit) caps each partition's sort at the top 5 —
+    // the token stream itself is never globally ordered
+    assert(p.contains("WindowGroupLimit"),
+      "the rk <= 5 filter must push into the window:\n" + p.take(2000))
+  }
+
   test("q219: source-pair candidates come from the shingle equi-join") {
     val p = plan("q219_source_similarity")
     assert(!p.contains("CartesianProduct") &&
