@@ -443,6 +443,10 @@ object ScaleBench {
       val li0 = Tables.load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
         .localCheckpoint(true)
+      val cents0 = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+        .localCheckpoint(true)
       val ord0 = Tables.load(spark, sfDir, "orders")
         .select("o_orderkey", "o_custkey").localCheckpoint(true)
       val eo0 = ord0.join(li0.select("l_orderkey", "l_suppkey"),
@@ -477,6 +481,19 @@ object ScaleBench {
             .localCheckpoint(true)
           regRows = regs.count()
         }
+        // HDR quantile sketch (q217): the bucket frame is DOMAIN-bound —
+        // counts grow ×r while distinct buckets stay put, so the partial
+        // aggregate keeps the exchange at n_buckets rows at any scale
+        var hdrBuckets = 0L
+        val hdrSec = timed {
+          val vals = (0 until r).map(_ => cents0).reduce(_.union(_))
+          val sk = vals.withColumn("bucket", expr(
+            "shiftleft(shiftright(c, greatest(length(bin(c)) - 8, 0)), " +
+              "greatest(length(bin(c)) - 8, 0))"))
+            .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+            .localCheckpoint(true)
+          hdrBuckets = sk.count()
+        }
         // long node ids, q200's exact convention (custkey ↦ 2k,
         // suppkey ↦ 2k+1) with a 10M per-replica key offset — the
         // ladder measures the integer-keyed chain the shipped query
@@ -498,7 +515,9 @@ object ScaleBench {
         val distinctPr = ranks.select("pr").distinct().count()
         spark.catalog.clearCache(); System.gc()
         s"""{"replicas":$r,"keys":$n,"hll_reg_rows":$regRows,""" +
-          s""""hll_sec":${f"$hllSec%.2f"},"edges":$nEdges,""" +
+          s""""hll_sec":${f"$hllSec%.2f"},""" +
+          s""""hdr_buckets":$hdrBuckets,"hdr_sec":${f"$hdrSec%.2f"},""" +
+          s""""edges":$nEdges,""" +
           s""""pagerank_sec":${f"$prSec%.2f"},""" +
           s""""distinct_pr_values":$distinctPr}"""
       }

@@ -575,6 +575,73 @@ object Sketches {
           round((col("exact_c") - col("est_c")).cast("double") /
             col("exact_c"), 6).as("rel_err"))
         .orderBy("l_returnflag", "p")
+    },
+
+    // ---- q221: join-size estimation by Count-Min dot product ------------
+    // The cardinality estimate a 100 TB planner wants BEFORE paying a
+    // shuffle join: |A ⋈_k B| = Σ_k c_A(k)·c_B(k) (the equi-join row
+    // count), estimated as min over the d salted rows of the dot
+    // product of the two sides' CMS cell vectors — an overestimate-only
+    // bound (AMS/CM sketch inner product), computed from two ≤2048-cell
+    // summaries instead of either fact table. Each side's sketch is the
+    // q197 build (coordinate explode + one map-side-combinable hash
+    // aggregate); the dot product joins two bounded cell frames. The
+    // report: per event type, the EXACT join size next to the sketch
+    // estimate and the overestimate ratio — integer arithmetic
+    // throughout, one rounded ratio at the end.
+    Q("q221_join_size_sketch",
+      """WITH ek AS (SELECT event_type, CAST(user_id AS VARCHAR) AS key
+        |           FROM events),
+        |ok AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        |ec AS (SELECT event_type, r.i,
+        |        ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || key),
+        |          1, 15))::BIGINT % 4096 AS cell,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM ek CROSS JOIN range(4) r(i) GROUP BY 1, 2, 3),
+        |oc AS (SELECT r.i,
+        |        ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || key),
+        |          1, 15))::BIGINT % 4096 AS cell,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM ok CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+        |dot AS (SELECT ec.event_type, ec.i,
+        |        CAST(sum(ec.c * oc.c) AS BIGINT) AS dp
+        |      FROM ec JOIN oc ON oc.i = ec.i AND oc.cell = ec.cell
+        |      GROUP BY 1, 2),
+        |est AS (SELECT event_type, min(dp) AS est_rows FROM dot GROUP BY 1),
+        |en AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS c
+        |       FROM ek GROUP BY 1, 2),
+        |onn AS (SELECT key, CAST(count(*) AS BIGINT) AS c FROM ok GROUP BY 1),
+        |ex AS (SELECT en.event_type,
+        |        CAST(sum(en.c * onn.c) AS BIGINT) AS exact_rows
+        |      FROM en JOIN onn USING (key) GROUP BY 1)
+        |SELECT ex.event_type, ex.exact_rows,
+        |  CAST(est.est_rows AS BIGINT) AS est_rows,
+        |  round(est.est_rows / CAST(ex.exact_rows AS DOUBLE), 4) AS ratio
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ek = t(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("key"))
+      val ok = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("key"))
+      val ec = ek.select(col("event_type"), coords("key", 4, 4096).as("rc"))
+        .select(col("event_type"), col("rc.i").as("i"), col("rc.cell").as("cell"))
+        .groupBy("event_type", "i", "cell").agg(count(lit(1)).as("ce"))
+      val oc = ok.select(coords("key", 4, 4096).as("rc"))
+        .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
+        .groupBy("i", "cell").agg(count(lit(1)).as("co"))
+      val est = ec.join(broadcast(oc), Seq("i", "cell"))
+        .groupBy("event_type", "i")
+        .agg(sum(col("ce") * col("co")).as("dp"))
+        .groupBy("event_type").agg(min("dp").as("est_rows"))
+      val en = ek.groupBy("event_type", "key").agg(count(lit(1)).as("cn"))
+      val onn = ok.groupBy("key").agg(count(lit(1)).as("cn2"))
+      val ex = en.join(onn, "key")
+        .groupBy("event_type").agg(sum(col("cn") * col("cn2")).as("exact_rows"))
+      ex.join(est, "event_type")
+        .select(col("event_type"), col("exact_rows"), col("est_rows"),
+          round(col("est_rows").cast("double") / col("exact_rows"), 4)
+            .as("ratio"))
+        .orderBy("event_type")
     }
   )
 

@@ -723,6 +723,16 @@ class PlanSpec extends SparkSpec {
       "the rk <= 5 filter must push into the window:\n" + p.take(2000))
   }
 
+  test("q221: join-size estimate joins two bounded cell frames") {
+    val p = plan("q221_join_size_sketch")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤16k-cell orders sketch must broadcast into the dot " +
+        "product:\n" + p.take(2000))
+    assert(p.contains("partial_count"),
+      "cell counts must partial-aggregate map-side:\n" + p.take(2000))
+  }
+
   test("q219: source-pair candidates come from the shingle equi-join") {
     val p = plan("q219_source_similarity")
     assert(!p.contains("CartesianProduct") &&
