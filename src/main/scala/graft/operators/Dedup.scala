@@ -1499,6 +1499,54 @@ object Dedup {
           round(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
         .orderBy("s1", "s2")
+    },
+
+    // ---- q222: n-gram novelty (memorization-risk scoring) ---------------
+    // Per-doc NOVELTY = share of the doc's distinct 3-gram shingles
+    // that appear in NO other document — the curation signal that
+    // separates genuinely novel text from text stitched out of corpus
+    // boilerplate (low novelty = high dedup/memorization overlap even
+    // when no single pair crosses a near-dup threshold). Off the same
+    // session-spilled shingle lists as q138/q219: one df count per
+    // hash, one per-doc aggregate, integer micro-unit shares (one
+    // floor division per doc), then the per-source rollup a mixture
+    // report reads — mean novelty and the count of low-novelty docs.
+    Q("q222_ngram_novelty",
+      s"""WITH sh AS ($shinglesSql),
+        |hh AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS h
+        |       FROM sh),
+        |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM hh GROUP BY h),
+        |per AS (SELECT hh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM hh JOIN df USING (h) GROUP BY 1),
+        |nv AS (SELECT d.source, per.doc_id,
+        |    (per.n_unique * 1000000) // per.n_shingles AS novelty_micro
+        |  FROM per JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(novelty_micro) // count(*) AS BIGINT)
+        |    AS mean_novelty_micro,
+        |  CAST(sum(CASE WHEN novelty_micro < 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low_novelty
+        |FROM nv GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val hh = setsimListsCached(s, dir)
+        .select(col("doc_id"), explode(col("wa")).as("h"))
+        .localCheckpoint(true) // read by df and the per-doc aggregate
+      val dfq = hh.groupBy("h").agg(count(lit(1)).as("df"))
+      val per = hh.join(dfq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      per.join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select(col("source"),
+          expr("(n_unique * 1000000) div n_shingles").as("novelty_micro"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(novelty_micro) div count(1) AS BIGINT)")
+            .as("mean_novelty_micro"),
+          sum(when(col("novelty_micro") < 500000L, 1L).otherwise(0L))
+            .as("n_low_novelty"))
+        .orderBy("source")
     }
   )
 

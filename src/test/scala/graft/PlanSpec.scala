@@ -733,6 +733,13 @@ class PlanSpec extends SparkSpec {
       "cell counts must partial-aggregate map-side:\n" + p.take(2000))
   }
 
+  test("q222: novelty is df-join + two hash aggregates off the spill") {
+    val p = plan("q222_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q219: source-pair candidates come from the shingle equi-join") {
     val p = plan("q219_source_similarity")
     assert(!p.contains("CartesianProduct") &&
