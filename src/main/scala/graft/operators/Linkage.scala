@@ -255,6 +255,98 @@ object Linkage {
         .orderBy("m_pk")
     },
 
+    // ---- q223: blocking-strategy recall evaluation ----------------------
+    // The design table a record-linkage deployment is tuned with:
+    // for each candidate-generation strategy, how many candidate pairs
+    // it costs vs how many TRUE matches it can still reach (a match
+    // lost at blocking is lost forever — scoring never sees it).
+    // Three string-only blockers over the q199 catalog fixture, every
+    // one an equi-join on a derived key (never all-pairs):
+    //   prefix8   — first 8 chars (positional; q199's shipped blocker)
+    //   token1    — first whitespace token (coarser positional)
+    //   mingram4  — min 60-bit hash over all char 4-grams (MinHash-1;
+    //               content-based, survives prefix edits)
+    // Recall = variants whose true source record (o_pk = m_pk) appears
+    // in their candidate set. Exact integers + one rounded ratio.
+    Q("q223_blocking_recall", {
+      val h4 = "('0x' || substr(md5(substr(d, CAST(i AS INT), 4)), 1, 15))::BIGINT"
+      s"""WITH o AS (SELECT p_partkey AS o_pk,
+        |        p_name || ' ' || p_brand || ' ' || p_type || ' '
+        |          || CAST(p_size AS VARCHAR) AS o_desc FROM part),
+        |m AS (SELECT o_pk AS m_pk,
+        |        substr(o_desc, 1, length(o_desc) - 1 - (o_pk % 3)) AS m_desc
+        |      FROM o WHERE o_pk % 5 = 0),
+        |keys AS (
+        |  SELECT 'prefix8' AS strategy, o_pk, substr(o_desc, 1, 8) AS k
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'token1', o_pk, string_split(o_desc, ' ')[1] FROM o
+        |  UNION ALL
+        |  SELECT 'mingram4', o_pk, CAST(list_min(list_transform(
+        |      range(1, length(o_desc) - 2),
+        |      i -> ${h4.replace("d,", "o_desc,")})) AS VARCHAR)
+        |  FROM o),
+        |mkeys AS (
+        |  SELECT 'prefix8' AS strategy, m_pk, substr(m_desc, 1, 8) AS k
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'token1', m_pk, string_split(m_desc, ' ')[1] FROM m
+        |  UNION ALL
+        |  SELECT 'mingram4', m_pk, CAST(list_min(list_transform(
+        |      range(1, length(m_desc) - 2),
+        |      i -> ${h4.replace("d,", "m_desc,")})) AS VARCHAR)
+        |  FROM m),
+        |cand AS (SELECT mk.strategy, mk.m_pk, k.o_pk
+        |      FROM mkeys mk JOIN keys k
+        |        ON k.strategy = mk.strategy AND k.k = mk.k),
+        |agg AS (SELECT strategy,
+        |        CAST(count(*) AS BIGINT) AS n_candidates,
+        |        CAST(count(DISTINCT CASE WHEN o_pk = m_pk THEN m_pk END)
+        |          AS BIGINT) AS n_true_found
+        |      FROM cand GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM m)
+        |SELECT agg.strategy, agg.n_candidates, agg.n_true_found,
+        |  nv.n_variants,
+        |  round(agg.n_true_found / CAST(nv.n_variants AS DOUBLE), 4)
+        |    AS recall
+        |FROM agg CROSS JOIN nv
+        |ORDER BY strategy""".stripMargin
+    }) { (s, dir) =>
+      val o = t(s, dir, "part").select(col("p_partkey").as("o_pk"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+          col("p_type"), lit(" "), col("p_size").cast("string")).as("d"))
+      val m = o.filter(col("o_pk") % 5 === 0)
+        .select(col("o_pk").as("m_pk"),
+          expr("substring(d, 1, CAST(length(d) - 1 - o_pk % 3 AS INT))")
+            .as("d"))
+      val minGram = expr(
+        "CAST(array_min(transform(sequence(1, length(d) - 3), " +
+          "i -> CAST(conv(substring(md5(substring(d, i, 4)), 1, 15), 16, 10)" +
+          " AS BIGINT))) AS STRING)")
+      def keyed(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        df.select(lit("prefix8").as("strategy"), col(idCol),
+            substring(col("d"), 1, 8).as("k"))
+          .unionAll(df.select(lit("token1").as("strategy"), col(idCol),
+            expr("split(d, ' ')[0]").as("k")))
+          .unionAll(df.select(lit("mingram4").as("strategy"), col(idCol),
+            minGram.as("k")))
+      val ks = keyed(o, "o_pk").localCheckpoint(true)
+      val mks = keyed(m, "m_pk")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val cand = mks.join(ks, Seq("strategy", "k"))
+      val agg = cand.groupBy("strategy")
+        .agg(count(lit(1)).as("n_candidates"),
+          countDistinct(when(col("o_pk") === col("m_pk"), col("m_pk")))
+            .as("n_true_found"))
+      val nv = m.agg(count(lit(1)).as("n_variants"))
+      agg.crossJoin(broadcast(nv))
+        .select(col("strategy"), col("n_candidates"), col("n_true_found"),
+          col("n_variants"),
+          round(col("n_true_found").cast("double") / col("n_variants"), 4)
+            .as("recall"))
+        .orderBy("strategy")
+    },
+
     // ---- q200: PageRank over the customer-supplier trade graph ---------
     // The link-importance pass entity resolution feeds: nodes are
     // customers and suppliers, edges the DISTINCT trade relationships

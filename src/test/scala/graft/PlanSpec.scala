@@ -733,6 +733,14 @@ class PlanSpec extends SparkSpec {
       "cell counts must partial-aggregate map-side:\n" + p.take(2000))
   }
 
+  test("q223: every blocking strategy is an equi-join on a derived key") {
+    val p = plan("q223_blocking_recall")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from (strategy, key) equi-joins — the " +
+        "one-row n_variants attach is the only nested loop:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q222: novelty is df-join + two hash aggregates off the spill") {
     val p = plan("q222_ngram_novelty")
     assert(!p.contains("CartesianProduct") &&
