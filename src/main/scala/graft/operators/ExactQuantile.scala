@@ -42,11 +42,17 @@ object ExactQuantile {
     * ≤ranks·B bucket cells. */
   private val SpreadPinMaxRows: Long = 8L << 20
 
-  private def pinnedScan(df: DataFrame, n: Long, cols: Seq[String]): DataFrame =
-    if (n <= SpreadPinMaxRows) {
+  private def pinnedScan(df: DataFrame, n: Long, cols: Seq[String]): DataFrame = {
+    // an input the caller already persisted re-reads cheaply AND in
+    // parallel — pinning it again would just pay a redundant shuffle +
+    // checkpoint per invocation (q159 calls this three times on one
+    // persisted frame)
+    val cached = df.storageLevel.useMemory || df.storageLevel.useDisk
+    if (!cached && n <= SpreadPinMaxRows) {
       val w = df.sparkSession.sessionState.conf.numShufflePartitions
       df.select(cols.map(col): _*).repartition(w).localCheckpoint(true)
     } else df
+  }
 
   /** Exact k-th smallest (1-indexed, ascending) of long column
     * `valueCol` for every rank in `ks`, as label → value. */

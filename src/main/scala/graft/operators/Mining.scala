@@ -397,7 +397,11 @@ object Mining {
           .collect() // bounded: one row per event type
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val medKs = counts.map { case (g, n) => ((g, "med"), (n + 1) / 2) }
-        val med = ExactQuantile.kthSmallestByGroup(e, "g", "v", medKs)
+        // .select alias: reads THROUGH the persisted frame but is not
+        // itself marked cached, so the narrowing's fixture-scale pin
+        // still spreads the single-split scan across the session width
+        val med = ExactQuantile.kthSmallestByGroup(
+            e.select(col("g"), col("v")), "g", "v", medKs)
           .map { case ((g, _), v) => g -> v }
         val medCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
           (acc, g) => when(col("g") === g, lit(med(g))).otherwise(acc)
