@@ -642,6 +642,79 @@ object Sketches {
           round(col("est_rows").cast("double") / col("exact_rows"), 4)
             .as("ratio"))
         .orderBy("event_type")
+    },
+
+    // ---- q224: sliding-window quantiles by HDR bucket merge -------------
+    // The q202 pattern for QUANTILES: per-month HDR bucket counts are
+    // built once, exploded to the ≤3 trailing windows they serve, and
+    // merged by plain count ADDITION (the sketch's merge operator) —
+    // trailing-90-day p50/p90 price percentiles with NO re-scan of the
+    // fact table per window and no per-window sort. Rank targets are
+    // pure integer ceilings (ceil(n/2) = (n+1) div 2, ceil(9n/10) =
+    // (9n+9) div 10), the estimate is the bucket lower bound — this
+    // query is integer end-to-end, not even a final rounding. The
+    // monthly sketch frame is ~2.6k rows; windows only ever touch it.
+    Q("q224_hdr_sliding_quantiles",
+      """WITH mrows AS (SELECT
+        |        CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |      FROM lineitem),
+        |months AS (SELECT DISTINCT mon FROM mrows),
+        |mk AS (SELECT mon,
+        |        (c >> greatest(length(bin(c)) - 8, 0))
+        |          << greatest(length(bin(c)) - 8, 0) AS bucket,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM mrows GROUP BY 1, 2),
+        |sp AS (SELECT CAST(mk.mon + to_months(CAST(r.i AS INT)) AS DATE)
+        |          AS mon, bucket, cnt
+        |       FROM mk CROSS JOIN range(3) r(i)),
+        |wk AS (SELECT sp.mon, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+        |       FROM sp JOIN months mm ON mm.mon = sp.mon GROUP BY 1, 2),
+        |nw AS (SELECT mon, CAST(sum(cnt) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_buckets FROM wk GROUP BY 1),
+        |cum AS (SELECT mon, bucket,
+        |        sum(cnt) OVER (PARTITION BY mon ORDER BY bucket) AS cum
+        |      FROM wk),
+        |k AS (SELECT mon, n, n_buckets,
+        |        (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90 FROM nw),
+        |est AS (SELECT k.mon, k.n, k.n_buckets,
+        |        min(CASE WHEN cum.cum >= k.k50 THEN cum.bucket END) AS p50_c,
+        |        min(CASE WHEN cum.cum >= k.k90 THEN cum.bucket END) AS p90_c
+        |      FROM k JOIN cum ON cum.mon = k.mon
+        |      GROUP BY 1, 2, 3)
+        |SELECT mon, n, n_buckets, CAST(p50_c AS BIGINT) AS p50_c,
+        |  CAST(p90_c AS BIGINT) AS p90_c
+        |FROM est ORDER BY mon""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mrows = t(s, dir, "lineitem").select(
+        to_date(date_trunc("month", col("l_shipdate"))).as("mon"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      val months = mrows.select("mon").distinct()
+      val mk = mrows
+        .withColumn("bucket", expr(
+          "shiftleft(shiftright(c, greatest(length(bin(c)) - 8, 0)), " +
+            "greatest(length(bin(c)) - 8, 0))"))
+        .groupBy("mon", "bucket").agg(count(lit(1)).as("cnt"))
+      val wk = mk
+        .select(col("mon"), col("bucket"), col("cnt"),
+          explode(array(lit(0), lit(1), lit(2))).as("i"))
+        .select(add_months(col("mon"), col("i")).as("mon"),
+          col("bucket"), col("cnt"))
+        .join(broadcast(months), "mon")
+        .groupBy("mon", "bucket").agg(sum("cnt").as("cnt"))
+        .localCheckpoint(true) // bounded sketch frame, read 2×
+      val nw = wk.groupBy("mon").agg(sum("cnt").as("n"),
+        count(lit(1)).as("n_buckets"))
+      val cum = wk.withColumn("cum", sum("cnt").over(
+        Window.partitionBy("mon").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val k = nw.select(col("mon"), col("n"), col("n_buckets"),
+        expr("(n + 1) div 2").as("k50"), expr("(9 * n + 9) div 10").as("k90"))
+      broadcast(k).join(cum, "mon")
+        .groupBy("mon", "n", "n_buckets")
+        .agg(min(when(col("cum") >= col("k50"), col("bucket"))).as("p50_c"),
+          min(when(col("cum") >= col("k90"), col("bucket"))).as("p90_c"))
+        .orderBy("mon")
     }
   )
 

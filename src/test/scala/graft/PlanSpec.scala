@@ -701,6 +701,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q224: window quantiles merge monthly buckets — no fact re-scan") {
+    val p = plan("q224_hdr_sliding_quantiles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the window targets broadcast to the ≤2.6k-row merged sketch
+    assert(p.contains("BroadcastHashJoin"),
+      "rank targets must broadcast into the bucket frame:\n" + p.take(2000))
+  }
+
   test("q218: RRF rankers end in top-k, fusion never sorts the corpus") {
     val p = plan("q218_rrf_fusion")
     assert(!p.contains("CartesianProduct"), p.take(2000))
