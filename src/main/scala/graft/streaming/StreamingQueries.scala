@@ -529,12 +529,16 @@ object StreamingQueries {
         s"q210 replay harness is a fixture driver bounded at $MaxReplayRows " +
           s"rows; got $replayRows — replay from files instead")
       val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      // pinned BEFORE the stream starts: a stream-static join re-plans
+      // its static side every micro-batch, so an unpinned dim would
+      // re-run the customer⋈nation build (and its broadcast) 5×
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
         .join(Tables.load(s, dir, "nation")
           .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
           "c_nationkey")
         .select("user_id", "n_name")
+        .localCheckpoint(true)
       val source = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
       val agg = source.toDF().toDF("event_id", "user_id", "value", "ts")
         .withWatermark("ts", "30 minutes")
