@@ -279,6 +279,73 @@ object Events {
       asofJoinOf(ev(s, dir))
     },
 
+    // ---- q225: FORWARD as-of join with tolerance -------------------------
+    // The other half of the merge_asof surface (q78/q21 are backward):
+    // for every click, the NEXT purchase of the same user at-or-after
+    // it, kept only within a 1-hour tolerance — "did this interaction
+    // convert, and how fast". Same union+partitioned-window shape as
+    // q78, scanned in DESCENDING event time so `last(..ignoreNulls)`
+    // carries the nearest FUTURE purchase; the tolerance is one exact
+    // integer filter applied after the match (misses stay as NULL rows
+    // — the unconverted clicks are part of the answer). No range join,
+    // no per-row subquery: one shuffle by user, one window.
+    Q("q225_asof_forward_tolerance",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS tag,
+        |         event_id AS click_id, NULL::BIGINT AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tus, 0 AS tag,
+        |         NULL::BIGINT AS click_id, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(purchase_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus DESC, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_pid,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY tus DESC, tag
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_ptus
+        |  FROM u),
+        |m AS (SELECT click_id AS event_id, user_id,
+        |    CASE WHEN next_ptus - tus <= 3600000000 THEN next_pid END
+        |      AS purchase_id,
+        |    CASE WHEN next_ptus - tus <= 3600000000
+        |         THEN (next_ptus - tus) // 1000 END AS gap_ms
+        |  FROM w WHERE tag = 1)
+        |SELECT event_id, user_id, CAST(purchase_id AS BIGINT) AS purchase_id,
+        |  CAST(gap_ms AS BIGINT) AS gap_ms
+        |FROM m ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"),
+          lit(1).as("tag"), col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("tus"),
+          lit(0).as("tag"), lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      // purchase (tag 0) sorts before a same-instant click in the
+      // descending scan, so at-or-after is INCLUSIVE of ties — the same
+      // deterministic tie rule as q78, mirrored in the oracle
+      val w = W.partitionBy("user_id").orderBy(col("tus").desc, col("tag"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tol = 3600000000L // 1 hour in µs
+      clicks.unionByName(buys)
+        .withColumn("next_pid",
+          last(col("purchase_id"), ignoreNulls = true).over(w))
+        .withColumn("next_ptus",
+          last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("click_id").as("event_id"), col("user_id"),
+          when(col("next_ptus") - col("tus") <= tol, col("next_pid"))
+            .as("purchase_id"),
+          when(col("next_ptus") - col("tus") <= tol,
+            expr("(next_ptus - tus) DIV 1000")).as("gap_ms"))
+        .orderBy("event_id")
+    },
+
     // ---- q135: retention cohort analysis --------------------------------
     // The product-analytics staple: users cohorted by FIRST-event date,
     // retention = distinct users active at each day offset, as a

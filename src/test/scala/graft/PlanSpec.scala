@@ -701,6 +701,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q225: forward as-of is one user-partitioned window, no range join") {
+    val p = plan("q225_asof_forward_tolerance")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the tolerance must be a post-match filter, not a range join:\n" +
+        p.take(2000))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("q224: window quantiles merge monthly buckets — no fact re-scan") {
     val p = plan("q224_hdr_sliding_quantiles")
     assert(!p.contains("CartesianProduct") &&
