@@ -714,7 +714,12 @@ object Curation {
         |  CAST(sum(path_chars) AS BIGINT) AS sum_path_chars,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
-      docs(s, dir).createOrReplaceTempView("q120_documents")
+      // the recursion re-reads the view once per iteration (~log2(N)
+      // times): pin the 2-column projection so each iteration scans a
+      // checkpointed narrow frame instead of the parquet + project chain
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("q120_documents")
       s.sql(
         """WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
           |  SELECT doc_id, 0, n_chars FROM q120_documents WHERE doc_id = 1

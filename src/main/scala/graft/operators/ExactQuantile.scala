@@ -30,29 +30,46 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
-  /** Fixture-scale pin threshold: when the candidate column is at most
-    * this many rows, the narrowing passes read a REPARTITIONED,
-    * locally-checkpointed projection instead of rescanning the source —
-    * the fixture tables arrive as ONE parquet row group, so without the
-    * spread every histogram pass (the bucket explode + map-side
-    * combine) runs on a single task. Above the threshold the original
-    * shuffle-free rescan shape is kept unchanged: at 100 TB you cannot
-    * (and need not) pin the column — the scan is already thousands of
-    * splits wide and the only thing crossing the exchange stays the
-    * ≤ranks·B bucket cells. */
-  private val SpreadPinMaxRows: Long = 8L << 20
+  /** Fixture-scale pin threshold: when the candidate projection's
+    * optimizer size ESTIMATE is at most this many bytes (≈ the old
+    * 8M-row threshold at ~64 B/row), the narrowing passes read a
+    * REPARTITIONED, locally-checkpointed projection instead of
+    * rescanning the source — the fixture tables arrive as ONE parquet
+    * row group, so without the spread every histogram pass (the bucket
+    * explode + map-side combine) runs on a single task. Above the
+    * threshold the original shuffle-free rescan shape is kept
+    * unchanged: at 100 TB you cannot (and need not) pin the column —
+    * the scan is already thousands of splits wide and the only thing
+    * crossing the exchange stays the ≤ranks·B bucket cells. The
+    * decision reads the plan estimate, NOT a count, so deciding costs
+    * zero scans — which lets the stats pass (count/min/max) run over
+    * the pinned frame instead of paying its own full source scan. */
+  private val SpreadPinMaxBytes: BigInt = BigInt(512L << 20)
 
-  private def pinnedScan(df: DataFrame, n: Long, cols: Seq[String]): DataFrame = {
+  private def pinnedScan(df: DataFrame, cols: Seq[String]): DataFrame = {
     // an input the caller already persisted re-reads cheaply AND in
     // parallel — pinning it again would just pay a redundant shuffle +
     // checkpoint per invocation (q159 calls this three times on one
-    // persisted frame)
+    // persisted frame). A frame that is ITSELF a localCheckpoint
+    // (e.g. from [[pin]]) estimates at defaultSizeInBytes = Long.Max,
+    // so it is never re-pinned either.
     val cached = df.storageLevel.useMemory || df.storageLevel.useDisk
-    if (!cached && n <= SpreadPinMaxRows) {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!cached && est <= SpreadPinMaxBytes) {
       val w = df.sparkSession.sessionState.conf.numShufflePartitions
       df.select(cols.map(col): _*).repartition(w).localCheckpoint(true)
     } else df
   }
+
+  /** Caller-side pin: materialize the narrow projection once (fixture
+    * scale only — same estimate gate as the internal pin) so a caller
+    * that needs its own actions (count for rank targets, extra
+    * aggregates over the same column) shares ONE source scan with the
+    * narrowing passes instead of each action re-reading the source.
+    * The returned frame is recognized as already pinned by
+    * [[kthSmallest]]/[[kthSmallestByGroup]] and never re-shuffled. */
+  private[graft] def pin(df: DataFrame, cols: Seq[String]): DataFrame =
+    pinnedScan(df, cols)
 
   /** Exact k-th smallest (1-indexed, ascending) of long column
     * `valueCol` for every rank in `ks`, as label → value. */
@@ -73,7 +90,10 @@ object ExactQuantile {
       ks: Map[String, Long],
       buckets: Int = 4096): (Map[String, Long], Int) = {
     require(buckets >= 2, s"need ≥2 buckets, got $buckets")
-    val stats = df.agg(
+    // pin FIRST, stats from the pinned frame: one source scan instead
+    // of two (the estimate-based pin decision costs no scan)
+    val scan = pinnedScan(df, Seq(valueCol))
+    val stats = scan.agg(
       count(col(valueCol)).as("n"),
       min(col(valueCol)).as("lo"),
       max(col(valueCol)).as("hi")).head()
@@ -82,7 +102,6 @@ object ExactQuantile {
     ks.foreach { case (lbl, k) =>
       require(k >= 1 && k <= n, s"rank $lbl=$k outside [1, $n]")
     }
-    val scan = pinnedScan(df, n, Seq(valueCol))
 
     // per-rank search state: inclusive value interval + rank WITHIN it
     final case class St(lbl: String, lo: Long, hi: Long, localK: Long)
@@ -143,25 +162,58 @@ object ExactQuantile {
       valueCol: String,
       ks: Map[(String, String), Long],
       buckets: Int = 4096): Map[(String, String), Long] = {
-    require(buckets >= 2, s"need ≥2 buckets, got $buckets")
     val groups = ks.keys.map(_._1).toSeq.distinct.sorted
     require(groups.nonEmpty, "no groups requested")
-    require(groups.size <= 1000,
-      s"per-group narrowing is bounded at 1000 groups; got ${groups.size}")
-    val stats = df.filter(col(groupCol).isin(groups: _*))
+    // pin FIRST, group stats from the pinned frame: one source scan
+    // instead of two (the estimate-based pin decision costs no scan)
+    val scan = pinnedScan(df.filter(col(groupCol).isin(groups: _*)),
+      Seq(groupCol, valueCol))
+    narrowByGroup(scan, groupCol, valueCol, _ => ks, buckets)._2
+  }
+
+  /** As [[kthSmallestByGroup]] over ALL groups present in `df`, with the
+    * rank targets derived from the operator's own stats pass: callers
+    * that previously ran their own count-per-group aggregation just to
+    * build `ks` save that full pass. Returns (group → n, results). */
+  def kthSmallestAllGroups(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      mkKs: Map[String, Long] => Map[(String, String), Long],
+      buckets: Int = 4096)
+      : (Map[String, Long], Map[(String, String), Long]) = {
+    val scan = pinnedScan(df, Seq(groupCol, valueCol))
+    val (stats, done) = narrowByGroup(scan, groupCol, valueCol, mkKs, buckets)
+    (stats.map { case (g, (n, _, _)) => g -> n }, done)
+  }
+
+  /** Shared grouped-narrowing loop: one stats pass over the prepared
+    * scan, rank targets from `mkKs` (a constant function for the
+    * explicit-ks entry point), then the histogram passes. */
+  private def narrowByGroup(
+      scan: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      mkKs: Map[String, Long] => Map[(String, String), Long],
+      buckets: Int)
+      : (Map[String, (Long, Long, Long)], Map[(String, String), Long]) = {
+    require(buckets >= 2, s"need ≥2 buckets, got $buckets")
+    val stats = scan
       .groupBy(col(groupCol).as("g"))
       .agg(count(col(valueCol)).as("n"), min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
-      .collect() // bounded: one row per requested group
+      .collect() // bounded: one row per group
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
+    require(stats.size <= 1000,
+      s"per-group narrowing is bounded at 1000 groups; got ${stats.size}")
+    val ks = mkKs(stats.map { case (g, (n, _, _)) => g -> n })
+    require(ks.nonEmpty, "no ranks requested")
     ks.foreach { case ((g, lbl), k) =>
       val (n, _, _) = stats.getOrElse(g,
         throw new IllegalArgumentException(s"group $g has no rows"))
       require(k >= 1 && k <= n, s"rank ($g, $lbl)=$k outside [1, $n]")
     }
-    val scan = pinnedScan(df.filter(col(groupCol).isin(groups: _*)),
-      stats.values.map(_._1).sum, Seq(groupCol, valueCol))
 
     final case class St(g: String, lbl: String, lo: Long, hi: Long, localK: Long)
     var open = ks.toSeq.sortBy(_._1).map { case ((g, lbl), k) =>
@@ -200,7 +252,7 @@ object ExactQuantile {
         }
       }
     }
-    done
+    (stats, done)
   }
 
   /** Cumulative walk to the bucket holding `localK`: (bucket, countBefore). */

@@ -440,8 +440,13 @@ object Extras {
         |FROM k JOIN r ON r.rn = k.k
         |ORDER BY p""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val cents = t(s, dir, "lineitem")
-        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      // pin the narrow cents column ONCE: the rank-target count and the
+      // narrowing's stats + histogram passes all read the same
+      // materialized projection (one source scan total)
+      val cents = ExactQuantile.pin(
+        t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c")),
+        Seq("c"))
       val n = cents.count()
       val ps = Seq("0.25", "0.50", "0.75", "0.95", "0.99").map(BigDecimal(_))
       val ks = ps.map(p =>
@@ -472,15 +477,19 @@ object Extras {
         |FROM k JOIN r ON r.g = k.g AND r.rn = k.k
         |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
-      val ns = li.groupBy("g").agg(count(lit(1)).as("n"))
-        .collect() // bounded: one row per return flag
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // pinned once: group counts + narrowing share one source scan
+      val li = ExactQuantile.pin(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c")),
+        Seq("g", "c"))
       val ps = Seq("0.50", "0.95").map(BigDecimal(_))
-      val ks = for ((g, n) <- ns; p <- ps) yield
-        (g, p.toString) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-      val vals = ExactQuantile.kthSmallestByGroup(li, "g", "c", ks)
+      def mkKs(counts: Map[String, Long]) =
+        for ((g, n) <- counts; p <- ps) yield
+          (g, p.toString) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      // group counts come from the narrowing's own stats pass — no
+      // separate count-per-group aggregation
+      val (ns, vals) = ExactQuantile.kthSmallestAllGroups(li, "g", "c", mkKs)
+      val ks = mkKs(ns)
       (for ((g, _) <- ns.toSeq; p <- ps) yield
         (g, p.toDouble, ks((g, p.toString)),
           (BigDecimal(vals((g, p.toString))) / 100).toDouble))
@@ -523,17 +532,20 @@ object Extras {
         |FROM e JOIN kept ON kept.g = e.g JOIN wins ON wins.g = e.g
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val v = Tables.load(s, dir, "events").select(col("event_type").as("g"),
-        round(col("value") * 100, 0).cast("long").as("c"))
-      val ns = v.groupBy("g").agg(count(lit(1)).as("n"))
-        .collect() // bounded: one row per event type
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val ks = (for ((g, n) <- ns.toSeq;
-                     (p, lbl) <- Seq(BigDecimal("0.1") -> "p10",
-                       BigDecimal("0.9") -> "p90")) yield
-        (g, lbl) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-        ).toMap
-      val edges = ExactQuantile.kthSmallestByGroup(v, "g", "c", ks)
+      // pinned once: group counts, the narrowing, AND the two
+      // trimmed/winsorized aggregation passes all read one scan
+      val v = ExactQuantile.pin(
+        Tables.load(s, dir, "events").select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("c")),
+        Seq("g", "c"))
+      def mkKs(counts: Map[String, Long]) =
+        (for ((g, n) <- counts.toSeq;
+              (p, lbl) <- Seq(BigDecimal("0.1") -> "p10",
+                BigDecimal("0.9") -> "p90")) yield
+          (g, lbl) -> (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+          ).toMap
+      // group counts come from the narrowing's own stats pass
+      val (ns, edges) = ExactQuantile.kthSmallestAllGroups(v, "g", "c", mkKs)
       val eDf = ns.toSeq.map { case (g, n) =>
         (g, n, edges((g, "p10")), edges((g, "p90")))
       }.toDF("g", "n", "v10", "v90")

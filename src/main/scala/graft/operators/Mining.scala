@@ -223,15 +223,19 @@ object Mining {
       val dirty = cust.select(
         col("cid").as("dirty_id"),
         dirtyName(col("cname"), col("cid")).as("dname"))
+      // ids only through the key join + distinct: the name strings are
+      // ~3× the bytes of the (id, id) pair and are reattached AFTER the
+      // dedupe from two broadcast copies of the bounded name tables —
+      // same candidate set, ~half the exchange bytes
       val cleanKeys = cust
-        .select(col("cid"), col("cname"),
-          explode(deletionKeys(col("cname"))).as("k"))
+        .select(col("cid"), explode(deletionKeys(col("cname"))).as("k"))
       val dirtyKeys = dirty
-        .select(col("dirty_id"), col("dname"),
-          explode(deletionKeys(col("dname"))).as("k"))
+        .select(col("dirty_id"), explode(deletionKeys(col("dname"))).as("k"))
       val cand = dirtyKeys.join(cleanKeys, "k")
-        .select("dirty_id", "dname", "cid", "cname")
+        .select("dirty_id", "cid")
         .distinct()
+        .join(broadcast(dirty), "dirty_id")
+        .join(broadcast(cust), "cid")
       cand
         // thresholded levenshtein: banded DP, O(k·len) per pair instead
         // of O(len²) — at verify volume that bound is the point; -1
@@ -388,40 +392,37 @@ object Mining {
         |JOIN med ON med.g = d.g JOIN mad ON mad.g = d.g JOIN n ON n.g = d.g
         |GROUP BY d.g, n.n, med.med, mad.mad
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-        .select(col("event_type").as("g"),
-          round(col("value") * 100).cast("long").as("v"))
-        .persist() // 4 bounded scans below (stats + 2 narrowings + final)
-      try {
-        val counts = e.groupBy("g").agg(count(lit(1)).as("n"))
-          .collect() // bounded: one row per event type
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val medKs = counts.map { case (g, n) => ((g, "med"), (n + 1) / 2) }
-        // .select alias: reads THROUGH the persisted frame but is not
-        // itself marked cached, so the narrowing's fixture-scale pin
-        // still spreads the single-split scan across the session width
-        val med = ExactQuantile.kthSmallestByGroup(
-            e.select(col("g"), col("v")), "g", "v", medKs)
-          .map { case ((g, _), v) => g -> v }
-        val medCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
-          (acc, g) => when(col("g") === g, lit(med(g))).otherwise(acc)
-        }
-        val d = e.withColumn("med", medCol)
-          .withColumn("dev", abs(col("v") - col("med")))
-        val madKs = counts.map { case (g, n) => ((g, "mad"), (n + 1) / 2) }
-        val mad = ExactQuantile.kthSmallestByGroup(d, "g", "dev", madKs)
-          .map { case ((g, _), v) => g -> v }
-        val madCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
-          (acc, g) => when(col("g") === g, lit(mad(g))).otherwise(acc)
-        }
-        d.withColumn("mad", madCol)
-          .groupBy(col("g").as("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            first(col("med")).as("med_cents"),
-            first(col("mad")).as("mad_cents"),
-            count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
-          .orderBy("event_type")
-      } finally e.unpersist()
+      // ONE pinned (g, v) projection (spread + localCheckpoint) feeds
+      // the group counts, BOTH narrowings and the final aggregate — the
+      // old persist() held the single-split scan's ONE partition, so
+      // every non-narrowing consumer ran on one task
+      val e = ExactQuantile.pin(
+        t(s, dir, "events")
+          .select(col("event_type").as("g"),
+            round(col("value") * 100).cast("long").as("v")),
+        Seq("g", "v"))
+      // group counts come from the first narrowing's own stats pass
+      val (counts, medM) = ExactQuantile.kthSmallestAllGroups(e, "g", "v",
+        cs => cs.map { case (g, n) => ((g, "med"), (n + 1) / 2) })
+      val med = medM.map { case ((g, _), v) => g -> v }
+      val medCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+        (acc, g) => when(col("g") === g, lit(med(g))).otherwise(acc)
+      }
+      val d = e.withColumn("med", medCol)
+        .withColumn("dev", abs(col("v") - col("med")))
+      val madKs = counts.map { case (g, n) => ((g, "mad"), (n + 1) / 2) }
+      val mad = ExactQuantile.kthSmallestByGroup(d, "g", "dev", madKs)
+        .map { case ((g, _), v) => g -> v }
+      val madCol = counts.keys.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+        (acc, g) => when(col("g") === g, lit(mad(g))).otherwise(acc)
+      }
+      d.withColumn("mad", madCol)
+        .groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          first(col("med")).as("med_cents"),
+          first(col("mad")).as("mad_cents"),
+          count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+        .orderBy("event_type")
     },
 
     // ---- q152: item-item collaborative filtering -----------------------
@@ -452,9 +453,12 @@ object Mining {
         |         ORDER BY sim DESC, other) AS rn FROM s)
         |SELECT item, other, c AS n_co, sim FROM rk WHERE rn <= 3
         |ORDER BY item, sim DESC, other""".stripMargin) { (s, dir) =>
+      // pinned once: the support counts and the pair self-join (which
+      // reads it twice) otherwise each re-run the distinct chain
       val b = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val sup = b.groupBy("pk").agg(count(lit(1)).as("cnt"))
       val p = pairCounts(b).filter(col("n_baskets") >= 2)
       val e = p.select(col("a").as("item"), col("b").as("other"),
@@ -679,13 +683,11 @@ object Mining {
         .select(col("g"), expr("gap_us div 1000").as("gap_ms"))
         .persist() // stats + narrowing passes
       try {
-        val counts = e.groupBy("g").agg(count(lit(1)).as("n"))
-          .collect() // bounded: one row per event type
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val ks = counts.flatMap { case (g, n) =>
-          Seq(((g, "p50"), (n + 1) / 2), ((g, "p95"), (n * 95 + 99) / 100))
-        }
-        val vals = ExactQuantile.kthSmallestByGroup(e, "g", "gap_ms", ks)
+        // group counts come from the narrowing's own stats pass
+        val (counts, vals) = ExactQuantile.kthSmallestAllGroups(
+          e, "g", "gap_ms", cs => cs.flatMap { case (g, n) =>
+            Seq(((g, "p50"), (n + 1) / 2), ((g, "p95"), (n * 95 + 99) / 100))
+          })
         counts.keys.toSeq.sorted.map { g =>
           (g, counts(g), vals((g, "p50")), vals((g, "p95")))
         }.toDF("event_type", "n_gaps", "p50_ms", "p95_ms")
@@ -1174,12 +1176,15 @@ object Mining {
         |    AS p95_ms
         |FROM r, n, np GROUP BY n.n, np.n""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val asof = Events.asofJoinOf(t(s, dir, "events"))
-      val g = asof.filter(col("view_id").isNotNull)
-        .select(col("gap_ms")).persist() // stats + narrowing passes
+      // persist the narrow projection of the as-of join ONCE: the
+      // purchase count, conversion count and narrowing all read it —
+      // asof.count() previously re-ran the whole window join
+      val a = Events.asofJoinOf(t(s, dir, "events"))
+        .select(col("view_id"), col("gap_ms")).persist()
+      val g = a.filter(col("view_id").isNotNull).select(col("gap_ms"))
       try {
+        val nPur = a.count()
         val nConv = g.count()
-        val nPur = asof.count()
         val ks = Map("p50" -> ((nConv + 1) / 2),
           "p95" -> ((nConv * 95 + 99) / 100))
         val vals = ExactQuantile.kthSmallest(g, "gap_ms", ks)
@@ -1188,7 +1193,7 @@ object Mining {
               BigDecimal.RoundingMode.HALF_UP).toDouble,
             vals("p50"), vals("p95")))
           .toDF("n_conversions", "coverage", "p50_ms", "p95_ms")
-      } finally g.unpersist()
+      } finally a.unpersist()
     },
 
     // ---- q164: hour-of-day activity profile -----------------------------
@@ -1234,7 +1239,11 @@ object Mining {
         |      GROUP BY 1, 2, 3)
         |SELECT a, b, c, n_baskets FROM t
         |ORDER BY n_baskets DESC, a, b, c LIMIT 20""".stripMargin) { (s, dir) =>
+      // pinned once: the triple enumeration reads bf THREE times (x, y,
+      // z) — without the checkpoint the distinct → support-prune chain
+      // is duplicated into every branch of the self-join plan
       val bf = frequentBasketItems(t(s, dir, "lineitem"), 30L)
+        .localCheckpoint(true)
       bf.as("x")
         .join(bf.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
@@ -1451,16 +1460,23 @@ object Mining {
       val m = docsDf.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
       val tok = docsDf.select(col("doc_id"),
         explode(split(col("text"), " ")).as("t"))
-      // ONE aggregation pass with 20 conditional distinct counts
-      // (Catalyst plans multi-distinct via Expand — still a single scan)
-      val aggs = (1L to 10L).flatMap { k =>
-        val thr = k * m / 10
-        Seq(countDistinct(when(col("doc_id") < thr, col("t"))).as(s"v$k"),
-          countDistinct(when(col("doc_id") < thr, col("doc_id"))).as(s"d$k"))
-      }
-      val row = tok.agg(aggs.head, aggs.tail: _*).collect()(0)
+      // a token is in the prefix-k vocabulary iff its FIRST occurrence
+      // (min doc_id) is below the threshold — so ten distinct counts
+      // collapse to one min-per-token aggregate plus ten plain
+      // conditional counts, instead of a 20-way Expand of every token
+      // (the multi-distinct plan shuffled the token frame 20×)
+      val thrs = (1L to 10L).map(k => k -> k * m / 10)
+      val tmin = tok.groupBy("t").agg(min(col("doc_id")).as("d0"))
+      val vAggs = thrs.map { case (k, thr) =>
+        count(when(col("d0") < thr, 1)).as(s"v$k") }
+      val vRow = tmin.agg(vAggs.head, vAggs.tail: _*).collect()(0)
+      // doc_id is unique per document, so the distinct doc count below
+      // each threshold is a plain conditional count over documents
+      val dAggs = thrs.map { case (k, thr) =>
+        count(when(col("doc_id") < thr, 1)).as(s"d$k") }
+      val dRow = docsDf.agg(dAggs.head, dAggs.tail: _*).collect()(0)
       (1 to 10).map(k =>
-          (k.toLong, row.getLong(2 * (k - 1)), row.getLong(2 * k - 1)))
+          (k.toLong, vRow.getLong(k - 1), dRow.getLong(k - 1)))
         .toDF("k", "vocab", "docs")
         .orderBy("k")
     },
@@ -1487,8 +1503,12 @@ object Mining {
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows, min(v) AS min_cents,
         |  max(v) AS max_cents, CAST(sum(v) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
-      val cents = t(s, dir, "orders")
-        .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      // pinned once: the count, the narrowing and the final binning agg
+      // share one source scan
+      val cents = ExactQuantile.pin(
+        t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("v")),
+        Seq("v"))
       val n = cents.count()
       val ks = (1 to 9).map(i => i.toString -> ((i * n + 9) / 10)).toMap
       val edges = ExactQuantile.kthSmallest(cents, "v", ks)

@@ -1164,8 +1164,35 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .localCheckpoint(true)
       val nprobes = Seq(1, 2, 4)
+      // ONE probe join at the largest nprobe, centroid rank kept: the
+      // nprobe=1/2 candidate sets are exactly the crk<=p subsets (each
+      // neighbor lives in one cluster, so no candidate repeats), so the
+      // smaller rungs re-rank a filtered copy of the checkpointed
+      // candidate frame instead of re-running the probe join per rung —
+      // same rows, same (cos desc, neighbor) tie-break as ivfProbeMulti
+      val crkW = Window.partitionBy(col("query_id"))
+        .orderBy(col("_csim").desc, col("cluster"))
+      val q4 = assign.filter(expr(QueryFilter))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .join(broadcast(cent.select(col("c_id").as("cluster"), col("cv"))))
+        .withColumn("_csim", expr("cosine_sim(qv, cv)"))
+        .withColumn("crk", row_number().over(crkW))
+        .filter(col("crk") <= nprobes.max)
+        .select(col("query_id"), col("qv"), col("cluster"), col("crk"))
+        .localCheckpoint(true) // tiny; read by the probe join AND `qc`
+      val cands = q4
+        .join(assign.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("c_id").as("cluster")), Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+        .select(col("query_id"), col("crk"), col("neighbor_id"), col("cos_sim"))
+        .localCheckpoint(true)
+      val rkW = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
       val probes = nprobes.map { p =>
-        ivfProbeMulti(assign, cent, nprobe = p)
+        cands.filter(col("crk") <= p)
+          .withColumn("rk", row_number().over(rkW))
+          .filter(col("rk") <= TopK)
           .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
       val hits = probes.join(exact, Seq("query_id", "neighbor_id"))
@@ -1173,15 +1200,8 @@ object Similarity {
       // scanned candidates: top-P cluster sizes minus self (the home
       // cluster is always centroid-rank 1 under the shared tie-break)
       val csize = assign.groupBy("c_id").agg(count(lit(1)).as("csz"))
-      val crkW = Window.partitionBy(col("query_id"))
-        .orderBy(col("_csim").desc, col("cluster"))
-      val qc = assign.filter(expr(QueryFilter))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .join(broadcast(cent.select(col("c_id").as("cluster"), col("cv"))))
-        .withColumn("_csim", expr("cosine_sim(qv, cv)"))
-        .withColumn("crk", row_number().over(crkW))
-        .filter(col("crk") <= nprobes.max)
-        .select(col("query_id"), col("cluster"), col("crk"))
+      // the scanned-candidates leg reuses the checkpointed q4 ranking
+      val qc = q4.select(col("query_id"), col("cluster"), col("crk"))
       val qcs = qc.join(csize, qc("cluster") === csize("c_id"))
         .select(col("query_id"), col("crk"), col("csz"))
         .localCheckpoint(true) // one 3-way fan-out over a tiny frame

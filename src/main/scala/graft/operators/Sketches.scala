@@ -267,11 +267,17 @@ object Sketches {
         |ORDER BY pe.p_partkey""".stripMargin) { (s, dir) =>
       val k = t(s, dir, "lineitem")
         .select(col("l_partkey").cast("string").as("key"))
-      val cells = k
-        .select(coords("key", 4, 512).as("rc"))
-        .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
-        .groupBy("i", "cell").agg(count(lit(1)).as("c"))
+      // ONE lineitem scan: the per-key counts (needed by the exact leg
+      // anyway) are bounded by the part domain — checkpoint them and
+      // derive the CMS cells as sum(cnt) per coordinate, which is the
+      // same cell table as count(*) over the exploded fact rows but
+      // hashes each DISTINCT key once instead of every row
       val cnts = k.groupBy("key").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val cells = cnts
+        .select(coords("key", 4, 512).as("rc"), col("cnt"))
+        .select(col("rc.i").as("i"), col("rc.cell").as("cell"), col("cnt"))
+        .groupBy("i", "cell").agg(sum("cnt").as("c"))
       val probes = t(s, dir, "part")
         .filter(col("p_partkey") % 100 === 0)
         .select(col("p_partkey"), col("p_partkey").cast("string").as("key"))
@@ -339,10 +345,13 @@ object Sketches {
         |    / nullif(count(*) - sum(member), 0), 4) AS fp_rate
         |FROM pe GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, dir) =>
+      // bounded (distinct active custkeys) and read TWICE (bit build +
+      // membership flag) — checkpoint so the orders scan runs once
       val act = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
           col("o_orderdate") < lit("1995-04-01").cast("date"))
         .select(col("o_custkey").cast("string").as("key")).distinct()
+        .localCheckpoint(true)
       val occ = act.select(coords("key", 3, 2048).as("rc"))
         .select(col("rc.cell").as("pos")).distinct()
         .withColumn("hit", lit(1L))
@@ -452,6 +461,10 @@ object Sketches {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("seg"), col("l_partkey").as("pk"))
         .distinct()
+        // bounded (≤ segments × distinct parts) and read by THREE
+        // consumers (sketch build, segment list, exact reference) —
+        // checkpoint so the customer⋈orders⋈lineitem chain runs once
+        .localCheckpoint(true)
       val hashed = base
         .select(col("seg"), expr(h60("CAST(pk AS STRING)")).as("h"))
         .distinct()
@@ -472,12 +485,28 @@ object Sketches {
         .agg(max("h").as("tau"),
           sum(when(col("nseg") === 2, 1L).otherwise(0L)).as("x"),
           count(lit(1)).as("ku"))
-      val ex = member.join(base, "seg")
-        .groupBy("seg_a", "seg_b", "pk")
-        .agg(countDistinct("seg").as("nseg"))
-        .groupBy("seg_a", "seg_b")
-        .agg(count(lit(1)).as("n_union"),
-          sum(when(col("nseg") === 2, 1L).otherwise(0L)).as("n_inter"))
+      // exact leg by inclusion-exclusion: |A∪B| = |A| + |B| − |A∩B|,
+      // with the intersection from ONE pk equi-self-join (≤ segments
+      // rows per pk) — replaces the member-explode + two countDistinct
+      // aggregations over a pair-multiplied copy of base. Same values:
+      // the old n_union counted distinct pk in either segment, the old
+      // n_inter counted pk present in both.
+      val sizes = base.groupBy("seg").agg(count(lit(1)).as("sz"))
+      val inter = base.as("x")
+        .join(base.as("y"),
+          col("x.pk") === col("y.pk") && col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val ex = pairs
+        .join(inter, Seq("seg_a", "seg_b"), "left")
+        .join(broadcast(sizes.select(col("seg").as("seg_a"), col("sz").as("sa"))),
+          "seg_a")
+        .join(broadcast(sizes.select(col("seg").as("seg_b"), col("sz").as("sb"))),
+          "seg_b")
+        .select(col("seg_a"), col("seg_b"),
+          (col("sa") + col("sb") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_union"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
       topu
         .withColumn("union_est",
           when(col("ku") < 256, col("ku").cast("double"))
@@ -536,9 +565,14 @@ object Sketches {
         |ORDER BY l_returnflag, p""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.loadSpread(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"),
-          round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      // ONE pinned (g, c) projection feeds both legs — the sketch build
+      // and the exact narrowing's stats + histogram passes — instead of
+      // each leg re-scanning (and re-spreading) the source
+      val li = ExactQuantile.pin(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("c")),
+        Seq("g", "c"))
       // the sketch: one map-side-combinable aggregate; the shift keeps
       // the top 8 significand bits (values < 256 are exact)
       val sk = li
@@ -623,18 +657,27 @@ object Sketches {
         .select(col("event_type"), col("user_id").cast("string").as("key"))
       val ok = t(s, dir, "orders")
         .select(col("o_custkey").cast("string").as("key"))
-      val ec = ek.select(col("event_type"), coords("key", 4, 4096).as("rc"))
-        .select(col("event_type"), col("rc.i").as("i"), col("rc.cell").as("cell"))
-        .groupBy("event_type", "i", "cell").agg(count(lit(1)).as("ce"))
-      val oc = ok.select(coords("key", 4, 4096).as("rc"))
-        .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
-        .groupBy("i", "cell").agg(count(lit(1)).as("co"))
+      // ONE scan per side: the per-key counts (needed by the exact leg
+      // anyway, bounded by the key domain) are checkpointed and the CMS
+      // cell vectors derive from them as sum(cnt) per coordinate — the
+      // same cells as count(*) over exploded fact rows, but each
+      // DISTINCT key hashes once instead of every row
+      val en = ek.groupBy("event_type", "key").agg(count(lit(1)).as("cn"))
+        .localCheckpoint(true)
+      val onn = ok.groupBy("key").agg(count(lit(1)).as("cn2"))
+        .localCheckpoint(true)
+      val ec = en.select(col("event_type"), coords("key", 4, 4096).as("rc"),
+          col("cn"))
+        .select(col("event_type"), col("rc.i").as("i"),
+          col("rc.cell").as("cell"), col("cn"))
+        .groupBy("event_type", "i", "cell").agg(sum("cn").as("ce"))
+      val oc = onn.select(coords("key", 4, 4096).as("rc"), col("cn2"))
+        .select(col("rc.i").as("i"), col("rc.cell").as("cell"), col("cn2"))
+        .groupBy("i", "cell").agg(sum("cn2").as("co"))
       val est = ec.join(broadcast(oc), Seq("i", "cell"))
         .groupBy("event_type", "i")
         .agg(sum(col("ce") * col("co")).as("dp"))
         .groupBy("event_type").agg(min("dp").as("est_rows"))
-      val en = ek.groupBy("event_type", "key").agg(count(lit(1)).as("cn"))
-      val onn = ok.groupBy("key").agg(count(lit(1)).as("cn2"))
       val ex = en.join(onn, "key")
         .groupBy("event_type").agg(sum(col("cn") * col("cn2")).as("exact_rows"))
       ex.join(est, "event_type")
@@ -689,12 +732,17 @@ object Sketches {
       val mrows = t(s, dir, "lineitem").select(
         to_date(date_trunc("month", col("l_shipdate"))).as("mon"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
-      val months = mrows.select("mon").distinct()
+      // bounded (months × buckets); checkpointed because the month list
+      // derives from it — every month with rows owns ≥1 bucket, so
+      // DISTINCT mon over the sketch frame equals DISTINCT mon over the
+      // fact table and the lineitem scan runs ONCE for this query
       val mk = mrows
         .withColumn("bucket", expr(
           "shiftleft(shiftright(c, greatest(length(bin(c)) - 8, 0)), " +
             "greatest(length(bin(c)) - 8, 0))"))
         .groupBy("mon", "bucket").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val months = mk.select("mon").distinct()
       val wk = mk
         .select(col("mon"), col("bucket"), col("cnt"),
           explode(array(lit(0), lit(1), lit(2))).as("i"))

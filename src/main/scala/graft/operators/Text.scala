@@ -357,11 +357,14 @@ object Text {
     }) { (s, dir) =>
       val (k1, b) = (1.2, 0.75)
       val queryTerms = Seq("sort", "hash", "scan")
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // per-doc length = token-array size: a per-row projection, not an
+      // explode + groupBy shuffle of every token
+      val dl = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(norm(col("text")), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
-      val postings = toks
+      val postings = docs(s, dir)
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
         .filter(col("term").isin(queryTerms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1044,11 +1047,14 @@ object Text {
       import s.implicits._
       val (k1, b) = (1.2, 0.75)
       val queryTerms = Seq("sort", "hash", "scan")
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // per-doc length = token-array size: a per-row projection, not an
+      // explode + groupBy shuffle of every token
+      val dl = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(norm(col("text")), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
-      val postings = toks
+      val postings = docs(s, dir)
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
         .filter(col("term").isin(queryTerms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true) // scored twice: BM25 + TF-IDF

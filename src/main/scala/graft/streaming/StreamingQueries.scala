@@ -457,11 +457,13 @@ object StreamingQueries {
         fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
           .foreach(f => fs.setTimes(f.getPath, t0 + order * 60000L, -1))
       }
-      for (b <- 0 to 3) {
-        ev.filter(col("event_id") % 4 === b)
-          .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, s"b$b").toString)
-        stamp(s"b$b", b)
-      }
+      // ONE events pass writes all four batch dirs (dynamic partition
+      // write on the batch id; the repartition leaves one file per
+      // batch, like the old per-batch coalesce(1) loop did)
+      ev.withColumn("b", (col("event_id") % 4).cast("int"))
+        .repartition(col("b"))
+        .write.partitionBy("b").parquet(root.toString)
+      for (b <- 0 to 3) stamp(s"b=$b", b)
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
       Seq((-1L, "zz_sentinel", 0.0, sentinelTs))
         .toDF("event_id", "event_type", "value", "ts")
@@ -528,7 +530,10 @@ object StreamingQueries {
       require(replayRows <= MaxReplayRows,
         s"q210 replay harness is a fixture driver bounded at $MaxReplayRows " +
           s"rows; got $replayRows — replay from files instead")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      // one collect: the sentinel's max ts derives from the collected
+      // rows instead of its own full scan
+      val rows = ev.as[(Long, Long, Double, java.sql.Timestamp)].collect()
+      val maxTs = rows.iterator.map(_._4).maxBy(_.getTime)
       // pinned BEFORE the stream starts: a stream-static join re-plans
       // its static side every micro-batch, so an unpinned dim would
       // re-run the customer⋈nation build (and its broadcast) 5×
@@ -553,8 +558,7 @@ object StreamingQueries {
         val query = agg.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {
-          val byB = ev.as[(Long, Long, Double, java.sql.Timestamp)]
-            .collect().groupBy(r => (r._1 % 4).toInt)
+          val byB = rows.groupBy(r => (r._1 % 4).toInt)
           for (b <- 0 to 3) {
             source.addData(byB.getOrElse(b, Array.empty).toSeq)
             query.processAllAvailable()
@@ -677,7 +681,10 @@ object StreamingQueries {
       require(replayRows <= MaxReplayRows,
         s"q97 replay harness is a fixture driver bounded at $MaxReplayRows " +
           s"rows; got $replayRows — replay from files instead")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      // one collect: the sentinel's max ts derives from the collected
+      // rows instead of its own full scan
+      val rows = ev.as[(Long, Long, java.sql.Timestamp)].collect()
+      val maxTs = rows.iterator.map(_._3).maxBy(_.getTime)
       val source = MemoryStream[(Long, Long, java.sql.Timestamp)]
       val agg = Windows.sessionStream(
         source.toDF().toDF("event_id", "user_id", "ts"),
@@ -689,8 +696,7 @@ object StreamingQueries {
           .outputMode("append").start()
         try {
           // one collect, partitioned driver-side (see the q95 note)
-          val byB = ev.as[(Long, Long, java.sql.Timestamp)]
-            .collect().groupBy(r => (r._2 % 4).toInt)
+          val byB = rows.groupBy(r => (r._2 % 4).toInt)
           for (b <- 0 to 3) {
             source.addData(byB.getOrElse(b, Array.empty).toSeq)
             query.processAllAvailable() // ONE data micro-batch per replay step
@@ -983,7 +989,10 @@ object StreamingQueries {
       require(replayRows <= MaxReplayRows,
         s"q114 replay harness is a fixture driver bounded at $MaxReplayRows " +
           s"rows; got $replayRows — replay from files instead")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      // one collect: the sentinel's max ts derives from the collected
+      // rows instead of its own full scan
+      val rows = ev.as[(Long, java.sql.Timestamp, Double)].collect()
+      val maxTs = rows.iterator.map(_._2).maxBy(_.getTime)
       val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
       val events = source.toDF().toDF("user_id", "ts", "value")
         .as[Stateful.UserEvent]
@@ -1000,9 +1009,8 @@ object StreamingQueries {
           val query = sessions.writeStream.format("memory").queryName(sink)
             .outputMode("append").start()
           try {
-            // one collect, partitioned driver-side (see the q95 note)
-            val byB = ev.as[(Long, java.sql.Timestamp, Double)]
-              .collect().groupBy(r => (r._1 % 4).toInt)
+            // partitioned driver-side (see the q95 note)
+            val byB = rows.groupBy(r => (r._1 % 4).toInt)
             for (b <- 0 to 3) {
               source.addData(byB.getOrElse(b, Array.empty).toSeq)
               query.processAllAvailable()
