@@ -532,8 +532,16 @@ object IncrementalDedup {
           .localCheckpoint(true)
         val exactIds = flags.filter(col("is_exact")).select("doc_id")
         val staleIds = flags.filter(!col("is_exact")).select("doc_id")
+        // pinned: each fresh frame is executed ONCE — writeSorted's
+        // row-count sizing pass, its write, and the isEmpty gate below
+        // all read the materialized batch-sized frame instead of each
+        // re-running the anti-join over the persisted batch frames
+        // (lineage safety is unchanged: these read only persisted batch
+        // frames + the checkpointed id set, never a store directory)
         val freshReg = batchReg.join(exactIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         val freshIdx = xRows.join(exactIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         if (!staleIds.isEmpty) {
           // stale rewrite: the one full-store pass, taken only when a
           // doc actually changed text (rare); both kinds fold to one
