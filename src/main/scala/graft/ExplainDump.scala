@@ -11,8 +11,9 @@ import java.nio.file.{Files, Paths}
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse(sys.error(
-      "usage: ExplainDump <outDir> <suffix> <q1,q2,...> [sfDir]"))
+    if (args.length < 3) sys.error(
+      "usage: ExplainDump <outDir> <suffix> <q1,q2,...> [sfDir]")
+    val outDir = args(0)
     val suffix = args(1)
     val names = args(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")

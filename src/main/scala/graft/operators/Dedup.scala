@@ -108,14 +108,19 @@ object Dedup {
   private def win16(s: SparkSession, dir: String): DataFrame = {
     if (graft.core.SessionSpill.noMemo)
       return win16Of(docs(s, dir)).localCheckpoint(true)
-    val path = win16Cache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        val root = new org.apache.hadoop.fs.Path(
-          graft.core.SessionSpill.root(s, "graft_win16"), safe)
-        win16Of(docs(s, dir)).write.mode("overwrite").parquet(root.toString)
-        root.toString
-      })
+    // populate is serialized: TrieMap.getOrElseUpdate can evaluate the
+    // thunk in two threads at once, and two concurrent overwrite-writes
+    // to the same path can clobber files the other is streaming back
+    val path = win16Cache.synchronized {
+      win16Cache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+          val root = new org.apache.hadoop.fs.Path(
+            graft.core.SessionSpill.root(s, "graft_win16"), safe)
+          win16Of(docs(s, dir)).write.mode("overwrite").parquet(root.toString)
+          root.toString
+        })
+    }
     s.read.parquet(path)
   }
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -358,8 +358,11 @@ object Text {
       val (k1, b) = (1.2, 0.75)
       val queryTerms = Seq("sort", "hash", "scan")
       // per-doc length = token-array size: a per-row projection, not an
-      // explode + groupBy shuffle of every token
+      // explode + groupBy shuffle of every token. Null texts are
+      // filtered so dl/n_docs match the explode+groupBy shape (which
+      // dropped them) for any corpus, not just null-free fixtures.
       val dl = docs(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(split(norm(col("text")), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
@@ -1048,8 +1051,11 @@ object Text {
       val (k1, b) = (1.2, 0.75)
       val queryTerms = Seq("sort", "hash", "scan")
       // per-doc length = token-array size: a per-row projection, not an
-      // explode + groupBy shuffle of every token
+      // explode + groupBy shuffle of every token. Null texts are
+      // filtered so dl/n_docs match the explode+groupBy shape (which
+      // dropped them) for any corpus, not just null-free fixtures.
       val dl = docs(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(split(norm(col("text")), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))

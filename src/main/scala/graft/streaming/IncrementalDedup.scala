@@ -354,9 +354,21 @@ object IncrementalDedup {
     exploded.select(pidCol.cast("int").as("pid")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
-  /** Touched registry partitions of a batch — bounded by `DocPartitions`. */
-  private def touchedDhs(docSigs: DataFrame): Seq[Int] =
-    docSigs.select(col("dh")).distinct().collect().map(_.getInt(0)).toSeq
+  /** Both touched-partition HISTOGRAMS of a batch in ONE job: the pid
+    * cells of the exploded index rows (≤ 4×`BucketPartitions`) unioned
+    * with the dh cells of the registry rows (≤ `DocPartitions`). The
+    * keys drive the store/registry pruning exactly as the two distinct
+    * collects did; the counts additionally size the append writes below
+    * (each registry row explodes to exactly `bands` index rows, so no
+    * later sizing scan is needed). Output stays bounded by the two
+    * partition domains — never batch-sized. */
+  private def touchedHist(exploded: DataFrame, docSigs: DataFrame)
+      : Array[(String, Int, Long)] =
+    exploded.groupBy(pidCol.cast("int").as("k")).agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("p"))
+      .unionByName(docSigs.groupBy(col("dh").as("k"))
+        .agg(count(lit(1)).as("c")).withColumn("kind", lit("d")))
+      .collect().map(r => (r.getString(2), r.getInt(0), r.getLong(1)))
 
   /** Write a frame to a fresh immutable directory as range-split sorted
     * files and return its manifest entries: rows are range-partitioned
@@ -371,13 +383,19 @@ object IncrementalDedup {
     * includes its files; residue from crashed attempts is GC'd later. */
   private def writeSorted(spark: SparkSession, root: String, prefix: String,
                           df: DataFrame, key: org.apache.spark.sql.Column,
-                          tiebreak: String): Seq[FileEntry] = {
+                          tiebreak: String,
+                          knownRows: Option[Long] = None): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val name = s"$prefix${nextId(fs, root)}"
-    val rows = df.count() // data scan 1: sizes the range split
+    // sizing: callers that already know the exact row count (the batch
+    // append derives it from the bounded touched-partition histograms)
+    // pass it in, making this write a SINGLE data pass; otherwise one
+    // sizing count runs first (stale rewrite / compaction, whose inputs
+    // are localCheckpoint'd so the count reads pinned blocks)
+    val rows = knownRows.getOrElse(df.count())
     val nFiles = math.max(1L, (rows + TargetRowsPerFile - 1) / TargetRowsPerFile).toInt
     val destPath = new HPath(root, name)
-    // data scan 2: the write itself. The sort key is KEPT as the stored
+    // the write itself. The sort key is KEPT as the stored
     // _k column so every file's parquet footer carries exact min/max
     // statistics for it — the zone maps below are then a driver-side
     // METADATA read of the footers, not a third scan of the batch
@@ -404,12 +422,14 @@ object IncrementalDedup {
   }
 
   /** Index write: exploded rows range-split by pid, bucket tiebreak. */
-  private def writeIndexDir(spark: SparkSession, root: String, df: DataFrame): Seq[FileEntry] =
-    writeSorted(spark, root, "d", df, pidCol, "bucket")
+  private def writeIndexDir(spark: SparkSession, root: String, df: DataFrame,
+                            knownRows: Option[Long] = None): Seq[FileEntry] =
+    writeSorted(spark, root, "d", df, pidCol, "bucket", knownRows)
 
   /** Registry write: per-doc rows range-split by dh, doc_id tiebreak. */
-  private def writeRegistryDir(spark: SparkSession, root: String, df: DataFrame): Seq[FileEntry] =
-    writeSorted(spark, root, "r", df, col("dh"), "doc_id")
+  private def writeRegistryDir(spark: SparkSession, root: String, df: DataFrame,
+                               knownRows: Option[Long] = None): Seq[FileEntry] =
+    writeSorted(spark, root, "r", df, col("dh"), "doc_id", knownRows)
 
   /** Process one micro-batch of (doc_id, text): emit duplicate verdicts
     * (doc_id, dup_of, est_jaccard) against the store and earlier batch
@@ -437,6 +457,19 @@ object IncrementalDedup {
     // separately from the probe that would otherwise trigger it lazily
     if (Prof.enabled) Prof("q94 sig build") { batchSigs.count() }
 
+    // ONE bounded job materializes both persisted batch shapes and
+    // returns the touched pid/dh histograms: the keys drive the store
+    // and registry pruning, the counts size the append writes (the two
+    // distinct-collects this replaces each ran their own job).
+    val hist = Prof("q94 touched") { touchedHist(xRows, batchReg) }
+    val pids = hist.collect { case ("p", k, _) => k }.toSeq
+    val dhs = hist.collect { case ("d", k, _) => k }.toSeq
+    val xTotal = hist.collect { case ("p", _, c) => c }.sum
+    val regTotal = hist.collect { case ("d", _, c) => c }.sum
+    // exploded index rows per registry row — exact: posexplode of the
+    // band-column array emits one row per band, unconditionally
+    val bands = batchSigs.columns.count(_.startsWith("band")).toLong
+
     // candidate targets: the PRUNED store index (only the partitions the
     // batch's own buckets hash into — the read that stays O(touched) as
     // the store grows) + earlier batch ids. Store rows whose doc_id is
@@ -449,9 +482,7 @@ object IncrementalDedup {
     // candidate set, so verdicts are bit-identical. No candidate is lost
     // to pruning: a matching store row shares the batch row's bucket,
     // hence its (band_idx, bh) partition.
-    val store = Prof("q94 probe") {
-      storeProbe(spark, storeDir, touchedPids(xRows))
-    }
+    val store = Prof("q94 probe") { storeProbe(spark, storeDir, pids) }
     val target = store match {
       case Some(st) => st
         .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -482,11 +513,60 @@ object IncrementalDedup {
       .agg(max(struct(col("est_jaccard"), (-col("dup_of")).as("neg"))).as("best"))
       .select(col("doc_id"), (-col("best.neg")).as("dup_of"),
         col("best.est_jaccard").as("est_jaccard"))
-    // Pin the verdicts BEFORE mutating the store: the commit below can
-    // GC directories a lazy plan over the pre-commit store would read.
-    // localCheckpoint truncates the lineage eagerly, so the result is
-    // immune to the store mutation.
-    val out = Prof("q94 verdicts") { verdicts.localCheckpoint(true) }
+    // Replay and stale detection are doc_id lookups, so they prune the
+    // DOC REGISTRY by the batch's dh partitions (≤ min(batch, 64) of
+    // them) — never a scan of either store kind. An identical replay's
+    // registry rows land in the same dh partitions (same doc_ids), so
+    // the pruned read always sees them.
+    val sigCols = batchReg.columns.toSeq.filterNot(_ == "dh")
+    val reg = Prof("q94 registry probe") {
+      registryProbe(spark, storeDir, dhs)
+    }
+    // The replay/stale flags: the registry probe joins the batch once
+    // on doc_id and a null-safe all-columns equality flag splits
+    // exact-replay ids (signature unchanged) from stale ids (changed
+    // text); registry rows are unique per doc_id on both sides, so the
+    // doc_id join + flag is exactly that partition of ids.
+    val sigOnly = sigCols.filterNot(_ == "doc_id")
+    val flagsOpt = reg.map { rg =>
+      rg.as("r").join(batchReg.as("n"), Seq("doc_id"))
+        .select(col("doc_id"),
+          sigOnly.map(c => col(s"r.$c") <=> col(s"n.$c"))
+            .reduce(_ && _).as("is_exact"))
+    }
+
+    // Pin the verdicts AND the flags in ONE job BEFORE mutating the
+    // store: both read pre-commit store directories that the commit
+    // below can GC from under a lazy plan. localCheckpoint truncates
+    // the lineage eagerly, so the results are immune to the mutation.
+    // (Two separate checkpoints here were two jobs; the union is the
+    // same two independent subtrees scheduled once.)
+    val vTypes = verdicts.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tagged = verdicts
+      .withColumn("is_exact", lit(null).cast("boolean"))
+      .withColumn("_t", lit("v"))
+    val pinned = Prof("q94 verdicts") {
+      flagsOpt.fold(tagged) { f =>
+        tagged.unionByName(f.select(col("doc_id"),
+          lit(null).cast(vTypes("dup_of")).as("dup_of"),
+          lit(null).cast(vTypes("est_jaccard")).as("est_jaccard"),
+          col("is_exact"), lit("f").as("_t")))
+      }.localCheckpoint(true)
+    }
+    val out = pinned.filter(col("_t") === "v")
+      .select("doc_id", "dup_of", "est_jaccard")
+    val flags = pinned.filter(col("_t") === "f")
+      .select(col("doc_id"), col("is_exact"))
+    // exact-replay / stale counts: one bounded job over the pinned
+    // flags (replaces the two isEmpty gates AND — with the histogram
+    // counts above — both writeSorted sizing scans of the fresh path)
+    val (exactCnt, staleCnt) =
+      if (flagsOpt.isEmpty) (0L, 0L)
+      else {
+        val fc = flags.groupBy("is_exact").count().collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        (fc.getOrElse(true, 0L), fc.getOrElse(false, 0L))
+      }
 
     // Store maintenance — re-ingest semantics (one registry row per
     // doc_id, the LATEST text wins):
@@ -498,75 +578,55 @@ object IncrementalDedup {
     //    the rewrite directories are invisible until the manifest
     //    commit publishes them, so a crash at any point leaves the old
     //    store).
-    // Replay and stale detection are doc_id lookups, so they prune the
-    // DOC REGISTRY by the batch's dh partitions (≤ min(batch, 64) of
-    // them) — never a scan of either store kind. An identical replay's
-    // registry rows land in the same dh partitions (same doc_ids), so
-    // the pruned read always sees them. Verdicts above already used the
-    // batch copy for in-batch ids, so a replay after any crash point
-    // below re-emits identical verdicts.
-    val sigCols = batchReg.columns.toSeq.filterNot(_ == "dh")
-    val reg = Prof("q94 registry probe") {
-      registryProbe(spark, storeDir, touchedDhs(batchReg))
-    }
-    Prof("q94 maintain+commit") { reg match {
-      case Some(rg) =>
-        // ONE small checkpoint for the id sets whose derivation reads
-        // the PRE-commit store: the registry probe joins the batch once
-        // on doc_id and a null-safe all-columns equality flag splits
-        // exact-replay ids (signature unchanged) from stale ids
-        // (changed text). The fresh frames themselves stay LAZY — their
-        // lineage reads only the persisted batch frames plus this
-        // checkpointed id set, never a store directory, so the commit's
-        // GC cannot invalidate them. (Earlier shapes checkpointed two
-        // id frames from two separate probe-reading joins — semi on all
-        // columns + semi/anti pair — which doubled the store read and
-        // the checkpoint count per batch; registry rows are unique per
-        // doc_id on both sides, so the doc_id join + flag is the same
-        // partition of ids.)
-        val sigOnly = sigCols.filterNot(_ == "doc_id")
-        val flags = rg.as("r").join(batchReg.as("n"), Seq("doc_id"))
-          .select(col("doc_id"),
-            sigOnly.map(c => col(s"r.$c") <=> col(s"n.$c"))
-              .reduce(_ && _).as("is_exact"))
-          .localCheckpoint(true)
+    // Verdicts above already used the batch copy for in-batch ids, so a
+    // replay after any crash point below re-emits identical verdicts.
+    // The fresh frames stay LAZY and are executed exactly once (their
+    // write): their lineage reads only the persisted batch frames plus
+    // the checkpointed flags, never a store directory, so the commit's
+    // GC cannot invalidate them.
+    Prof("q94 maintain+commit") {
+      if (staleCnt > 0) {
+        // stale rewrite: the one full-store pass, taken only when a
+        // doc actually changed text (rare); both kinds fold to one
+        // fresh directory each, committed together. These DO read the
+        // pre-commit store, but stay LAZY: every execution (the sizing
+        // count, the write) happens BEFORE the commit GCs the old
+        // directories, and NOT pinning them means the store is never
+        // buffered wholesale in executor blocks — at production store
+        // sizes a re-scan of immutable parquet beats checkpointing the
+        // entire store.
         val exactIds = flags.filter(col("is_exact")).select("doc_id")
         val staleIds = flags.filter(!col("is_exact")).select("doc_id")
-        // pinned: each fresh frame is executed ONCE — writeSorted's
-        // row-count sizing pass, its write, and the isEmpty gate below
-        // all read the materialized batch-sized frame instead of each
-        // re-running the anti-join over the persisted batch frames
-        // (lineage safety is unchanged: these read only persisted batch
-        // frames + the checkpointed id set, never a store directory)
-        val freshReg = batchReg.join(exactIds, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val freshIdx = xRows.join(exactIds, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        if (!staleIds.isEmpty) {
-          // stale rewrite: the one full-store pass, taken only when a
-          // doc actually changed text (rare); both kinds fold to one
-          // fresh directory each, committed together — these DO read
-          // the pre-commit store, so they are pinned before the commit
-          val newIdx = storeIndex(spark, storeDir).get
-            .join(staleIds, Seq("doc_id"), "left_anti")
-            .unionByName(freshIdx).localCheckpoint(true)
-          val newReg = storeSigs(spark, storeDir).get
-            .join(staleIds, Seq("doc_id"), "left_anti")
-            .unionByName(freshReg).localCheckpoint(true)
-          commit(spark, storeDir,
-            writeIndexDir(spark, storeDir, newIdx) ++
-              writeRegistryDir(spark, storeDir, newReg))
-        } else if (!freshReg.isEmpty) {
-          val added = writeIndexDir(spark, storeDir, freshIdx) ++
-            writeRegistryDir(spark, storeDir, freshReg)
-          commit(spark, storeDir, committedFiles(spark, storeDir) ++ added)
-        }
-      case None =>
-        if (!batchSigs.isEmpty)
-          commit(spark, storeDir,
-            writeIndexDir(spark, storeDir, xRows) ++
-              writeRegistryDir(spark, storeDir, batchReg))
-    } }
+        val newIdx = storeIndex(spark, storeDir).get
+          .join(staleIds, Seq("doc_id"), "left_anti")
+          .unionByName(xRows.join(exactIds, Seq("doc_id"), "left_anti"))
+        val newReg = storeSigs(spark, storeDir).get
+          .join(staleIds, Seq("doc_id"), "left_anti")
+          .unionByName(batchReg.join(exactIds, Seq("doc_id"), "left_anti"))
+        commit(spark, storeDir,
+          writeIndexDir(spark, storeDir, newIdx) ++
+            writeRegistryDir(spark, storeDir, newReg))
+      } else if (regTotal > exactCnt) {
+        // fresh-only append (the common case): row counts are exact
+        // from the touched histograms, so each write is a single pass
+        // with no sizing scan; with zero replays the batch frames are
+        // appended as-is, no anti-join in the plan at all
+        val (freshIdx, freshReg) =
+          if (exactCnt == 0L) (xRows, batchReg)
+          else {
+            val exactIds = flags.filter(col("is_exact")).select("doc_id")
+            (xRows.join(exactIds, Seq("doc_id"), "left_anti"),
+              batchReg.join(exactIds, Seq("doc_id"), "left_anti"))
+          }
+        val added = writeIndexDir(spark, storeDir, freshIdx,
+          Some(xTotal - bands * exactCnt)) ++
+          writeRegistryDir(spark, storeDir, freshReg,
+            Some(regTotal - exactCnt))
+        commit(spark, storeDir, committedFiles(spark, storeDir) ++ added)
+      }
+      // regTotal == exactCnt: every batch doc is an identical replay
+      // (or the batch is empty) — no write, no commit
+    }
     batchSigs.unpersist(); xRows.unpersist(); batchReg.unpersist()
     // bound read fan-in: two directories per batch accumulate — fold
     // rarely, amortized O(1) per batch (same policy as the SCD2 log)

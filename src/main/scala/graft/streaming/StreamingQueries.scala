@@ -464,11 +464,15 @@ object StreamingQueries {
         .repartition(col("b"))
         .write.partitionBy("b").parquet(root.toString)
       for (b <- 0 to 3) stamp(s"b=$b", b)
+      // sentinel under b=4 — the same key=value naming as the
+      // partitionBy dirs, so the glob root keeps ONE consistent layout
+      // (a plain `b4` dir beside hive-style b=0..3 is exactly the shape
+      // partition inference rejects if the read path ever changes)
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
       Seq((-1L, "zz_sentinel", 0.0, sentinelTs))
         .toDF("event_id", "event_type", "value", "ts")
-        .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, "b4").toString)
-      stamp("b4", 4)
+        .coalesce(1).write.parquet(new org.apache.hadoop.fs.Path(root, "b=4").toString)
+      stamp("b=4", 4)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(new org.apache.hadoop.fs.Path(root, "*/*.parquet").toString)
